@@ -1,0 +1,416 @@
+package graft.queries
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Exact
+
+/** The reference's 10 analytical query patterns (`Database/TASK 2A SQL
+  * Analytical Queries.sql`, SURVEY.md §2.3–§2.7) re-expressed
+  * Spark-first over the harness star schema (role mapping in
+  * FIXTURES.md §4: fact_order_lines→lineitem, dims→customer/part/
+  * supplier/nation, category→brand/mktsegment, dates from
+  * o_orderdate/l_shipdate).
+  *
+  * Scale notes (100 TB design): the only fact⋈fact join is
+  * lineitem⋈orders on the shuffle key `orderkey` — co-partitioned,
+  * AQE-safe; every dim join is `broadcast()`. Aggregates use
+  * map-side-combining hash aggregation; windows partition on
+  * low-skew keys (month/nation). Exact-decimal sums (Exact.dsum)
+  * keep the oracle hash stable without changing the plan shape.
+  */
+object AnalyticalQueries {
+
+  /** Per-line revenue used everywhere: extendedprice·(1−discount). */
+  private val revSql =
+    "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))"
+
+  private def revenue(df: DataFrame): org.apache.spark.sql.Column = {
+    import df.sparkSession.implicits._
+    Exact.revenueExpr($"l_extendedprice", $"l_discount")
+  }
+
+  /** 1A — monthly revenue + YoY growth via LAG
+    * (ref `TASK 2A…sql:5-36`: LAG(revenue) PARTITION BY month ORDER BY year).
+    */
+  val q1aYoyGrowth: GraftQuery = GraftQuery(
+    "q1a_yoy_growth",
+    s"""WITH rev AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |         CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       |         CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2)
+       |SELECT o_year, o_month, revenue,
+       |       LAG(revenue) OVER (PARTITION BY o_month ORDER BY o_year)
+       |         AS prev_year_revenue,
+       |       (revenue - LAG(revenue) OVER (PARTITION BY o_month ORDER BY o_year))
+       |         / LAG(revenue) OVER (PARTITION BY o_month ORDER BY o_year) * 100
+       |         AS yoy_growth_pct
+       |FROM rev""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+      .agg(Exact.dsum(revenue(t.lineitem)).as("revenue"))
+    val w = Window.partitionBy($"o_month").orderBy($"o_year")
+    rev
+      .withColumn("prev_year_revenue", lag($"revenue", 1).over(w))
+      .withColumn("yoy_growth_pct",
+        ($"revenue" - $"prev_year_revenue") / $"prev_year_revenue" * 100)
+  }
+
+  /** 1B — seasonal index: month revenue vs overall monthly average via
+    * CROSS JOIN of a one-row aggregate (ref `TASK 2A…sql:43-66`).
+    */
+  val q1bSeasonalIndex: GraftQuery = GraftQuery(
+    "q1b_seasonal_index",
+    s"""WITH m AS (
+       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |         CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       |         SUM($revSql) AS rev_dec
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2),
+       |o AS (SELECT CAST(CAST(SUM(rev_dec) AS VARCHAR) AS DOUBLE)
+       |             / COUNT(*) AS overall_avg FROM m)
+       |SELECT m.o_year, m.o_month,
+       |       CAST(CAST(m.rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
+       |       o.overall_avg,
+       |       CAST(CAST(m.rev_dec AS VARCHAR) AS DOUBLE) / o.overall_avg * 100
+       |         AS seasonal_index
+       |FROM m CROSS JOIN o""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    // keep the month sums DECIMAL so the overall average reuses the
+    // exact values (no double→decimal re-cast of derived numbers)
+    val m = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+      .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev_dec"))
+    // scalar overall average: one-row aggregate, broadcast cross join
+    val overall = m.agg(
+      (Exact.toDouble(sum($"rev_dec")) / count(lit(1))).as("overall_avg"))
+    m.crossJoin(broadcast(overall))
+      .withColumn("revenue", Exact.toDouble($"rev_dec"))
+      .withColumn("seasonal_index", $"revenue" / $"overall_avg" * 100)
+      .select("o_year", "o_month", "revenue", "overall_avg", "seasonal_index")
+  }
+
+  /** 2A — GROUPING SETS (year,month,segment) → (y,m) → (y) → () with
+    * GROUPING() labels (ref `TASK 2A…sql:73-105`).
+    */
+  val q2aGroupingSets: GraftQuery = GraftQuery(
+    "q2a_grouping_sets",
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       |       c_mktsegment AS segment,
+       |       CASE WHEN GROUPING(year(o_orderdate)) = 1 THEN 'GRAND TOTAL'
+       |            WHEN GROUPING(month(o_orderdate)) = 1 THEN 'YEAR TOTAL'
+       |            WHEN GROUPING(c_mktsegment) = 1 THEN 'MONTH TOTAL'
+       |            ELSE 'DETAIL' END AS row_type,
+       |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue,
+       |       COUNT(DISTINCT o_orderkey) AS n_orders
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY GROUPING SETS (
+       |  (year(o_orderdate), month(o_orderdate), c_mktsegment),
+       |  (year(o_orderdate), month(o_orderdate)),
+       |  (year(o_orderdate)), ())""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val base = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .select(
+        year($"o_orderdate").as("o_year"),
+        month($"o_orderdate").as("o_month"),
+        $"c_mktsegment".as("segment"),
+        revenue(t.lineitem).cast(DecimalType(38, 6)).as("rev"),
+        $"o_orderkey")
+    base
+      .groupingSets(
+        Seq(Seq($"o_year", $"o_month", $"segment"),
+            Seq($"o_year", $"o_month"),
+            Seq($"o_year"),
+            Seq()),
+        $"o_year", $"o_month", $"segment")
+      .agg(
+        when(grouping($"o_year") === 1, "GRAND TOTAL")
+          .when(grouping($"o_month") === 1, "YEAR TOTAL")
+          .when(grouping($"segment") === 1, "MONTH TOTAL")
+          .otherwise("DETAIL").as("row_type"),
+        Exact.toDouble(sum($"rev")).as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .select("o_year", "o_month", "segment", "row_type", "revenue", "n_orders")
+  }
+
+  /** 2B — ROLLUP brand → part with subtotal/grand-total labels
+    * (ref `TASK 2A…sql:110-123`).
+    */
+  val q2bRollup: GraftQuery = GraftQuery(
+    "q2b_rollup",
+    s"""SELECT p_brand,
+       |       p_partkey,
+       |       CASE WHEN GROUPING(p_brand) = 1 THEN 'GRAND TOTAL'
+       |            WHEN GROUPING(p_partkey) = 1 THEN 'BRAND TOTAL'
+       |            ELSE 'DETAIL' END AS row_type,
+       |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN part ON l_partkey = p_partkey
+       |GROUP BY ROLLUP (p_brand, p_partkey)""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+      .select($"p_brand", $"p_partkey",
+        revenue(t.lineitem).cast(DecimalType(38, 6)).as("rev"))
+      .rollup($"p_brand", $"p_partkey")
+      .agg(
+        when(grouping($"p_brand") === 1, "GRAND TOTAL")
+          .when(grouping($"p_partkey") === 1, "BRAND TOTAL")
+          .otherwise("DETAIL").as("row_type"),
+        Exact.toDouble(sum($"rev")).as("revenue"))
+      .select("p_brand", "p_partkey", "row_type", "revenue")
+  }
+
+  /** 3A — RANK + NTILE(100) of customers within nation by revenue
+    * (ref `TASK 2A…sql:129-144`). Order is made total (revenue DESC,
+    * custkey ASC) so NTILE is deterministic across engines.
+    */
+  val q3aRankNtile: GraftQuery = GraftQuery(
+    "q3a_rank_ntile",
+    s"""WITH rev AS (
+       |  SELECT n_name, c_custkey,
+       |         CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, c_custkey, revenue,
+       |       CAST(RANK() OVER (PARTITION BY n_name
+       |         ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rev_rank,
+       |       CAST(NTILE(100) OVER (PARTITION BY n_name
+       |         ORDER BY revenue DESC, c_custkey) AS INTEGER) AS percentile_band
+       |FROM rev""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"c_custkey")
+      .agg(Exact.dsum(revenue(t.lineitem)).as("revenue"))
+    val w = Window.partitionBy($"n_name").orderBy($"revenue".desc, $"c_custkey")
+    rev
+      .withColumn("rev_rank", rank().over(w))
+      .withColumn("percentile_band", ntile(100).over(w))
+  }
+
+  /** 3B — daily revenue, 7-day trailing moving average, YTD cumulative
+    * (ref `TASK 2A…sql:149-164`). Window sums stay DECIMAL (exact,
+    * order-free) and convert to DOUBLE only at the output.
+    */
+  val q3bMovingAvgYtd: GraftQuery = GraftQuery(
+    "q3b_moving_avg_ytd",
+    s"""WITH daily AS (
+       |  SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_day,
+       |         SUM($revSql) AS rev
+       |  FROM lineitem GROUP BY 1)
+       |SELECT ship_day,
+       |       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
+       |       CAST(CAST(SUM(rev) OVER (ORDER BY ship_day
+       |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(*) OVER (ORDER BY ship_day
+       |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS moving_avg_7d,
+       |       CAST(CAST(SUM(rev) OVER (PARTITION BY year(ship_day) ORDER BY ship_day
+       |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
+       |         AS ytd_revenue
+       |FROM daily""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val daily = t.lineitem
+      .groupBy(date_trunc("DAY", $"l_shipdate").as("ship_day"))
+      .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev"))
+    val wMa  = Window.orderBy($"ship_day").rowsBetween(-6, 0)
+    val wYtd = Window.partitionBy(year($"ship_day")).orderBy($"ship_day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    daily
+      .withColumn("moving_avg_7d",
+        Exact.toDouble(sum($"rev").over(wMa)) / count(lit(1)).over(wMa))
+      .withColumn("ytd_revenue", Exact.toDouble(sum($"rev").over(wYtd)))
+      .select($"ship_day", Exact.toDouble($"rev").as("revenue"),
+        $"moving_avg_7d", $"ytd_revenue")
+  }
+
+  /** 4A — triple EXISTS/semi-join chain: parts in ≥3 distinct orders ∧
+    * high return rate ∧ bought by BUILDING-segment customers
+    * (ref `TASK 2A…sql:170-203`: conjunctive CTE semi-joins + HAVING).
+    */
+  val q4aSemiJoinChain: GraftQuery = GraftQuery(
+    "q4a_semi_join_chain",
+    """WITH popular AS (
+      |  SELECT l_partkey FROM lineitem
+      |  GROUP BY 1 HAVING COUNT(DISTINCT l_orderkey) >= 3),
+      |returned AS (
+      |  SELECT l_partkey FROM lineitem
+      |  GROUP BY 1
+      |  HAVING CAST(COUNT(CASE WHEN l_returnflag = 'R' THEN 1 END) AS DOUBLE)
+      |         / COUNT(*) > 0.3),
+      |building AS (
+      |  SELECT DISTINCT l_partkey
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  JOIN customer ON o_custkey = c_custkey
+      |  WHERE c_mktsegment = 'BUILDING')
+      |SELECT p_partkey, p_name, p_brand FROM part
+      |WHERE p_partkey IN (SELECT l_partkey FROM popular)
+      |  AND p_partkey IN (SELECT l_partkey FROM returned)
+      |  AND p_partkey IN (SELECT l_partkey FROM building)""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val t  = Tables(spark, dir)
+      val li = t.lineitem
+      val popular = li.groupBy($"l_partkey")
+        .agg(countDistinct($"l_orderkey").as("n_ord"))
+        .filter($"n_ord" >= 3).select($"l_partkey")
+      val returned = li.groupBy($"l_partkey")
+        .agg(count(when($"l_returnflag" === "R", 1)).cast(DoubleType)
+          .divide(count(lit(1))).as("ret_rate"))
+        .filter($"ret_rate" > 0.3).select($"l_partkey")
+      val building = li
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .join(broadcast(t.customer.filter($"c_mktsegment" === "BUILDING")),
+          $"o_custkey" === $"c_custkey")
+        .select($"l_partkey").distinct()
+      t.part
+        .join(popular, $"p_partkey" === popular("l_partkey"), "left_semi")
+        .join(returned, $"p_partkey" === returned("l_partkey"), "left_semi")
+        .join(building, $"p_partkey" === building("l_partkey"), "left_semi")
+        .select($"p_partkey", $"p_name", $"p_brand")
+  }
+
+  /** 4B — correlated compare: parts priced above their brand average
+    * (ref `TASK 2A…sql:208-236`: avg_price_product > avg_price_category).
+    */
+  val q4bPriceVsBrand: GraftQuery = GraftQuery(
+    "q4b_price_vs_brand",
+    """WITH pp AS (
+      |  SELECT p_partkey, p_brand,
+      |         SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS price_dec,
+      |         COUNT(*) AS n_lines
+      |  FROM lineitem JOIN part ON l_partkey = p_partkey
+      |  GROUP BY 1, 2),
+      |pb AS (
+      |  SELECT p_brand,
+      |         CAST(CAST(SUM(price_dec) AS VARCHAR) AS DOUBLE)
+      |           / SUM(n_lines) AS avg_price_brand
+      |  FROM pp GROUP BY 1)
+      |SELECT pp.p_partkey, pp.p_brand,
+      |       CAST(CAST(pp.price_dec AS VARCHAR) AS DOUBLE) / pp.n_lines
+      |         AS avg_price_part,
+      |       pb.avg_price_brand
+      |FROM pp JOIN pb ON pp.p_brand = pb.p_brand
+      |WHERE CAST(CAST(pp.price_dec AS VARCHAR) AS DOUBLE) / pp.n_lines
+      |      > pb.avg_price_brand""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      // carry (decimal sum, count) so the brand (line-grain) average
+      // reuses exact sums — no double→decimal re-cast of derived values
+      val pp = t.lineitem
+        .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+        .groupBy($"p_partkey", $"p_brand")
+        .agg(sum($"l_extendedprice".cast(DecimalType(38, 6))).as("price_dec"),
+          count(lit(1)).as("n_lines"))
+      val pb = pp.groupBy($"p_brand")
+        .agg((Exact.toDouble(sum($"price_dec")) / sum($"n_lines"))
+          .as("avg_price_brand"))
+      pp.join(broadcast(pb), Seq("p_brand"))
+        .withColumn("avg_price_part", Exact.toDouble($"price_dec") / $"n_lines")
+        .filter($"avg_price_part" > $"avg_price_brand")
+        .select($"p_partkey", $"p_brand", $"avg_price_part", $"avg_price_brand")
+  }
+
+  /** 5A — top-20 customers by lifetime value (ref `TASK 2A…sql:241-251`).
+    * Total order (revenue DESC, custkey ASC) keeps the LIMIT
+    * deterministic; Spark plans it as TakeOrderedAndProject.
+    */
+  val q5aTopLtv: GraftQuery = GraftQuery(
+    "q5a_top_ltv",
+    s"""SELECT c_custkey, c_name,
+       |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS ltv_revenue,
+       |       COUNT(DISTINCT o_orderkey) AS n_orders
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1, 2
+       |ORDER BY ltv_revenue DESC, c_custkey
+       |LIMIT 20""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .groupBy($"c_custkey", $"c_name")
+      .agg(
+        Exact.dsum(revenue(t.lineitem)).as("ltv_revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
+      .orderBy($"ltv_revenue".desc, $"c_custkey")
+      .limit(20)
+  }
+
+  /** 5B — monthly KPI sheet with conditional aggregates and the
+    * reference's three-valued on-time logic (ref `TASK 2A…sql:256-296`;
+    * on-time NULL case excluded from the rate — SURVEY §1.3).
+    * Analog: ship within 30 days = on time; open orders ('O' status
+    * never delivered analog would be NULL) → NULL.
+    */
+  val q5bMonthlyKpis: GraftQuery = GraftQuery(
+    "q5b_monthly_kpis",
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
+       |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue,
+       |       COUNT(DISTINCT o_orderkey) AS n_orders,
+       |       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(*) AS avg_discount,
+       |       100 * AVG(CASE
+       |           WHEN o_orderstatus = 'O' THEN NULL
+       |           WHEN date_diff('day', CAST(o_orderdate AS DATE),
+       |                          CAST(l_shipdate AS DATE)) <= 30 THEN 1.0
+       |           ELSE 0.0 END) AS on_time_rate_pct,
+       |       AVG(CASE WHEN o_orderstatus <> 'O'
+       |                 AND date_diff('day', CAST(o_orderdate AS DATE),
+       |                               CAST(l_shipdate AS DATE)) > 30
+       |           THEN CAST(date_diff('day', CAST(o_orderdate AS DATE),
+       |                     CAST(l_shipdate AS DATE)) AS DOUBLE) END)
+       |         AS avg_delay_if_late
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t     = Tables(spark, dir)
+    val delay = datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+    val onTime = when($"o_orderstatus" === "O", lit(null).cast(DoubleType))
+      .when(delay <= 30, 1.0).otherwise(0.0)
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+      .agg(
+        Exact.dsum(revenue(t.lineitem)).as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        (Exact.toDouble(sum($"l_discount".cast(DecimalType(38, 6))))
+          / count(lit(1))).as("avg_discount"),
+        (avg(onTime) * 100).as("on_time_rate_pct"),
+        avg(when($"o_orderstatus" =!= "O" && delay > 30, delay.cast(DoubleType)))
+          .as("avg_delay_if_late"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    q1aYoyGrowth, q1bSeasonalIndex, q2aGroupingSets, q2bRollup,
+    q3aRankNtile, q3bMovingAvgYtd, q4aSemiJoinChain, q4bPriceVsBrand,
+    q5aTopLtv, q5bMonthlyKpis)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.queries.AnalyticalQueries
+
+class AnalyticalQueriesSpec extends SparkTestBase {
+
+  test("every analytical query runs and returns rows") {
+    AnalyticalQueries.all.foreach { q =>
+      val df = q.fn(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q1a: yoy growth null for first year of each month") {
+    val df = AnalyticalQueries.q1aYoyGrowth.fn(spark, sfDir).cache()
+    import spark.implicits._
+    val firstYears = df.groupBy($"o_month").agg(min($"o_year").as("y0"))
+    val firsts = df.join(firstYears,
+      df("o_month") === firstYears("o_month") && df("o_year") === firstYears("y0"))
+    assert(firsts.filter($"prev_year_revenue".isNotNull).count() == 0)
+    df.unpersist()
+  }
+
+  test("q2a: grouping-set totals are consistent") {
+    import spark.implicits._
+    val df = AnalyticalQueries.q2aGroupingSets.fn(spark, sfDir).cache()
+    val grand = df.filter($"row_type" === "GRAND TOTAL")
+      .select($"revenue").as[Double].head()
+    val years = df.filter($"row_type" === "YEAR TOTAL")
+      .agg(sum($"revenue")).as[Double].head()
+    assert(math.abs(grand - years) < 1e-3,
+      s"grand=$grand != sum(yearTotals)=$years")
+    df.unpersist()
+  }
+
+  test("q3b: ytd resets per year and is nondecreasing within year") {
+    import spark.implicits._
+    val df = AnalyticalQueries.q3bMovingAvgYtd.fn(spark, sfDir)
+    val bad = df
+      .withColumn("y", year($"ship_day"))
+      .withColumn("prev",
+        lag($"ytd_revenue", 1).over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"y").orderBy($"ship_day")))
+      .filter($"prev".isNotNull && $"ytd_revenue" < $"prev")
+    assert(bad.count() == 0)
+  }
+
+  test("q5a: exactly top-20, sorted by revenue desc") {
+    import spark.implicits._
+    val rows = AnalyticalQueries.q5aTopLtv.fn(spark, sfDir)
+      .select($"ltv_revenue").as[Double].collect()
+    assert(rows.length == 20)
+    assert(rows.sameElements(rows.sortBy(-_)))
+  }
+
+  test("q5b: on-time rate within [0,100]") {
+    import spark.implicits._
+    val bad = AnalyticalQueries.q5bMonthlyKpis.fn(spark, sfDir)
+      .filter($"on_time_rate_pct" < 0 || $"on_time_rate_pct" > 100)
+    assert(bad.count() == 0)
+  }
+}
