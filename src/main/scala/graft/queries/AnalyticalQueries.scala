@@ -48,8 +48,8 @@ object AnalyticalQueries {
        |       LAG(revenue) OVER (PARTITION BY o_month ORDER BY o_year)
        |         AS prev_year_revenue,
        |       (revenue - LAG(revenue) OVER (PARTITION BY o_month ORDER BY o_year))
-       |         / LAG(revenue) OVER (PARTITION BY o_month ORDER BY o_year) * 100
-       |         AS yoy_growth_pct
+       |         / NULLIF(LAG(revenue) OVER (PARTITION BY o_month ORDER BY o_year), 0)
+       |         * 100 AS yoy_growth_pct
        |FROM rev""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
@@ -60,44 +60,55 @@ object AnalyticalQueries {
     val w = Window.partitionBy($"o_month").orderBy($"o_year")
     rev
       .withColumn("prev_year_revenue", lag($"revenue", 1).over(w))
+      // NULLIF div-guard mirrors the reference (TASK 2A…sql:34): a
+      // zero prior-year month yields NULL growth, not Infinity.
       .withColumn("yoy_growth_pct",
-        ($"revenue" - $"prev_year_revenue") / $"prev_year_revenue" * 100)
+        when($"prev_year_revenue" =!= 0,
+          ($"revenue" - $"prev_year_revenue") / $"prev_year_revenue" * 100))
   }
 
-  /** 1B — seasonal index: month revenue vs overall monthly average via
-    * CROSS JOIN of a one-row aggregate (ref `TASK 2A…sql:43-66`).
+  /** 1B — seasonal index at the reference's grain (ref `TASK 2A…sql:43-66`):
+    * daily revenue → average daily revenue per month-of-year (same calendar
+    * month pooled across years) vs the overall daily average, via CROSS JOIN
+    * of a one-row aggregate. 12 output rows, one per calendar month.
     */
   val q1bSeasonalIndex: GraftQuery = GraftQuery(
     "q1b_seasonal_index",
-    s"""WITH m AS (
-       |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+    s"""WITH daily AS (
+       |  SELECT CAST(o_orderdate AS DATE) AS o_day,
        |         CAST(month(o_orderdate) AS INTEGER) AS o_month,
        |         SUM($revSql) AS rev_dec
        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
        |  GROUP BY 1, 2),
+       |m AS (
+       |  SELECT o_month,
+       |         CAST(CAST(SUM(rev_dec) AS VARCHAR) AS DOUBLE) / COUNT(*)
+       |           AS avg_rev_month
+       |  FROM daily GROUP BY 1),
        |o AS (SELECT CAST(CAST(SUM(rev_dec) AS VARCHAR) AS DOUBLE)
-       |             / COUNT(*) AS overall_avg FROM m)
-       |SELECT m.o_year, m.o_month,
-       |       CAST(CAST(m.rev_dec AS VARCHAR) AS DOUBLE) AS revenue,
-       |       o.overall_avg,
-       |       CAST(CAST(m.rev_dec AS VARCHAR) AS DOUBLE) / o.overall_avg * 100
+       |             / COUNT(*) AS avg_rev_overall FROM daily)
+       |SELECT m.o_month, m.avg_rev_month, o.avg_rev_overall,
+       |       m.avg_rev_month / NULLIF(o.avg_rev_overall, 0)
        |         AS seasonal_index
        |FROM m CROSS JOIN o""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
-    // keep the month sums DECIMAL so the overall average reuses the
-    // exact values (no double→decimal re-cast of derived numbers)
-    val m = t.lineitem
+    // daily revenue stays DECIMAL so both averaging levels reuse the
+    // exact sums (no double→decimal re-cast of derived numbers)
+    val daily = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
+      .groupBy(to_date($"o_orderdate").as("o_day"),
+        month($"o_orderdate").as("o_month"))
       .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev_dec"))
+    val m = daily.groupBy($"o_month")
+      .agg((Exact.toDouble(sum($"rev_dec")) / count(lit(1))).as("avg_rev_month"))
     // scalar overall average: one-row aggregate, broadcast cross join
-    val overall = m.agg(
-      (Exact.toDouble(sum($"rev_dec")) / count(lit(1))).as("overall_avg"))
+    val overall = daily.agg(
+      (Exact.toDouble(sum($"rev_dec")) / count(lit(1))).as("avg_rev_overall"))
     m.crossJoin(broadcast(overall))
-      .withColumn("revenue", Exact.toDouble($"rev_dec"))
-      .withColumn("seasonal_index", $"revenue" / $"overall_avg" * 100)
-      .select("o_year", "o_month", "revenue", "overall_avg", "seasonal_index")
+      .withColumn("seasonal_index",
+        when($"avg_rev_overall" =!= 0, $"avg_rev_month" / $"avg_rev_overall"))
+      .select("o_month", "avg_rev_month", "avg_rev_overall", "seasonal_index")
   }
 
   /** 2A — GROUPING SETS (year,month,segment) → (y,m) → (y) → () with
@@ -218,10 +229,10 @@ object AnalyticalQueries {
   val q3bMovingAvgYtd: GraftQuery = GraftQuery(
     "q3b_moving_avg_ytd",
     s"""WITH daily AS (
-       |  SELECT CAST(CAST(l_shipdate AS DATE) AS TIMESTAMP) AS ship_day,
+       |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
        |         SUM($revSql) AS rev
        |  FROM lineitem GROUP BY 1)
-       |SELECT ship_day,
+       |SELECT CAST(ship_day AS VARCHAR) AS ship_day,
        |       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
        |       CAST(CAST(SUM(rev) OVER (ORDER BY ship_day
        |           ROWS BETWEEN 6 PRECEDING AND CURRENT ROW) AS VARCHAR) AS DOUBLE)
@@ -233,8 +244,10 @@ object AnalyticalQueries {
        |FROM daily""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
+    // ship_day is a DATE on both sides — date→timestamp would re-introduce
+    // a session-timezone dependency (ADVICE r1) for zero semantic gain.
     val daily = t.lineitem
-      .groupBy(date_trunc("DAY", $"l_shipdate").as("ship_day"))
+      .groupBy(to_date($"l_shipdate").as("ship_day"))
       .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev"))
     val wMa  = Window.orderBy($"ship_day").rowsBetween(-6, 0)
     val wYtd = Window.partitionBy(year($"ship_day")).orderBy($"ship_day")
@@ -243,7 +256,10 @@ object AnalyticalQueries {
       .withColumn("moving_avg_7d",
         Exact.toDouble(sum($"rev").over(wMa)) / count(lit(1)).over(wMa))
       .withColumn("ytd_revenue", Exact.toDouble(sum($"rev").over(wYtd)))
-      .select($"ship_day", Exact.toDouble($"rev").as("revenue"),
+      // ISO string at the output boundary: engine-identical repr, no
+      // date→timestamp/timezone dependency in the oracle compare
+      .select($"ship_day".cast(StringType).as("ship_day"),
+        Exact.toDouble($"rev").as("revenue"),
         $"moving_avg_7d", $"ytd_revenue")
   }
 
