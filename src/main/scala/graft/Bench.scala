@@ -10,7 +10,16 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    // Headline set: the 10 reference analytical queries — stable
+    // round-over-round so BENCH_r{N} totals stay comparable. The
+    // wider registry is exercised by the sf0.01 correctness gate.
+    val headline = Set(
+      "q1a_yoy_growth", "q1b_seasonal_index", "q2a_grouping_sets",
+      "q2b_rollup", "q3a_rank_ntile", "q3b_moving_avg_ytd",
+      "q4a_semi_join_chain", "q4b_price_vs_brand", "q5a_top_ltv",
+      "q5b_monthly_kpis")
+    val results = SparkEntry.queries.view.filterKeys(headline).toMap
+      .map { case (name, fn) =>
       val t0 = System.nanoTime()
       try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
       name -> (System.nanoTime() - t0) / 1e9

@@ -13,7 +13,10 @@ import graft.queries._
 object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
-    AnalyticalQueries.all
+    AnalyticalQueries.all ++
+      Seq(graft.etl.DimTime.query) ++
+      graft.etl.EtlQueries.all ++
+      graft.etl.Scd.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,155 @@
+package graft.etl
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StringType
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** SCD maintenance — the reference's Kettle `DimensionLookup` (SCD2,
+  * `ETL for seller with scd2.ktr:763-838`: close current row, insert
+  * new version, version+1, open row ends 2099-12-31) and
+  * `InsertUpdate` (SCD1, `etl for geolocation with scd1.ktr:906-985`)
+  * re-expressed as deterministic window rebuilds over plain parquet.
+  *
+  * Why window-rebuild, not per-row upsert: Kettle streams each row to
+  * the DB and mutates in place; on Spark the idiomatic equivalent of a
+  * batch of upserts is a set-based recompute — one shuffle per natural
+  * key, no driver loop, scales linearly. (Where a transactional table
+  * format is available, the same semantics are a two-action MERGE; the
+  * rebuild below is the format-independent core.)
+  */
+object Scd {
+
+  val OpenEnd = "2099-12-31"
+
+  /** Rebuild SCD2 validity from a pile of timestamped snapshots:
+    * per natural key, keep rows whose tracked attributes differ from
+    * the previous snapshot (null-safe), then recompute
+    * effective_from / effective_to / version with lead + row_number.
+    * Exactly one open row (effective_to = 2099-12-31) per key.
+    */
+  def scd2Rebuild(snapshots: DataFrame, naturalKey: Seq[String],
+                  tracked: Seq[String], snapCol: String): DataFrame = {
+    val keyCols = naturalKey.map(col)
+    val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(snapCol))
+    val changed: Column = tracked
+      .map(c => !(col(c) <=> lag(col(c), 1).over(wOrd)))
+      .reduce(_ || _)
+    val isFirst = lag(col(snapCol), 1).over(wOrd).isNull
+    snapshots
+      .withColumn("__keep", isFirst || changed)
+      .filter(col("__keep"))
+      .withColumn("version", row_number().over(wOrd).cast("int"))
+      .withColumn("effective_from", col(snapCol))
+      .withColumn("effective_to",
+        coalesce(lead(col(snapCol), 1).over(wOrd), lit(OpenEnd)))
+      .drop("__keep", snapCol)
+  }
+
+  /** SCD1 latest-wins upsert: incoming overrides current on the key,
+    * unmatched incoming rows insert. Set-based (union + row_number),
+    * no per-row round trips.
+    */
+  def scd1Upsert(current: DataFrame, incoming: DataFrame,
+                 naturalKey: Seq[String]): DataFrame = {
+    val cols = current.columns
+    val tagged = current.select(cols.map(col): _*).withColumn("__prio", lit(1))
+      .unionByName(incoming.select(cols.map(col): _*).withColumn("__prio", lit(2)))
+    val w = Window.partitionBy(naturalKey.map(col): _*)
+      .orderBy(col("__prio").desc)
+    tagged
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .withColumn("was_updated", col("__prio") === 2)
+      .drop("__prio", "__rn")
+  }
+
+  // ---- oracle-checked queries over synthetic customer snapshots ----
+
+  /** Deterministic three-snapshot history over `customer`:
+    * s1 baseline, s2 bumps custkey%3=0, s3 bumps custkey%2=0 again.
+    */
+  private val snapshotSql =
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal,
+      |       '2020-01-01' AS snap FROM customer
+      |UNION ALL
+      |SELECT c_custkey,
+      |       CAST(CASE WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+      |                 ELSE c_acctbal END AS DOUBLE) AS bal,
+      |       '2020-06-01' AS snap FROM customer
+      |UNION ALL
+      |SELECT c_custkey,
+      |       CAST(CASE WHEN c_custkey % 2 = 0 THEN c_acctbal + 200.0
+      |            WHEN c_custkey % 3 = 0 THEN c_acctbal + 100.0
+      |            ELSE c_acctbal END AS DOUBLE) AS bal,
+      |       '2021-01-01' AS snap FROM customer""".stripMargin
+
+  private def snapshots(t: Tables): DataFrame = {
+    val c = t.customer
+    import c.sparkSession.implicits._
+    val s1 = c.select($"c_custkey", $"c_acctbal".cast("double").as("bal"),
+      lit("2020-01-01").as("snap"))
+    val s2 = c.select($"c_custkey",
+      when($"c_custkey" % 3 === 0, $"c_acctbal" + 100.0)
+        .otherwise($"c_acctbal").cast("double").as("bal"),
+      lit("2020-06-01").as("snap"))
+    val s3 = c.select($"c_custkey",
+      when($"c_custkey" % 2 === 0, $"c_acctbal" + 200.0)
+        .when($"c_custkey" % 3 === 0, $"c_acctbal" + 100.0)
+        .otherwise($"c_acctbal").cast("double").as("bal"),
+      lit("2021-01-01").as("snap"))
+    s1.unionByName(s2).unionByName(s3)
+  }
+
+  val q8aScd2Rebuild: GraftQuery = GraftQuery(
+    "q8a_scd2_rebuild",
+    s"""WITH snaps AS ($snapshotSql),
+       |changes AS (
+       |  SELECT c_custkey, bal, snap,
+       |         lag(snap) OVER w IS NULL
+       |           OR bal IS DISTINCT FROM lag(bal) OVER w AS keep
+       |  FROM snaps
+       |  WINDOW w AS (PARTITION BY c_custkey ORDER BY snap))
+       |SELECT c_custkey, bal,
+       |       CAST(row_number() OVER w2 AS INTEGER) AS version,
+       |       snap AS effective_from,
+       |       coalesce(lead(snap) OVER w2, '${Scd.OpenEnd}') AS effective_to
+       |FROM changes WHERE keep
+       |WINDOW w2 AS (PARTITION BY c_custkey ORDER BY snap)""".stripMargin) {
+    (spark, dir) =>
+      scd2Rebuild(snapshots(Tables(spark, dir)),
+        naturalKey = Seq("c_custkey"), tracked = Seq("bal"), snapCol = "snap")
+  }
+
+  val q8bScd1Upsert: GraftQuery = GraftQuery(
+    "q8b_scd1_upsert",
+    """WITH cur AS (
+      |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+      |inc AS (
+      |  SELECT c_custkey, CAST(c_acctbal + 50.0 AS DOUBLE) AS bal
+      |  FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, CAST(1.0 AS DOUBLE)
+      |  FROM customer WHERE c_custkey % 1000 = 0)
+      |SELECT coalesce(i.c_custkey, c.c_custkey) AS c_custkey,
+      |       coalesce(i.bal, c.bal) AS bal,
+      |       i.c_custkey IS NOT NULL AS was_updated
+      |FROM cur c FULL OUTER JOIN inc i ON c.c_custkey = i.c_custkey""".stripMargin) {
+    (spark, dir) =>
+      val t = Tables(spark, dir)
+      val c = t.customer
+      import c.sparkSession.implicits._
+      val current = c.select($"c_custkey", $"c_acctbal".cast("double").as("bal"))
+      val incoming = c.filter($"c_custkey" % 5 === 0)
+        .select($"c_custkey", ($"c_acctbal" + 50.0).cast("double").as("bal"))
+        .unionByName(c.filter($"c_custkey" % 1000 === 0)
+          .select(($"c_custkey" + 10000000).as("c_custkey"),
+            lit(1.0).cast("double").as("bal")))
+      scd1Upsert(current, incoming, Seq("c_custkey"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q8aScd2Rebuild, q8bScd1Upsert)
+}
