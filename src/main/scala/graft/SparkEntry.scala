@@ -16,7 +16,10 @@ object SparkEntry {
     AnalyticalQueries.all ++
       Seq(graft.etl.DimTime.query) ++
       graft.etl.EtlQueries.all ++
-      graft.etl.Scd.all
+      graft.etl.Scd.all ++
+      graft.analytics.AnalyticsQueries.all ++
+      graft.analytics.MlQueries.all ++
+      graft.analytics.DaxMeasures.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

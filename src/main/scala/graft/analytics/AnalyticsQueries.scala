@@ -1,0 +1,480 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Exact
+import graft.queries.GraftQuery
+
+/** The reference's Python analytics layer (`Python Analytics/
+  * PythonAnalysis.py`, SURVEY §2.4 A9–A15, §2.8 F7–F8, §2.9 M5/M7)
+  * re-expressed as distributed DataFrame plans — pandas driver-memory
+  * materialization becomes groupBy/window over the fact tables, so
+  * every query here stays a map+shuffle pipeline at 100 TB.
+  *
+  * Cross-engine determinism: every sum/mean/std/corr goes through
+  * [[Exact]] (decimal-accumulated, order-free); full-precision derived
+  * doubles (distances, logs) are snapped to DECIMAL(38,6/9) before
+  * aggregation so the accumulation is associative. libm calls
+  * (sin/cos/asin/ln) are per-row and deterministic on a given host.
+  */
+object AnalyticsQueries {
+
+  private val revSql =
+    "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))"
+
+  /** q9a — describe(): count/mean/std/min/p25/median/p75/max per
+    * measure (ref `PythonAnalysis.py:162-181`, A10). One row per
+    * measure via union of aggregates (a tiny static unpivot).
+    */
+  val q9aDescriptiveStats: GraftQuery = {
+    def duckMeasure(m: String): String =
+      s"""SELECT '$m' AS measure, COUNT($m) AS n,
+         |  CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |    / COUNT($m) AS mean,
+         |  sqrt((COUNT($m) * CAST(CAST(SUM(CAST($m*$m AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+         |        - CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |          * CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
+         |       / (COUNT($m) * (COUNT($m) - 1.0))) AS std,
+         |  MIN($m) AS min_v,
+         |  quantile_cont($m, 0.25) AS p25,
+         |  quantile_cont($m, 0.5) AS median,
+         |  quantile_cont($m, 0.75) AS p75,
+         |  MAX($m) AS max_v
+         |FROM lineitem""".stripMargin
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    GraftQuery(
+      "q9a_descriptive_stats",
+      measures.map(duckMeasure).mkString("\nUNION ALL\n")) { (spark, dir) =>
+      import spark.implicits._
+      val li = Tables(spark, dir).lineitem
+      def one(m: String): DataFrame = {
+        val c = col(m)
+        li.agg(
+          count(c).as("n"),
+          Exact.davg(c).as("mean"),
+          Exact.dstddev(c).as("std"),
+          min(c).as("min_v"),
+          percentile(c, lit(0.25)).as("p25"),
+          percentile(c, lit(0.5)).as("median"),
+          percentile(c, lit(0.75)).as("p75"),
+          max(c).as("max_v"))
+          .select(lit(m).as("measure"), $"n", $"mean", $"std",
+            $"min_v", $"p25", $"median", $"p75", $"max_v")
+      }
+      measures.map(one).reduce(_ unionByName _)
+    }
+  }
+
+  /** q9b — correlation matrix of measures vs outcomes
+    * (ref `PythonAnalysis.py:172-177`, A11) from exact decimal moments.
+    */
+  val q9bCorrelations: GraftQuery = {
+    val pairs = Seq(
+      ("l_quantity", "l_extendedprice"),
+      ("l_discount", "l_extendedprice"),
+      ("l_tax", "l_extendedprice"),
+      ("l_quantity", "l_discount"))
+    def duckPair(x: String, y: String): String =
+      s"""SELECT '${x}_vs_$y' AS pair, COUNT(*) AS n,
+         |  (COUNT(*) * CAST(CAST(SUM(CAST($x*$y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+         |   - CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |     * CAST(CAST(SUM(CAST($y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
+         |  / (sqrt(COUNT(*) * CAST(CAST(SUM(CAST($x*$x AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+         |          - CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |            * CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
+         |     * sqrt(COUNT(*) * CAST(CAST(SUM(CAST($y*$y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+         |            - CAST(CAST(SUM(CAST($y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |              * CAST(CAST(SUM(CAST($y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)))
+         |    AS corr FROM lineitem""".stripMargin
+    GraftQuery(
+      "q9b_correlations",
+      pairs.map { case (x, y) => duckPair(x, y) }.mkString("\nUNION ALL\n")) {
+      (spark, dir) =>
+        import spark.implicits._
+        val li = Tables(spark, dir).lineitem
+        pairs.map { case (x, y) =>
+          li.agg(count(lit(1)).as("n"),
+            Exact.dcorr(col(x), col(y)).as("corr"))
+            .select(lit(s"${x}_vs_$y").as("pair"), $"n", $"corr")
+        }.reduce(_ unionByName _)
+    }
+  }
+
+  /** q9c — binned aggregation: fixed price bands → group stats
+    * (ref `pd.cut` `PythonAnalysis.py:332-343, 388-398`, A12).
+    */
+  val q9cBinnedAgg: GraftQuery = GraftQuery(
+    "q9c_binned_agg",
+    s"""SELECT CAST(floor(l_extendedprice / 10000) AS BIGINT) AS price_band,
+       |       COUNT(*) AS n_lines,
+       |       CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(*) AS avg_price,
+       |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue,
+       |       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(*) AS avg_discount
+       |FROM lineitem GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables(spark, dir).lineitem
+    li.groupBy(floor($"l_extendedprice" / 10000).as("price_band"))
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.davg($"l_extendedprice").as("avg_price"),
+        Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
+          .as("revenue"),
+        Exact.davg($"l_discount").as("avg_discount"))
+  }
+
+  /** q9d — value×frequency tertile segmentation + prescriptive action
+    * matrix (ref `pd.qcut` `PythonAnalysis.py:459-468` A13 + 3×3
+    * action rules `:480-504` M7). ntile over a total order.
+    */
+  val q9dSegmentation: GraftQuery = GraftQuery(
+    "q9d_segmentation",
+    s"""WITH cust AS (
+       |  SELECT o_custkey,
+       |         CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS spend,
+       |         COUNT(DISTINCT o_orderkey) AS n_orders
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1),
+       |seg AS (
+       |  SELECT o_custkey, spend, n_orders,
+       |         CAST(NTILE(3) OVER (ORDER BY spend DESC, o_custkey) AS INTEGER)
+       |           AS value_tertile,
+       |         CAST(NTILE(3) OVER (ORDER BY n_orders DESC, o_custkey) AS INTEGER)
+       |           AS freq_tertile
+       |  FROM cust)
+       |SELECT value_tertile, freq_tertile, COUNT(*) AS n_customers,
+       |       CAST(CAST(SUM(CAST(spend AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(*) AS avg_spend,
+       |       CASE WHEN value_tertile = 1 AND freq_tertile = 1 THEN 'reward_vip'
+       |            WHEN value_tertile = 1 THEN 'increase_frequency'
+       |            WHEN freq_tertile = 1 THEN 'upsell_value'
+       |            WHEN value_tertile = 3 AND freq_tertile = 3 THEN 'reactivate_or_drop'
+       |            ELSE 'nurture' END AS action
+       |FROM seg GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cust = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
+        .as("spend"),
+        countDistinct($"o_orderkey").as("n_orders"))
+    val seg = cust
+      .withColumn("value_tertile",
+        ntile(3).over(Window.orderBy($"spend".desc, $"o_custkey")))
+      .withColumn("freq_tertile",
+        ntile(3).over(Window.orderBy($"n_orders".desc, $"o_custkey")))
+    seg.groupBy($"value_tertile", $"freq_tertile")
+      .agg(count(lit(1)).as("n_customers"),
+        Exact.davg($"spend").as("avg_spend"),
+        first(when($"value_tertile" === 1 && $"freq_tertile" === 1, "reward_vip")
+          .when($"value_tertile" === 1, "increase_frequency")
+          .when($"freq_tertile" === 1, "upsell_value")
+          .when($"value_tertile" === 3 && $"freq_tertile" === 3,
+            "reactivate_or_drop")
+          .otherwise("nurture")).as("action"))
+  }
+
+  /** q9e — churn feature table + 90-day label (ref churn features
+    * `PythonAnalysis.py:249-275`, A9/A14): per-customer aggregates,
+    * tenure from min/max order date, days-since vs the dataset max
+    * date (broadcast scalar), fillna(0) for orderless customers.
+    */
+  val q9eChurnFeatures: GraftQuery = GraftQuery(
+    "q9e_churn_features",
+    s"""WITH mx AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS max_d FROM orders),
+       |feat AS (
+       |  SELECT o_custkey,
+       |         COUNT(DISTINCT o_orderkey) AS n_orders,
+       |         CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS total_spend,
+       |         CAST(CAST(SUM(CAST(l_extendedprice * l_tax AS DECIMAL(38,4)))
+       |              AS VARCHAR) AS DOUBLE) / COUNT(*) AS avg_freight,
+       |         datediff('day', MIN(CAST(o_orderdate AS DATE)),
+       |                  MAX(CAST(o_orderdate AS DATE))) AS tenure_days,
+       |         MAX(CAST(o_orderdate AS DATE)) AS last_order
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1)
+       |SELECT c_custkey,
+       |       coalesce(n_orders, 0) AS n_orders,
+       |       coalesce(total_spend, 0.0) AS total_spend,
+       |       coalesce(avg_freight, 0.0) AS avg_freight,
+       |       CAST(coalesce(tenure_days, 0) AS INTEGER) AS tenure_days,
+       |       CAST(coalesce(datediff('day', last_order, mx.max_d), 99999)
+       |            AS INTEGER) AS days_since_last,
+       |       coalesce(datediff('day', last_order, mx.max_d), 99999) > 90
+       |         AS churned
+       |FROM customer LEFT JOIN feat ON c_custkey = o_custkey
+       |CROSS JOIN mx""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val feat = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(
+        countDistinct($"o_orderkey").as("n_orders"),
+        Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
+          .as("total_spend"),
+        (Exact.dsum($"l_extendedprice" * $"l_tax", 4) / count(lit(1)))
+          .as("avg_freight"),
+        datediff(max(to_date($"o_orderdate")), min(to_date($"o_orderdate")))
+          .as("tenure_days"),
+        max(to_date($"o_orderdate")).as("last_order"))
+    val mx = t.orders.agg(max(to_date($"o_orderdate")).as("max_d"))
+    t.customer
+      .join(feat, $"c_custkey" === $"o_custkey", "left")
+      .crossJoin(broadcast(mx))
+      .select($"c_custkey",
+        coalesce($"n_orders", lit(0)).as("n_orders"),
+        coalesce($"total_spend", lit(0.0)).as("total_spend"),
+        coalesce($"avg_freight", lit(0.0)).as("avg_freight"),
+        coalesce($"tenure_days", lit(0)).as("tenure_days"),
+        coalesce(datediff($"max_d", $"last_order"), lit(99999))
+          .as("days_since_last"),
+        (coalesce(datediff($"max_d", $"last_order"), lit(99999)) > 90)
+          .as("churned"))
+  }
+
+  /** q9f — regional revenue share via window total + rank
+    * (ref `PythonAnalysis.py:207-229`, A9/A15/O4).
+    */
+  val q9fRevenueShare: GraftQuery = GraftQuery(
+    "q9f_revenue_share",
+    s"""WITH n AS (
+       |  SELECT n_name,
+       |         CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue,
+       |         COUNT(DISTINCT o_orderkey) AS n_orders,
+       |         COUNT(DISTINCT o_custkey) AS n_customers
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1)
+       |SELECT n_name, revenue, n_orders, n_customers,
+       |       revenue / CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) OVER ()
+       |                     AS VARCHAR) AS DOUBLE) * 100 AS revenue_share_pct,
+       |       CAST(RANK() OVER (ORDER BY revenue DESC, n_name) AS INTEGER)
+       |         AS revenue_rank
+       |FROM n""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val byNation = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
+        .as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"),
+        countDistinct($"o_custkey").as("n_customers"))
+    byNation
+      .withColumn("revenue_share_pct",
+        $"revenue" / Exact.toDouble(
+          sum($"revenue".cast(DecimalType(38, 6)))
+            .over(Window.partitionBy())) * 100)
+      .withColumn("revenue_rank",
+        rank().over(Window.orderBy($"revenue".desc, $"n_name")))
+  }
+
+  /** Deterministic pseudo-coordinates from integer keys — the harness
+    * schema has no lat/lng, so both engines derive identical coords
+    * and the haversine compose (ref `PythonAnalysis.py:63-79`, F7)
+    * is exercised end-to-end on built-ins only.
+    */
+  private def latOf(k: Column): Column  = (pmod(k * 7, lit(120)) - 60) + 0.25
+  private def lngOf(k: Column): Column  = (pmod(k * 13, lit(300)) - 150) + 0.5
+  private val latSql = (k: String) => s"(((($k * 7) % 120 + 120) % 120) - 60 + 0.25)"
+  private val lngSql = (k: String) => s"(((($k * 13) % 300 + 300) % 300) - 150 + 0.5)"
+
+  private def haversine(lat1: Column, lng1: Column,
+                        lat2: Column, lng2: Column): Column = {
+    val dLat = radians(lat2 - lat1) / 2
+    val dLng = radians(lng2 - lng1) / 2
+    lit(6371.0) * 2 * asin(sqrt(
+      pow(sin(dLat), 2) +
+        cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLng), 2)))
+  }
+
+  private def haversineSql(lat1: String, lng1: String,
+                           lat2: String, lng2: String): String =
+    s"""6371.0 * 2 * asin(sqrt(
+       |  pow(sin(radians($lat2 - $lat1) / 2), 2)
+       |  + cos(radians($lat1)) * cos(radians($lat2))
+       |    * pow(sin(radians($lng2 - $lng1) / 2), 2)))""".stripMargin
+
+  /** q9g — haversine customer↔supplier distance per line, averaged per
+    * nation. Distances snap to DECIMAL(38,6) pre-aggregation so the
+    * mean is order-free.
+    */
+  val q9gHaversine: GraftQuery = GraftQuery(
+    "q9g_haversine",
+    s"""SELECT n_name,
+       |       COUNT(*) AS n_lines,
+       |       CAST(CAST(SUM(CAST(${haversineSql(
+              latSql("o_custkey"), lngSql("o_custkey"),
+              latSql("l_suppkey"), lngSql("l_suppkey"))}
+       |         AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) / COUNT(*)
+       |         AS avg_distance_km
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val dist = haversine(
+      latOf($"o_custkey"), lngOf($"o_custkey"),
+      latOf($"l_suppkey"), lngOf($"l_suppkey"))
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name")
+      .agg(count(lit(1)).as("n_lines"),
+        (Exact.dsum(dist) / count(lit(1))).as("avg_distance_km"))
+  }
+
+  /** q9h — price elasticity, closed-form log-log regression over price
+    * bands (ref `PythonAnalysis.py:332-358`, M5 as exact aggregation:
+    * slope = (nΣxy−ΣxΣy)/(nΣx²−(Σx)²), plus intercept and R²).
+    * Per-band logs snap to DECIMAL(38,9) so the tiny second-level sums
+    * are order-free.
+    */
+  val q9hElasticity: GraftQuery = GraftQuery(
+    "q9h_elasticity",
+    s"""WITH bands AS (
+       |  SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS band,
+       |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |           / COUNT(*) AS avg_price,
+       |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |           AS demand
+       |  FROM lineitem GROUP BY 1),
+       |pts AS (
+       |  SELECT CAST(ln(avg_price) AS DECIMAL(38,9)) AS x,
+       |         CAST(ln(demand) AS DECIMAL(38,9)) AS y
+       |  FROM bands WHERE avg_price > 0 AND demand > 0),
+       |m AS (
+       |  SELECT COUNT(*) AS n,
+       |         CAST(CAST(SUM(x) AS VARCHAR) AS DOUBLE) AS sx,
+       |         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+       |         CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(x AS DOUBLE)
+       |           AS DECIMAL(38,9)) ) AS VARCHAR) AS DOUBLE) AS sxx,
+       |         CAST(CAST(SUM(CAST(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)
+       |           AS DECIMAL(38,9)) ) AS VARCHAR) AS DOUBLE) AS sxy,
+       |         CAST(CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+       |           AS DECIMAL(38,9)) ) AS VARCHAR) AS DOUBLE) AS syy
+       |  FROM pts)
+       |SELECT n AS n_bands,
+       |       (n * sxy - sx * sy) / (n * sxx - sx * sx) AS elasticity_slope,
+       |       (sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx) / n
+       |         AS intercept,
+       |       pow(n * sxy - sx * sy, 2)
+       |         / ((n * sxx - sx * sx) * (n * syy - sy * sy)) AS r2
+       |FROM m""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val li = Tables(spark, dir).lineitem
+    val bands = li
+      .groupBy(floor($"l_extendedprice" / 5000).as("band"))
+      .agg(Exact.davg($"l_extendedprice").as("avg_price"),
+        Exact.dsum($"l_quantity").as("demand"))
+    val pts = bands
+      .filter($"avg_price" > 0 && $"demand" > 0)
+      .select(log($"avg_price").cast(DecimalType(38, 9)).as("x"),
+        log($"demand").cast(DecimalType(38, 9)).as("y"))
+    val m = pts.agg(
+      count(lit(1)).as("n"),
+      Exact.toDouble(sum($"x")).as("sx"),
+      Exact.toDouble(sum($"y")).as("sy"),
+      Exact.toDouble(sum(($"x".cast(DoubleType) * $"x".cast(DoubleType))
+        .cast(DecimalType(38, 9)))).as("sxx"),
+      Exact.toDouble(sum(($"x".cast(DoubleType) * $"y".cast(DoubleType))
+        .cast(DecimalType(38, 9)))).as("sxy"),
+      Exact.toDouble(sum(($"y".cast(DoubleType) * $"y".cast(DoubleType))
+        .cast(DecimalType(38, 9)))).as("syy"))
+    m.select(
+      $"n".as("n_bands"),
+      (($"n" * $"sxy" - $"sx" * $"sy") / ($"n" * $"sxx" - $"sx" * $"sx"))
+        .as("elasticity_slope"),
+      (($"sy" - ($"n" * $"sxy" - $"sx" * $"sy")
+        / ($"n" * $"sxx" - $"sx" * $"sx") * $"sx") / $"n").as("intercept"),
+      (pow($"n" * $"sxy" - $"sx" * $"sy", 2)
+        / (($"n" * $"sxx" - $"sx" * $"sx") * ($"n" * $"syy" - $"sy" * $"sy")))
+        .as("r2"))
+  }
+
+  /** q9i — prescriptive freight optimization: distance bands
+    * [0,100,300,500,1000,5000) km, −8% rate where on-time ≥ 90%
+    * (ref `PythonAnalysis.py:388-428`, A12+M7).
+    */
+  val q9iFreightOpt: GraftQuery = GraftQuery(
+    "q9i_freight_opt",
+    s"""WITH lines AS (
+       |  SELECT ${haversineSql(
+            latSql("o_custkey"), lngSql("o_custkey"),
+            latSql("l_suppkey"), lngSql("l_suppkey"))} AS dist,
+       |         l_extendedprice * l_tax AS freight,
+       |         CASE WHEN o_orderstatus = 'O' THEN NULL
+       |              WHEN date_diff('day', CAST(o_orderdate AS DATE),
+       |                             CAST(l_shipdate AS DATE)) <= 30 THEN 1.0
+       |              ELSE 0.0 END AS on_time
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+       |banded AS (
+       |  SELECT CASE WHEN dist < 100 THEN '0-100'
+       |              WHEN dist < 300 THEN '100-300'
+       |              WHEN dist < 500 THEN '300-500'
+       |              WHEN dist < 1000 THEN '500-1000'
+       |              ELSE '1000+' END AS dist_band,
+       |         dist, freight, on_time FROM lines)
+       |SELECT dist_band, COUNT(*) AS n_lines,
+       |       CAST(CAST(SUM(CAST(freight / nullif(dist, 0) AS DECIMAL(38,6)))
+       |            AS VARCHAR) AS DOUBLE) / COUNT(freight / nullif(dist, 0))
+       |         AS avg_rate_per_km,
+       |       CAST(CAST(SUM(CAST(on_time AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(on_time) AS on_time_rate,
+       |       CASE WHEN CAST(CAST(SUM(CAST(on_time AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |                 / COUNT(on_time) >= 0.90
+       |            THEN CAST(CAST(SUM(CAST(freight / nullif(dist, 0) AS DECIMAL(38,6)))
+       |                 AS VARCHAR) AS DOUBLE) / COUNT(freight / nullif(dist, 0)) * 0.92
+       |            ELSE CAST(CAST(SUM(CAST(freight / nullif(dist, 0) AS DECIMAL(38,6)))
+       |                 AS VARCHAR) AS DOUBLE) / COUNT(freight / nullif(dist, 0)) END
+       |         AS recommended_rate
+       |FROM banded GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val dist = haversine(
+      latOf($"o_custkey"), lngOf($"o_custkey"),
+      latOf($"l_suppkey"), lngOf($"l_suppkey"))
+    val delay = datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+    val onTime = when($"o_orderstatus" === "O", lit(null).cast(DoubleType))
+      .when(delay <= 30, 1.0).otherwise(0.0)
+    val lines = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .select(dist.as("dist"),
+        ($"l_extendedprice" * $"l_tax").as("freight"),
+        onTime.as("on_time"))
+    val rate = $"freight" / nullif($"dist", lit(0))
+    val banded = lines.select(
+      when($"dist" < 100, "0-100")
+        .when($"dist" < 300, "100-300")
+        .when($"dist" < 500, "300-500")
+        .when($"dist" < 1000, "500-1000")
+        .otherwise("1000+").as("dist_band"),
+      rate.as("rate"), $"on_time")
+    val onTimeRate = Exact.dsum($"on_time") / count($"on_time")
+    val avgRate   = Exact.dsum($"rate") / count($"rate")
+    banded.groupBy($"dist_band")
+      .agg(count(lit(1)).as("n_lines"),
+        avgRate.as("avg_rate_per_km"),
+        onTimeRate.as("on_time_rate"),
+        when(onTimeRate >= 0.90, avgRate * 0.92).otherwise(avgRate)
+          .as("recommended_rate"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    q9aDescriptiveStats, q9bCorrelations, q9cBinnedAgg, q9dSegmentation,
+    q9eChurnFeatures, q9fRevenueShare, q9gHaversine, q9hElasticity,
+    q9iFreightOpt)
+}
