@@ -19,7 +19,10 @@ object SparkEntry {
       graft.etl.Scd.all ++
       graft.analytics.AnalyticsQueries.all ++
       graft.analytics.MlQueries.all ++
-      graft.analytics.DaxMeasures.all
+      graft.analytics.DaxMeasures.all ++
+      graft.text.TextQueries.all ++
+      graft.text.DedupQueries.all ++
+      graft.text.SimilarityQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,40 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Vector math over `array<float>` embedding columns as ORDERED left
+  * folds (`aggregate`/`zip_with` — single codegen'd expression per
+  * row, no explode/join). A left fold fixes the IEEE addition order,
+  * so results are bitwise identical across engines (DuckDB twin:
+  * `list_reduce(list_transform(...), (acc, x) -> acc + x)`) — unlike
+  * relational SUM, whose accumulation order is nondeterministic, and
+  * unlike decimal-snapping, which rounds derived full-precision
+  * products differently per engine.
+  */
+object VectorOps {
+
+  /** dot(a, b), element-wise double product folded left-to-right. */
+  def dot(a: Column, b: Column): Column =
+    aggregate(
+      zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
+      lit(0.0), (acc, x) => acc + x)
+
+  /** squared L2 norm. */
+  def norm2(a: Column): Column = dot(a, a)
+
+  /** cosine similarity from precomputed squared norms. */
+  def cosineFrom(dotAb: Column, n2a: Column, n2b: Column): Column =
+    dotAb / (sqrt(n2a) * sqrt(n2b))
+
+  /** DuckDB twins (identical fold order). */
+  val dotSql: (String, String) => String = (a, b) =>
+    s"""list_reduce(list_transform(range(1, len($a) + 1),
+       |  i -> CAST($a[i] AS DOUBLE) * CAST($b[i] AS DOUBLE)),
+       |  (acc, x) -> acc + x)""".stripMargin
+
+  val norm2Sql: String => String = a =>
+    s"""list_reduce(list_transform($a,
+       |  x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)),
+       |  (acc, x) -> acc + x)""".stripMargin
+}

@@ -1,0 +1,248 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Exact
+import graft.queries.GraftQuery
+
+/** Deduplication family for training-data pipelines (builder contract
+  * "Deduplication"): exact hash-dedup, n-gram Jaccard, MinHash+LSH
+  * banding, SimHash, and embedding-cosine near-dup. All candidate
+  * generation is inverted-index style (shared shingle / shared band /
+  * shared bucket) — never all-pairs over the full corpus — so the
+  * plans stay shuffle-bounded by true candidate counts at 100 TB.
+  * Hash primitive is md5 (identical hex output in Spark and DuckDB);
+  * min-hash minimizes the hex string lexicographically.
+  */
+object DedupQueries {
+
+  /** Corpus with deterministically planted exact duplicates
+    * (doc_id%7==0 re-inserted at doc_id+1e6) — the raw synthetic
+    * corpus has none, and an exact-dedup operator needs positives.
+    */
+  private def corpus(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", $"text")
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"), $"text"))
+  }
+
+  private val corpusSql =
+    """SELECT doc_id, text FROM documents
+      |UNION ALL
+      |SELECT doc_id + 1000000, text FROM documents WHERE doc_id % 7 = 0""".stripMargin
+
+  /** q13a — exact dedup: group by content hash, keep min doc_id. */
+  val q13aExactDedup: GraftQuery = GraftQuery(
+    "q13a_exact_dedup",
+    s"""WITH c AS ($corpusSql)
+       |SELECT md5(text) AS text_hash, COUNT(*) AS n_copies,
+       |       MIN(doc_id) AS keep_doc_id,
+       |       COUNT(*) - 1 AS n_removed
+       |FROM c GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    corpus(Tables(spark, dir).documents)
+      .groupBy(md5($"text").as("text_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        min($"doc_id").as("keep_doc_id"),
+        (count(lit(1)) - 1).as("n_removed"))
+      .filter($"n_copies" > 1)
+  }
+
+  /** q13b — n-gram Jaccard near-dup: candidate pairs via the shingle
+    * inverted index, J = |∩|/|∪| ≥ 0.5 (the planted near-dup
+    * threshold in the corpus).
+    */
+  val q13bNgramJaccard: GraftQuery = GraftQuery(
+    "q13b_ngram_jaccard",
+    s"""WITH sh AS (${TextQueries.shinglesSql}),
+       |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
+       |inter AS (
+       |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
+       |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2)
+       |SELECT doc_a, doc_b,
+       |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+       |FROM inter
+       |JOIN sz sa ON doc_a = sa.doc_id
+       |JOIN sz sb ON doc_b = sb.doc_id
+       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val sh = TextQueries.shingles(spark, docs).cache()
+      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = sh.as("a")
+        .join(sh.as("b"),
+          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
+        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+        .agg(count(lit(1)).as("c"))
+      inter
+        .join(sz.select($"doc_id".as("da"), $"n".as("na")), $"doc_a" === $"da")
+        .join(sz.select($"doc_id".as("db"), $"n".as("nb")), $"doc_b" === $"db")
+        .select($"doc_a", $"doc_b",
+          ($"c".cast(DoubleType) / ($"na" + $"nb" - $"c")).as("jaccard"))
+        .filter($"jaccard" >= 0.5)
+  }
+
+  private val NumHashes = 8
+  private val NumBands  = 4 // rows per band = 2
+
+  /** q13c — MinHash + LSH banding: 8 min-hashes (lexicographic min of
+    * seeded md5 over shingles), 4 bands of 2 → candidate pairs share
+    * a band; estimated similarity = matching minhash fraction ≥ 0.5.
+    * The band bucket-join is the scale path: candidates are generated
+    * per-band by equality, never by corpus cross product.
+    */
+  val q13cMinhashLsh: GraftQuery = {
+    val hashAggsSql = (0 until NumHashes)
+      .map(i => s"min(md5('$i|' || sh)) AS h$i").mkString(", ")
+    val bandsSql = (0 until NumBands)
+      .map(j => s"md5(h${2 * j} || h${2 * j + 1}) AS b$j").mkString(", ")
+    val bandRowsSql = (0 until NumBands)
+      .map(j => s"SELECT doc_id, $j AS band_idx, b$j AS band_val FROM sig2")
+      .mkString("\nUNION ALL\n")
+    val matchFracSql = (0 until NumHashes)
+      .map(i => s"CASE WHEN sa.h$i = sb.h$i THEN 1 ELSE 0 END")
+      .mkString(" + ")
+    GraftQuery(
+      "q13c_minhash_lsh",
+      s"""WITH sh AS (${TextQueries.shinglesSql}),
+         |sig AS (SELECT doc_id, $hashAggsSql FROM sh GROUP BY 1),
+         |sig2 AS (SELECT *, $bandsSql FROM sig),
+         |bands AS ($bandRowsSql),
+         |cand AS (
+         |  SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+         |  FROM bands a JOIN bands b
+         |    ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+         |   AND a.doc_id < b.doc_id)
+         |SELECT doc_a, doc_b,
+         |       CAST($matchFracSql AS DOUBLE) / $NumHashes AS est_similarity
+         |FROM cand
+         |JOIN sig sa ON doc_a = sa.doc_id
+         |JOIN sig sb ON doc_b = sb.doc_id
+         |WHERE CAST($matchFracSql AS DOUBLE) / $NumHashes >= 0.5""".stripMargin) {
+      (spark, dir) =>
+        import spark.implicits._
+        val docs = Tables(spark, dir).documents
+        val sh = TextQueries.shingles(spark, docs)
+        val hashAggs = (0 until NumHashes)
+          .map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"h$i"))
+        val sig = sh.groupBy($"doc_id")
+          .agg(hashAggs.head, hashAggs.tail: _*).cache()
+        val bands = (0 until NumBands).map { j =>
+          sig.select($"doc_id", lit(j).as("band_idx"),
+            md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("band_val"))
+        }.reduce(_ unionByName _)
+        val cand = bands.as("a")
+          .join(bands.as("b"),
+            $"a.band_idx" === $"b.band_idx" &&
+              $"a.band_val" === $"b.band_val" &&
+              $"a.doc_id" < $"b.doc_id")
+          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+          .distinct()
+        val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
+        val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
+        val matchFrac = (0 until NumHashes)
+          .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
+          .reduce(_ + _).cast(DoubleType) / NumHashes
+        cand
+          .join(sa, $"doc_a" === $"a_doc_id")
+          .join(sb, $"doc_b" === $"b_doc_id")
+          .select($"doc_a", $"doc_b", matchFrac.as("est_similarity"))
+          .filter($"est_similarity" >= 0.5)
+    }
+  }
+
+  /** q13d — SimHash (16-bit) per doc + bucket sizes: per token, md5
+    * hex digits supply the bit stream; the per-bit signed majority
+    * over tokens forms the signature. Bit extraction is relational
+    * (token × bit-index rows → hash agg) so it stays a linear
+    * explode + aggregation at scale.
+    */
+  val q13dSimhash: GraftQuery = GraftQuery(
+    "q13d_simhash",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |bits AS (
+      |  SELECT doc_id, tok, b,
+      |         ((strpos('0123456789abcdef',
+      |                  substr(md5(tok), 1 + b // 4, 1)) - 1)
+      |          >> (3 - b % 4)) & 1 AS bitval
+      |  FROM toks, (SELECT unnest(range(0, 16)) AS b)),
+      |sig AS (
+      |  SELECT doc_id, b,
+      |         CASE WHEN SUM(2 * bitval - 1) > 0 THEN 1 ELSE 0 END AS bit
+      |  FROM bits GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id, CAST(SUM(bit * (1 << b)) AS BIGINT) AS simhash
+      |  FROM sig GROUP BY 1)
+      |SELECT doc_id, simhash,
+      |       COUNT(*) OVER (PARTITION BY simhash) AS bucket_size
+      |FROM sh""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val toks = docs.select($"doc_id",
+      explode(split(trim($"text"), "\\s+")).as("tok"))
+    val bitIdx = spark.range(0, 16).select($"id".cast("int").as("b"))
+    // hex digit value: conv(hexchar, 16, 10); same result as the
+    // oracle's strpos-in-alphabet — only outputs must match, not calls
+    val digit = conv(
+      substr(md5($"tok"), lit(1) + ($"b" / lit(4)).cast("int"), lit(1)),
+      16, 10).cast("int")
+    // (digit >> (3 - b%4)) & 1, in arithmetic form (shiftright takes a
+    // literal bit count in the Scala API)
+    val shift = pow(lit(2.0), lit(3) - pmod($"b", lit(4)))
+    val bits = toks.crossJoin(broadcast(bitIdx))
+      .select($"doc_id", $"b",
+        pmod((digit / shift).cast("int"), lit(2)).as("bitval"))
+    val sig = bits.groupBy($"doc_id", $"b")
+      .agg(when(sum($"bitval" * 2 - 1) > 0, 1).otherwise(0).as("bit"))
+    val sh = sig.groupBy($"doc_id")
+      .agg(sum($"bit" * pow(lit(2.0), $"b").cast(LongType))
+        .cast(LongType).as("simhash"))
+    sh.withColumn("bucket_size",
+      count(lit(1)).over(
+        org.apache.spark.sql.expressions.Window.partitionBy($"simhash")))
+  }
+
+  /** q13e — embedding-cosine near-dup: ordered-fold dot products
+    * ([[graft.functions.VectorOps]]) over the pair join, cosine ≥ 0.4.
+    * Brute-force baseline (quadratic in corpus — fine as the exactness
+    * reference); the LSH-bucketed scale path is q14b.
+    */
+  val q13eEmbedNeardup: GraftQuery = GraftQuery(
+    "q13e_embed_neardup",
+    s"""WITH v AS (
+       |  SELECT vec_id, embedding,
+       |         ${graft.functions.VectorOps.norm2Sql("embedding")} AS n2
+       |  FROM embeddings)
+       |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+       |       ${graft.functions.VectorOps.dotSql("a.embedding", "b.embedding")}
+       |         / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
+       |FROM v a JOIN v b ON a.vec_id < b.vec_id
+       |WHERE ${graft.functions.VectorOps.dotSql("a.embedding", "b.embedding")}
+       |        / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      import graft.functions.VectorOps
+      val emb = Tables(spark, dir).embeddings
+      val v = emb.select($"vec_id", $"embedding",
+        VectorOps.norm2($"embedding").as("n2"))
+      val a = v.toDF("vec_a", "emb_a", "n2_a")
+      val b = v.toDF("vec_b", "emb_b", "n2_b")
+      a.join(b, $"vec_a" < $"vec_b")
+        .select($"vec_a", $"vec_b",
+          VectorOps.cosineFrom(VectorOps.dot($"emb_a", $"emb_b"),
+            $"n2_a", $"n2_b").as("cosine"))
+        .filter($"cosine" >= 0.4)
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    q13aExactDedup, q13bNgramJaccard, q13cMinhashLsh, q13dSimhash,
+    q13eEmbedNeardup)
+}

@@ -1,0 +1,202 @@
+package graft.text
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** Text analysis for large-scale training-data pipelines over the
+  * `documents` table (builder contract "Text analysis"): token
+  * counting, quality scoring, language-ID by stopword evidence, and
+  * winnowing-style document fingerprinting. Everything is exploded
+  * relational dataflow (tokens/shingles as rows) + hash aggregation —
+  * no UDFs, no driver materialization, linear in corpus size.
+  */
+object TextQueries {
+
+  /** Word tokens, whitespace-split after trim (empty-safe). */
+  private def tokens(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    df.select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+  }
+
+  /** q12a — token counting: per-doc token totals, distinct counts,
+    * type-token ratio, average token length.
+    */
+  val q12aTokenStats: GraftQuery = GraftQuery(
+    "q12a_token_stats",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents)
+      |SELECT doc_id, COUNT(*) AS n_tokens,
+      |       COUNT(DISTINCT tok) AS n_distinct,
+      |       CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*) AS type_token_ratio,
+      |       CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS avg_token_len
+      |FROM toks GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    tokens(Tables(spark, dir).documents)
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"tok").as("n_distinct"),
+        (countDistinct($"tok").cast("double") / count(lit(1)))
+          .as("type_token_ratio"),
+        (sum(length($"tok")).cast("double") / count(lit(1)))
+          .as("avg_token_len"))
+  }
+
+  /** English-ish stopwords present in the corpus vocabulary. */
+  private val stopEn = Seq("the", "a", "and", "of", "to", "is")
+
+  /** q12b — quality scoring: length score, stopword ratio, digit
+    * ratio, short-token ratio → composite quality (ref-style
+    * heuristics: length/punct/stopword ratios).
+    */
+  val q12bQualityScore: GraftQuery = GraftQuery(
+    "q12b_quality_score",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |f AS (
+       |  SELECT doc_id, COUNT(*) AS n_tokens,
+       |         SUM(CASE WHEN tok IN (${stopEn.map("'" + _ + "'").mkString(",")})
+       |             THEN 1 ELSE 0 END) AS n_stop,
+       |         SUM(CASE WHEN length(tok) <= 2 THEN 1 ELSE 0 END) AS n_short,
+       |         SUM(CASE WHEN tok SIMILAR TO '[0-9]+' THEN 1 ELSE 0 END) AS n_digit
+       |  FROM toks GROUP BY 1)
+       |SELECT d.doc_id,
+       |       least(CAST(d.n_chars AS DOUBLE) / 200.0, 1.0) AS len_score,
+       |       CAST(f.n_stop AS DOUBLE) / f.n_tokens AS stop_ratio,
+       |       CAST(f.n_short AS DOUBLE) / f.n_tokens AS short_ratio,
+       |       CAST(f.n_digit AS DOUBLE) / f.n_tokens AS digit_ratio,
+       |       0.5 * least(CAST(d.n_chars AS DOUBLE) / 200.0, 1.0)
+       |         + 0.3 * (1.0 - CAST(f.n_short AS DOUBLE) / f.n_tokens)
+       |         + 0.2 * (1.0 - CAST(f.n_digit AS DOUBLE) / f.n_tokens)
+       |         AS quality
+       |FROM documents d JOIN f ON d.doc_id = f.doc_id""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val f = tokens(docs).groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_tokens"),
+          sum(when($"tok".isin(stopEn: _*), 1).otherwise(0)).as("n_stop"),
+          sum(when(length($"tok") <= 2, 1).otherwise(0)).as("n_short"),
+          sum(when($"tok".rlike("^[0-9]+$"), 1).otherwise(0)).as("n_digit"))
+      val lenScore   = least(docs("n_chars").cast("double") / 200.0, lit(1.0))
+      val shortRatio = $"n_short".cast("double") / $"n_tokens"
+      val digitRatio = $"n_digit".cast("double") / $"n_tokens"
+      docs.join(f, "doc_id")
+        .select($"doc_id",
+          lenScore.as("len_score"),
+          ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+          shortRatio.as("short_ratio"),
+          digitRatio.as("digit_ratio"),
+          (lenScore * 0.5 + (lit(1.0) - shortRatio) * 0.3
+            + (lit(1.0) - digitRatio) * 0.2).as("quality"))
+  }
+
+  /** Stopword-evidence table: (lang, word). The synthetic corpus
+    * shares one vocabulary across langs, so this demonstrates the
+    * operator (argmax of per-language evidence with deterministic
+    * tiebreak), not a high-accuracy classifier.
+    */
+  private val stopLists: Seq[(String, String)] = Seq(
+    "en" -> "the", "en" -> "a", "en" -> "and", "en" -> "of",
+    "es" -> "el", "es" -> "la", "es" -> "que",
+    "de" -> "der", "de" -> "und", "de" -> "das",
+    "fr" -> "le", "fr" -> "et", "fr" -> "les",
+    "zh" -> "de", "zh" -> "le")
+
+  /** q12c — language-ID: per-language stopword hit counts → argmax
+    * (hits desc, lang asc), 'unknown' when no evidence; compared
+    * against the labeled lang.
+    */
+  val q12cLangId: GraftQuery = GraftQuery(
+    "q12c_langid",
+    s"""WITH toks AS (
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  FROM documents),
+       |stop(slang, word) AS (VALUES ${stopLists
+          .map { case (l, w) => s"('$l','$w')" }.mkString(",")}),
+       |hits AS (
+       |  SELECT doc_id, slang, COUNT(*) AS n_hits
+       |  FROM toks JOIN stop ON tok = word GROUP BY 1, 2),
+       |best AS (
+       |  SELECT doc_id, slang, n_hits,
+       |         row_number() OVER (PARTITION BY doc_id
+       |           ORDER BY n_hits DESC, slang) AS rn
+       |  FROM hits)
+       |SELECT d.doc_id, d.lang AS actual_lang,
+       |       coalesce(b.slang, 'unknown') AS predicted_lang,
+       |       CAST(coalesce(b.n_hits, 0) AS BIGINT) AS evidence,
+       |       coalesce(b.slang, 'unknown') = d.lang AS correct
+       |FROM documents d
+       |LEFT JOIN (SELECT * FROM best WHERE rn = 1) b ON d.doc_id = b.doc_id""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val stop = stopLists.toDF("slang", "word")
+      val hits = tokens(docs)
+        .join(broadcast(stop), $"tok" === $"word")
+        .groupBy($"doc_id", $"slang")
+        .agg(count(lit(1)).as("n_hits"))
+      val best = hits
+        .withColumn("rn", row_number().over(
+          Window.partitionBy($"doc_id").orderBy($"n_hits".desc, $"slang")))
+        .filter($"rn" === 1)
+        .select($"doc_id".as("bdoc"), $"slang", $"n_hits")
+      docs.join(best, $"doc_id" === $"bdoc", "left")
+        .select($"doc_id", $"lang".as("actual_lang"),
+          coalesce($"slang", lit("unknown")).as("predicted_lang"),
+          coalesce($"n_hits", lit(0L)).as("evidence"),
+          (coalesce($"slang", lit("unknown")) === $"lang").as("correct"))
+  }
+
+  /** Word 3-gram shingles (distinct), shared by fingerprinting and
+    * the dedup family. Exposed for reuse.
+    */
+  def shingles(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    docs
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .select($"doc_id", explode(expr(
+        """transform(sequence(1, greatest(size(toks) - 2, 0)),
+          |  i -> concat_ws(' ', element_at(toks, i),
+          |                 element_at(toks, i + 1),
+          |                 element_at(toks, i + 2)))""".stripMargin)).as("sh"))
+      .distinct()
+  }
+
+  val shinglesSql: String =
+    """SELECT DISTINCT doc_id,
+      |       unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |      FROM documents)""".stripMargin
+
+  /** q12d — document fingerprinting: winnowing-style min-hash over
+    * shingles (lexicographic min of md5) + whole-text hash; docs
+    * shorter than one shingle fall back to the text hash.
+    */
+  val q12dFingerprint: GraftQuery = GraftQuery(
+    "q12d_fingerprint",
+    s"""WITH sh AS ($shinglesSql),
+       |fp AS (SELECT doc_id, min(md5(sh)) AS winnow_fp FROM sh GROUP BY 1)
+       |SELECT d.doc_id, md5(d.text) AS text_hash,
+       |       coalesce(fp.winnow_fp, md5(d.text)) AS winnow_fp
+       |FROM documents d LEFT JOIN fp ON d.doc_id = fp.doc_id""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val fp = shingles(spark, docs)
+        .groupBy($"doc_id").agg(min(md5($"sh")).as("winnow_fp"))
+        .withColumnRenamed("doc_id", "fdoc")
+      docs.join(fp, $"doc_id" === $"fdoc", "left")
+        .select($"doc_id", md5($"text").as("text_hash"),
+          coalesce($"winnow_fp", md5($"text")).as("winnow_fp"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q12aTokenStats, q12bQualityScore, q12cLangId, q12dFingerprint)
+}
