@@ -22,7 +22,9 @@ object SparkEntry {
       graft.analytics.DaxMeasures.all ++
       graft.text.TextQueries.all ++
       graft.text.DedupQueries.all ++
-      graft.text.SimilarityQueries.all
+      graft.text.SimilarityQueries.all ++
+      graft.streaming.EventKpis.all ++
+      graft.multimodal.Multimodal.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

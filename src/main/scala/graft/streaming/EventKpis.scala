@@ -1,0 +1,133 @@
+package graft.streaming
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.functions.Exact
+import graft.queries.GraftQuery
+
+/** Streaming extension over the `events` table (SURVEY §2.11 — the
+  * reference is batch-only, so this is the engine's Structured
+  * Streaming surface, not parity work). The SAME transform functions
+  * serve batch DataFrames (oracle-checked below) and streaming
+  * DataFrames (driven with watermark + AvailableNow in
+  * StreamingSpec): `window()` / `session_window()` are
+  * batch-streaming agnostic, which is exactly the Spark-first design.
+  *
+  * At scale: tumbling/sliding aggregation is a hash-agg keyed on
+  * (window, type) — state size bounded by watermark horizon;
+  * sessionization is gaps-and-islands (batch) / session_window +
+  * watermark (streaming), both shuffle once on user_id.
+  */
+object EventKpis {
+
+  /** Tumbling 1-hour KPIs — shared by batch + streaming paths.
+    * `exactDistinct=false` swaps countDistinct for the sketch-based
+    * approx (exact distinct is unsupported in streaming mode).
+    */
+  def tumblingKpis(events: DataFrame, exactDistinct: Boolean): DataFrame = {
+    import events.sparkSession.implicits._
+    val distinctUsers =
+      if (exactDistinct) countDistinct($"user_id")
+      else approx_count_distinct($"user_id")
+    events
+      .groupBy(window($"ts", "1 hour"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("total_value"),
+        distinctUsers.as("n_users"))
+      .select($"window.start".cast("string").as("window_start"),
+        $"event_type", $"n_events", $"total_value", $"n_users")
+  }
+
+  /** Sliding 1-hour window, 30-minute slide. */
+  def slidingKpis(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events
+      .groupBy(window($"ts", "1 hour", "30 minutes"), $"event_type")
+      .agg(count(lit(1)).as("n_events"),
+        Exact.dsum($"value").as("total_value"))
+      .select($"window.start".cast("string").as("window_start"),
+        $"event_type", $"n_events", $"total_value")
+  }
+
+  val q15aTumbling: GraftQuery = GraftQuery(
+    "q15a_event_kpis_tumbling",
+    """SELECT CAST(time_bucket(INTERVAL 1 HOUR, ts) AS VARCHAR) AS window_start,
+      |       event_type, COUNT(*) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |         AS total_value,
+      |       COUNT(DISTINCT user_id) AS n_users
+      |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    tumblingKpis(Tables(spark, dir).events, exactDistinct = true)
+  }
+
+  val q15bSliding: GraftQuery = GraftQuery(
+    "q15b_event_kpis_sliding",
+    """WITH expanded AS (
+      |  SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts)
+      |              - k.off * INTERVAL 30 MINUTE AS VARCHAR) AS window_start,
+      |         event_type, value
+      |  FROM events CROSS JOIN (VALUES (0), (1)) k(off))
+      |SELECT window_start, event_type, COUNT(*) AS n_events,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |         AS total_value
+      |FROM expanded GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    slidingKpis(Tables(spark, dir).events)
+  }
+
+  /** q15c — sessionization, batch twin (gaps-and-islands, 30-min gap):
+    * per user session count, events, and mean session duration. The
+    * streaming equivalent (session_window + watermark) is exercised
+    * in StreamingSpec against this result.
+    */
+  val q15cSessionization: GraftQuery = GraftQuery(
+    "q15c_sessionization",
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_session) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked),
+      |stats AS (
+      |  SELECT user_id, session_id, COUNT(*) AS n_events,
+      |         epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS dur_us
+      |  FROM sessions GROUP BY 1, 2)
+      |SELECT user_id, COUNT(*) AS n_sessions,
+      |       CAST(SUM(n_events) AS BIGINT) AS n_events,
+      |       CAST(SUM(dur_us) AS DOUBLE) / COUNT(*) / 1e6
+      |         AS avg_session_secs
+      |FROM stats GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val events = Tables(spark, dir).events
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    val usec = (c: org.apache.spark.sql.Column) =>
+      unix_micros(c)
+    val marked = events.withColumn("new_session",
+      when(lag($"ts", 1).over(w).isNull ||
+        usec($"ts") - usec(lag($"ts", 1).over(w)) > 1800000000L, 1)
+        .otherwise(0))
+    val sessions = marked.withColumn("session_id",
+      sum($"new_session").over(
+        Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+          .rowsBetween(Window.unboundedPreceding, 0)))
+    val stats = sessions.groupBy($"user_id", $"session_id")
+      .agg(count(lit(1)).as("n_events"),
+        (usec(max($"ts")) - usec(min($"ts"))).as("dur_us"))
+    stats.groupBy($"user_id")
+      .agg(count(lit(1)).as("n_sessions"),
+        sum($"n_events").as("n_events"),
+        (sum($"dur_us").cast("double") / count(lit(1)) / 1e6)
+          .as("avg_session_secs"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q15aTumbling, q15bSliding, q15cSessionization)
+}

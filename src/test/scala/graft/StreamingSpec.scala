@@ -1,0 +1,81 @@
+package graft
+
+import java.nio.file.{Files, Paths, StandardCopyOption}
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.Trigger
+import org.apache.spark.sql.types._
+
+import graft.streaming.{EventKpis, Sessionize}
+
+/** Drives the REAL Structured Streaming path (readStream → transform →
+  * memory sink, AvailableNow) and checks it against the batch twins —
+  * the transforms are shared, so this verifies batch/stream parity of
+  * the engine surface, not just that a query compiles.
+  */
+class StreamingSpec extends SparkTestBase {
+
+  private lazy val streamDir: String = {
+    val d = Files.createTempDirectory("graft-events")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      d.resolve("events.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    d.toString
+  }
+
+  private def streamingEvents() = {
+    import spark.implicits._
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val schema = StructType(Seq(
+      StructField("event_id", LongType), StructField("ts", LongType),
+      StructField("user_id", LongType), StructField("event_type", StringType),
+      StructField("value", DoubleType), StructField("props", StringType)))
+    spark.readStream.schema(schema).parquet(streamDir)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
+
+  test("streaming tumbling KPIs match the batch twin") {
+    import spark.implicits._
+    val q = EventKpis.tumblingKpis(
+      streamingEvents().withWatermark("ts", "1 hour"), exactDistinct = false)
+      .writeStream.format("memory").queryName("tumbling_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("tumbling_test")
+      .select($"window_start", $"event_type", $"n_events", $"total_value")
+    val batch = EventKpis.tumblingKpis(
+      Tables(spark, sfDir).events, exactDistinct = false)
+      .select($"window_start", $"event_type", $"n_events", $"total_value")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "streaming result differs from batch twin")
+  }
+
+  test("flatMapGroupsWithState sessionization closes sessions correctly") {
+    import spark.implicits._
+    val q = Sessionize.sessionize(Sessionize.prepare(streamingEvents()))
+      .writeStream.format("memory").queryName("sessions_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val emitted = spark.table("sessions_test").as[Sessionize.Session]
+      .collect()
+    assert(emitted.nonEmpty, "no sessions emitted")
+    // session invariants: positive counts, start<=end, gap respected
+    emitted.foreach { s =>
+      assert(s.n_events >= 1 && s.start_us <= s.end_us)
+    }
+    // no overlapping sessions per user, and gaps between consecutive
+    // sessions exceed the 30-minute threshold
+    emitted.groupBy(_.user_id).foreach { case (_, ss) =>
+      ss.sortBy(_.start_us).sliding(2).foreach {
+        case Array(a, b) =>
+          assert(b.start_us - a.end_us > Sessionize.GapMicros)
+        case _ =>
+      }
+    }
+    // emitted (closed) sessions never exceed the batch twin's total
+    val batchTotal = EventKpis.q15cSessionization.fn(spark, sfDir)
+      .agg(sum($"n_sessions")).head.getLong(0)
+    assert(emitted.length <= batchTotal)
+  }
+}
