@@ -10,6 +10,9 @@ object Bench {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    // Warm up codegen/JIT + file listing so the first measured query
+    // isn't charged JVM startup cost.
+    SparkEntry.queries("q1a_yoy_growth")(spark, sfDir).count()
     // Headline set: the 10 reference analytical queries — stable
     // round-over-round so BENCH_r{N} totals stay comparable. The
     // wider registry is exercised by the sf0.01 correctness gate.

@@ -291,21 +291,24 @@ object AnalyticalQueries {
       import spark.implicits._
       val t  = Tables(spark, dir)
       val li = t.lineitem
-      val popular = li.groupBy($"l_partkey")
-        .agg(countDistinct($"l_orderkey").as("n_ord"))
-        .filter($"n_ord" >= 3).select($"l_partkey")
-      val returned = li.groupBy($"l_partkey")
-        .agg(count(when($"l_returnflag" === "R", 1)).cast(DoubleType)
-          .divide(count(lit(1))).as("ret_rate"))
-        .filter($"ret_rate" > 0.3).select($"l_partkey")
+      // popular ∧ returned fused into ONE aggregation: a single
+      // lineitem scan + one shuffle computes both the distinct-order
+      // count and the return rate per part (the oracle's two CTEs are
+      // semantically the conjunction)
+      val popularReturned = li.groupBy($"l_partkey")
+        .agg(countDistinct($"l_orderkey").as("n_ord"),
+          count(when($"l_returnflag" === "R", 1)).cast(DoubleType)
+            .divide(count(lit(1))).as("ret_rate"))
+        .filter($"n_ord" >= 3 && $"ret_rate" > 0.3)
+        .select($"l_partkey")
       val building = li
         .join(t.orders, $"l_orderkey" === $"o_orderkey")
         .join(broadcast(t.customer.filter($"c_mktsegment" === "BUILDING")),
           $"o_custkey" === $"c_custkey")
         .select($"l_partkey").distinct()
       t.part
-        .join(popular, $"p_partkey" === popular("l_partkey"), "left_semi")
-        .join(returned, $"p_partkey" === returned("l_partkey"), "left_semi")
+        .join(popularReturned, $"p_partkey" === popularReturned("l_partkey"),
+          "left_semi")
         .join(building, $"p_partkey" === building("l_partkey"), "left_semi")
         .select($"p_partkey", $"p_name", $"p_brand")
   }
