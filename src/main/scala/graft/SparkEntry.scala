@@ -24,7 +24,8 @@ object SparkEntry {
       graft.text.DedupQueries.all ++
       graft.text.SimilarityQueries.all ++
       graft.streaming.EventKpis.all ++
-      graft.multimodal.Multimodal.all
+      graft.multimodal.Multimodal.all ++
+      graft.sources.Sources.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,103 @@
+package graft.sources
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** Source/sink surface (SURVEY §2.1): schema-declared CSV ingestion
+  * with error capture (S1 + S6), semi-structured JSON column parsing,
+  * and the physical-layout writers the 100 TB story depends on —
+  * date-partitioned parquet (partition pruning) and bucketed tables
+  * (co-located joins with no shuffle). Writers are exercised in
+  * SourcesSpec, where the bucketed-join plan is asserted Exchange-free.
+  */
+object Sources {
+
+  /** Schema-declared CSV read, mirroring Kettle CsvInput's contract
+    * (explicit column types, header, quote enclosure, UTF-8 — e.g.
+    * `ETL/ETL for delivery.ktr:562-680`): PERMISSIVE mode captures
+    * malformed rows in `_corrupt_record` instead of failing the load,
+    * which is the source-side analog of the reference's error sink.
+    */
+  def csv(spark: SparkSession, path: String, schema: StructType): DataFrame =
+    spark.read
+      .schema(schema.add("_corrupt_record", StringType))
+      .option("header", "true")
+      .option("quote", "\"")
+      .option("encoding", "UTF-8")
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .csv(path)
+
+  /** Date-partitioned parquet: partition pruning at read time is the
+    * index substitute at 100 TB (SURVEY §4).
+    */
+  def writePartitioned(df: DataFrame, path: String,
+                       partitionCols: Seq[String]): Unit =
+    df.write.mode("overwrite")
+      .partitionBy(partitionCols: _*)
+      .parquet(path)
+
+  /** Bucketed table: both sides bucketed on the join key → sort-merge
+    * join with NO exchange (asserted in SourcesSpec). The plain-
+    * parquet co-location strategy for repeated fact⋈fact joins.
+    */
+  def writeBucketed(df: DataFrame, table: String, bucketCol: String,
+                    numBuckets: Int): Unit =
+    df.write.mode("overwrite")
+      .bucketBy(numBuckets, bucketCol)
+      .sortBy(bucketCol)
+      .saveAsTable(table)
+
+  /** q17a — semi-structured JSON column parse: events.props →
+    * typed field + aggregation (get_json_object / from_json).
+    */
+  val q17aJsonProps: GraftQuery = GraftQuery(
+    "q17a_json_props",
+    """SELECT event_type,
+      |       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+      |         AS k_bucket,
+      |       COUNT(*) AS n,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |         AS total_value
+      |FROM events
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val events = Tables(spark, dir).events
+    events
+      .select($"event_type",
+        (get_json_object($"props", "$.k").cast(IntegerType) % 10)
+          .as("k_bucket"),
+        $"value")
+      .groupBy($"event_type", $"k_bucket")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.Exact.dsum($"value").as("total_value"))
+  }
+
+  /** q17b — schema-declared CSV round trip: a deterministic slice of
+    * lineitem written to CSV and read back through [[csv]] (rows-only
+    * check; the oracle tables are parquet, not this CSV).
+    */
+  val q17bCsvRoundtrip: GraftQuery = GraftQuery.noOracle("q17b_csv_roundtrip") {
+    (spark, dir) =>
+      import spark.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-csv").toString
+      val slice = Tables(spark, dir).lineitem
+        .filter($"l_orderkey" % 100 === 0)
+        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+          $"l_returnflag")
+      slice.write.mode("overwrite").option("header", "true").csv(out)
+      val schema = StructType(Seq(
+        StructField("l_orderkey", LongType),
+        StructField("l_linenumber", IntegerType),
+        StructField("l_quantity", DoubleType),
+        StructField("l_returnflag", StringType)))
+      csv(spark, out, schema).drop("_corrupt_record")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q17aJsonProps, q17bCsvRoundtrip)
+}

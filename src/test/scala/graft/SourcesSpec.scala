@@ -1,0 +1,86 @@
+package graft
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.Sources
+
+class SourcesSpec extends SparkTestBase {
+
+  test("csv source: declared schema, quoted fields, corrupt-row capture") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-csvspec").toString
+    Files.writeString(java.nio.file.Paths.get(s"$dir/in.csv"),
+      """id,name,amount
+        |1,"alpha, quoted",10.5
+        |2,beta,20.0
+        |oops,not_a_number,xyz
+        |""".stripMargin)
+    val schema = StructType(Seq(
+      StructField("id", IntegerType),
+      StructField("name", StringType),
+      StructField("amount", DoubleType)))
+    val df = Sources.csv(spark, dir, schema).cache()
+    assert(df.count() == 3)
+    // quoted comma survives enclosure handling
+    assert(df.filter($"name" === "alpha, quoted").count() == 1)
+    // malformed row lands in _corrupt_record, not an exception
+    val corrupt = df.filter($"_corrupt_record".isNotNull)
+    assert(corrupt.count() == 1)
+    assert(corrupt.select($"id").head.isNullAt(0))
+    df.unpersist()
+  }
+
+  test("partitioned write prunes partitions at read time") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-part").toString
+    val orders = Tables(spark, sfDir).orders
+      .withColumn("o_year", year($"o_orderdate"))
+    Sources.writePartitioned(orders, dir, Seq("o_year"))
+    val read = spark.read.parquet(dir).filter($"o_year" === 1995)
+    assert(read.count() ==
+      orders.filter($"o_year" === 1995).count())
+    // pruning visible in the executed scan: the partition filter is
+    // applied at the source, not as a post-scan Filter
+    val scan = read.queryExecution.executedPlan.collectLeaves().head
+    val scanStr = scan.toString
+    assert(scanStr.contains("PartitionFilters") &&
+      scanStr.contains("o_year"),
+      s"no partition filter in scan:\n$scanStr")
+  }
+
+  test("bucketed join plans without a shuffle exchange") {
+    import spark.implicits._
+    spark.sql("DROP TABLE IF EXISTS li_b")
+    spark.sql("DROP TABLE IF EXISTS ord_b")
+    // a previously aborted run can leave the managed location behind
+    Seq("li_b", "ord_b").foreach { t =>
+      val loc = java.nio.file.Paths.get(s"spark-warehouse/$t")
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists)
+      }
+    }
+    Sources.writeBucketed(
+      Tables(spark, sfDir).lineitem.select($"l_orderkey", $"l_extendedprice"),
+      "li_b", "l_orderkey", 8)
+    Sources.writeBucketed(
+      Tables(spark, sfDir).orders.select($"o_orderkey", $"o_orderstatus"),
+      "ord_b", "o_orderkey", 8)
+    // disable broadcast so the join must pick SMJ — the point is that
+    // bucketing removes the Exchange, not that the tables are small
+    val prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val joined = spark.table("li_b")
+        .join(spark.table("ord_b"), $"l_orderkey" === $"o_orderkey")
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(!plan.contains("Exchange"),
+        s"bucketed join still shuffles:\n$plan")
+      assert(joined.count() == Tables(spark, sfDir).lineitem.count())
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+  }
+}
