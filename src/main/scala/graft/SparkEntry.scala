@@ -17,6 +17,7 @@ object SparkEntry {
       Seq(graft.etl.DimTime.query) ++
       graft.etl.EtlQueries.all ++
       graft.etl.Scd.all ++
+      graft.etl.Warehouse.all ++
       graft.analytics.AnalyticsQueries.all ++
       graft.analytics.MlQueries.all ++
       graft.analytics.DaxMeasures.all ++

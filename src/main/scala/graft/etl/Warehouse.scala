@@ -1,0 +1,142 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** End-to-end star-schema build (SURVEY §7 step 4): the reference's
+  * eleven Kettle transformations as pure `(sources…) => DataFrame`
+  * functions over the harness tables, wired into one warehouse
+  * handle. Patterns per dimension:
+  *
+  *  - surrogate keys: deterministic `row_number()` over the natural
+  *    order (Kettle `Sequence`, D3) — window on a broadcast-scale dim
+  *    is fine; facts NEVER take a window over fact-cardinality data
+  *    (keys come from joins against the dims).
+  *  - SCD2 columns initialized as the reference's initial load
+  *    (effective_from 2016-01-01, effective_to 2099-12-31, version 1 —
+  *    `ETL for seller with scd2.ktr:523-570`); incremental maintenance
+  *    is [[Scd.scd2Rebuild]].
+  *  - OR-chain keep-filter (P3, review comments) and AND-chain
+  *    error-sink (P2) both appear in the builders.
+  */
+object Warehouse {
+
+  /** dim_customer analog: customer + nation/region names, SCD2 cols. */
+  def dimCustomer(t: Tables): DataFrame = {
+    val c = t.customer
+    import c.sparkSession.implicits._
+    val base = c
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey", "left")
+      .join(broadcast(t.region), $"n_regionkey" === $"r_regionkey", "left")
+      .select($"c_custkey".as("customer_id"), $"c_name".as("name"),
+        $"c_mktsegment".as("segment"), $"n_name".as("nation"),
+        $"r_name".as("region"), $"c_acctbal".as("acctbal"))
+    base
+      .withColumn("customer_key",
+        row_number().over(Window.orderBy($"customer_id")))
+      .withColumn("effective_from", lit("2016-01-01"))
+      .withColumn("effective_to", lit(Scd.OpenEnd))
+      .withColumn("version", lit(1))
+  }
+
+  /** dim_product analog from part (brand = category role). */
+  def dimProduct(t: Tables): DataFrame = {
+    val p = t.part
+    import p.sparkSession.implicits._
+    p.select($"p_partkey".as("product_id"), $"p_name".as("product_name"),
+      $"p_brand".as("brand"), $"p_type".as("product_type"),
+      $"p_size".as("size"), $"p_retailprice".as("retail_price"))
+      .withColumn("product_key",
+        row_number().over(Window.orderBy($"product_id")))
+      .withColumn("effective_from", lit("2016-01-01"))
+      .withColumn("effective_to", lit(Scd.OpenEnd))
+      .withColumn("version", lit(1))
+  }
+
+  /** dim_seller analog from supplier + nation. */
+  def dimSeller(t: Tables): DataFrame = {
+    val s = t.supplier
+    import s.sparkSession.implicits._
+    s.join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey", "left")
+      .select($"s_suppkey".as("seller_id"), $"s_name".as("seller_name"),
+        $"n_name".as("nation"), $"s_acctbal".as("acctbal"))
+      .withColumn("seller_key",
+        row_number().over(Window.orderBy($"seller_id")))
+  }
+
+  /** fact_order_lines analog: the q7a star enrichment joined against
+    * the dims' surrogate keys (DBLookup → broadcast hash join, J2).
+    */
+  def factOrderLines(t: Tables): DataFrame = {
+    val li = t.lineitem
+    import li.sparkSession.implicits._
+    val cust = dimCustomer(t).select($"customer_id", $"customer_key")
+    val prod = dimProduct(t).select($"product_id", $"product_key")
+    val sell = dimSeller(t).select($"seller_id", $"seller_key")
+    li.join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(cust), $"o_custkey" === $"customer_id", "left")
+      .join(broadcast(prod), $"l_partkey" === $"product_id", "left")
+      .join(broadcast(sell), $"l_suppkey" === $"seller_id", "left")
+      .select(
+        $"l_orderkey".as("order_id"),
+        $"l_linenumber".as("order_item_id"),
+        (datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01"))) + 1)
+          .cast(IntegerType).as("time_key"),
+        $"customer_key", $"product_key", $"seller_key",
+        lit(1).as("quantity"),
+        $"l_extendedprice".as("price"),
+        ($"l_extendedprice" * $"l_tax").as("freight_value"))
+  }
+
+  /** fact_review analog from events (review_score role = value
+    * bucket), with the reference's OR-chain keep-filter (P3): keep
+    * rows where at least one payload field is present.
+    */
+  def factReview(t: Tables): DataFrame = {
+    val e = t.events
+    import e.sparkSession.implicits._
+    e.filter($"event_type".isNotNull || $"props".isNotNull)
+      .select($"event_id".as("review_id"), $"user_id".as("customer_key"),
+        (pmod($"value".cast(IntegerType), lit(5)) + 1).as("review_score"),
+        to_date($"ts").as("review_date"))
+  }
+
+  /** q18 — warehouse consistency probe (oracle-checked): the fact
+    * joined back through surrogate keys must reproduce the raw-table
+    * revenue per segment — proves key assignment is lossless.
+    */
+  val q18WarehouseBuild: GraftQuery = GraftQuery(
+    "q18_warehouse_build",
+    """WITH cust AS (
+      |  SELECT c_custkey AS customer_id, c_mktsegment AS segment,
+      |         row_number() OVER (ORDER BY c_custkey) AS customer_key
+      |  FROM customer),
+      |fol AS (
+      |  SELECT customer_key, l_extendedprice AS price
+      |  FROM lineitem
+      |  JOIN orders ON l_orderkey = o_orderkey
+      |  LEFT JOIN cust ON o_custkey = customer_id)
+      |SELECT segment,
+      |       COUNT(*) AS n_lines,
+      |       CAST(CAST(SUM(CAST(price AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |         AS revenue
+      |FROM fol JOIN cust USING (customer_key)
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cust = dimCustomer(t)
+    factOrderLines(t)
+      .join(broadcast(cust.select($"customer_key", $"segment")),
+        Seq("customer_key"))
+      .groupBy($"segment")
+      .agg(count(lit(1)).as("n_lines"),
+        graft.functions.Exact.dsum($"price").as("revenue"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q18WarehouseBuild)
+}

@@ -1,0 +1,65 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.etl.{EtlQueries, Warehouse}
+import graft.queries.AnalyticalQueries
+
+/** Physical-plan assertions — the 100 TB design claims, checked
+  * against what Catalyst actually planned (SURVEY §4): dims broadcast,
+  * filters and projections pushed into the parquet scan, whole-stage
+  * codegen covering the hot path.
+  */
+class PlanSpec extends SparkTestBase {
+
+  private def executedPlan(df: DataFrame): String =
+    df.queryExecution.executedPlan.toString
+
+  test("star enrichment broadcasts every dimension join") {
+    val plan = executedPlan(EtlQueries.q7aStarEnrich.fn(spark, sfDir))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 4,
+      s"expected >=4 broadcast dim joins, got $broadcasts:\n$plan")
+    // the single fact-fact join may itself broadcast at this tiny SF;
+    // what must NOT happen is a dim reaching a shuffle join
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("filter pushdown reaches the parquet scan") {
+    import spark.implicits._
+    val df = Tables(spark, sfDir).lineitem
+      .filter($"l_shipdate" > "1995-01-01" && $"l_discount" > 0.05)
+      .select($"l_orderkey", $"l_discount")
+    val scan = df.queryExecution.executedPlan.collectLeaves().collectFirst {
+      case s: org.apache.spark.sql.execution.FileSourceScanExec => s
+    }.get
+    val pushed = scan.metadata("PushedFilters")
+    assert(pushed.contains("GreaterThan(l_discount,0.05)") &&
+      pushed.contains("GreaterThan(l_shipdate"),
+      s"filters not pushed: $pushed")
+    // column pruning: scan schema must carry only the referenced cols
+    val readSchema = scan.metadata("ReadSchema")
+    assert(!readSchema.contains("l_returnflag") &&
+      !readSchema.contains("l_extendedprice"),
+      s"scan reads unpruned columns: $readSchema")
+  }
+
+  test("headline aggregation runs inside whole-stage codegen") {
+    val df = AnalyticalQueries.q1aYoyGrowth.fn(spark, sfDir)
+    df.collect() // materialize THIS plan so AQE finalizes it
+                 // (count() would plan a separate query)
+    val plan = executedPlan(df)
+    // codegen stages render as "*(n)" in simpleString
+    val codegenStages = "\\*\\(\\d+\\)".r.findAllIn(plan).toSet
+    assert(codegenStages.size >= 2,
+      s"expected multiple codegen stages in q1a plan:\n$plan")
+  }
+
+  test("warehouse fact build keeps dim lookups broadcast") {
+    val plan = executedPlan(Warehouse.factOrderLines(Tables(spark, sfDir)))
+    val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
+    assert(broadcasts >= 3,
+      s"expected >=3 broadcast key lookups, got $broadcasts:\n$plan")
+  }
+}
