@@ -134,15 +134,19 @@ object AnalyticalQueries {
        |  (year(o_orderdate)), ())""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
+    // pre-aggregate to order grain BEFORE the 4-way grouping-sets
+    // expand: the expand (and the countDistinct dedup inside it) then
+    // runs over ~4x fewer rows; revenue is additive so sum-of-sums is
+    // exact, and o_orderkey is a pre-agg key so distinctness survives
     val base = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
-      .select(
+      .groupBy(
         year($"o_orderdate").as("o_year"),
         month($"o_orderdate").as("o_month"),
         $"c_mktsegment".as("segment"),
-        revenue(t.lineitem).cast(DecimalType(38, 6)).as("rev"),
         $"o_orderkey")
+      .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev"))
     base
       .groupingSets(
         Seq(Seq($"o_year", $"o_month", $"segment"),
@@ -372,13 +376,18 @@ object AnalyticalQueries {
        |LIMIT 20""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
-    t.lineitem
+    // order-grain pre-agg turns countDistinct into a plain count and
+    // shrinks the per-customer shuffle to one row per order
+    val perOrder = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey", $"o_orderkey")
+      .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev"))
+    perOrder
       .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
       .agg(
-        Exact.dsum(revenue(t.lineitem)).as("ltv_revenue"),
-        countDistinct($"o_orderkey").as("n_orders"))
+        Exact.toDouble(sum($"rev")).as("ltv_revenue"),
+        count(lit(1)).as("n_orders"))
       .orderBy($"ltv_revenue".desc, $"c_custkey")
       .limit(20)
   }
