@@ -26,7 +26,8 @@ object SparkEntry {
       graft.text.SimilarityQueries.all ++
       graft.streaming.EventKpis.all ++
       graft.multimodal.Multimodal.all ++
-      graft.sources.Sources.all
+      graft.sources.Sources.all ++
+      graft.plans.GeoQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -279,31 +279,13 @@ object AnalyticsQueries {
         rank().over(Window.orderBy($"revenue".desc, $"n_name")))
   }
 
-  /** Deterministic pseudo-coordinates from integer keys — the harness
-    * schema has no lat/lng, so both engines derive identical coords
-    * and the haversine compose (ref `PythonAnalysis.py:63-79`, F7)
-    * is exercised end-to-end on built-ins only.
-    */
-  private def latOf(k: Column): Column  = (pmod(k * 7, lit(120)) - 60) + 0.25
-  private def lngOf(k: Column): Column  = (pmod(k * 13, lit(300)) - 150) + 0.5
-  private val latSql = (k: String) => s"(((($k * 7) % 120 + 120) % 120) - 60 + 0.25)"
-  private val lngSql = (k: String) => s"(((($k * 13) % 300 + 300) % 300) - 150 + 0.5)"
-
-  private def haversine(lat1: Column, lng1: Column,
-                        lat2: Column, lng2: Column): Column = {
-    val dLat = radians(lat2 - lat1) / 2
-    val dLng = radians(lng2 - lng1) / 2
-    lit(6371.0) * 2 * asin(sqrt(
-      pow(sin(dLat), 2) +
-        cos(radians(lat1)) * cos(radians(lat2)) * pow(sin(dLng), 2)))
-  }
-
+  // coordinates + haversine shared via graft.functions.Geo (ref
+  // `PythonAnalysis.py:63-79`, F7 — built-ins only, no UDF)
+  import graft.functions.Geo.{demoLat => latOf, demoLng => lngOf,
+    demoLatSql => latSql, demoLngSql => lngSql, haversineKm => haversine}
   private def haversineSql(lat1: String, lng1: String,
                            lat2: String, lng2: String): String =
-    s"""6371.0 * 2 * asin(sqrt(
-       |  pow(sin(radians($lat2 - $lat1) / 2), 2)
-       |  + cos(radians($lat1)) * cos(radians($lat2))
-       |    * pow(sin(radians($lng2 - $lng1) / 2), 2)))""".stripMargin
+    graft.functions.Geo.haversineSql(lat1, lng1, lat2, lng2)
 
   /** q9g — haversine customer↔supplier distance per line, averaged per
     * nation. Distances snap to DECIMAL(38,6) pre-aggregation so the
