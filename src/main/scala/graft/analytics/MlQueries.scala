@@ -104,5 +104,42 @@ object MlQueries {
         ("r2", model.summary.r2)).toDF("metric", "value")
   }
 
-  val all: Seq[GraftQuery] = Seq(q9jChurnModel, q9kElasticityLr)
+  /** q9l — ROC curve points (ref `roc_curve` `PythonAnalysis.py:301-302`,
+    * M6): (fpr, tpr) per distinct score threshold from the held-out
+    * predictions, computed relationally — cumulative positives /
+    * negatives over descending score — no RDD detour, no driver math.
+    */
+  val q9lRocPoints: GraftQuery = GraftQuery.noOracle("q9l_roc_points") {
+    (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.ml.functions.vector_to_array
+      val data = withBalancedWeights(churnDataset(spark, dir))
+      val fractions = Map(0.0 -> 0.7, 1.0 -> 0.7)
+      val train = data.stat.sampleBy("label", fractions, 42L)
+      val test  = data.join(train.select($"c_custkey".as("tk")),
+        $"c_custkey" === $"tk", "left_anti")
+      val assembler = new VectorAssembler()
+        .setInputCols(FeatureCols.toArray).setOutputCol("features")
+      val model = new RandomForestClassifier()
+        .setNumTrees(200).setSeed(42L).setWeightCol("w")
+        .setLabelCol("label").setFeaturesCol("features")
+        .fit(assembler.transform(train))
+      val scored = model.transform(assembler.transform(test))
+        .select(vector_to_array($"probability")(1).as("score"), $"label")
+      val nPos = scored.filter($"label" === 1.0).count().toDouble
+      val nNeg = scored.filter($"label" === 0.0).count().toDouble
+      val w = org.apache.spark.sql.expressions.Window
+        .orderBy($"score".desc)
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      scored
+        .withColumn("cum_tp", sum(when($"label" === 1.0, 1).otherwise(0)).over(w))
+        .withColumn("cum_fp", sum(when($"label" === 0.0, 1).otherwise(0)).over(w))
+        .groupBy($"score")
+        .agg(max($"cum_tp").as("tp"), max($"cum_fp").as("fp"))
+        .select($"score".as("threshold"),
+          ($"fp" / nNeg).as("fpr"), ($"tp" / nPos).as("tpr"))
+        .orderBy($"threshold".desc)
+  }
+
+  val all: Seq[GraftQuery] = Seq(q9jChurnModel, q9kElasticityLr, q9lRocPoints)
 }
