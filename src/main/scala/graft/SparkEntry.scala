@@ -14,6 +14,7 @@ object SparkEntry {
 
   private def registry: Seq[GraftQuery] =
     AnalyticalQueries.all ++
+      OlapExtras.all ++
       Seq(graft.etl.DimTime.query) ++
       graft.etl.EtlQueries.all ++
       graft.etl.Scd.all ++

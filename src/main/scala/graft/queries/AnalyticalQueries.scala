@@ -295,14 +295,16 @@ object AnalyticalQueries {
       import spark.implicits._
       val t  = Tables(spark, dir)
       val li = t.lineitem
-      // popular ∧ returned fused into ONE aggregation: a single
-      // lineitem scan + one shuffle computes both the distinct-order
-      // count and the return rate per part (the oracle's two CTEs are
-      // semantically the conjunction)
-      val popularReturned = li.groupBy($"l_partkey")
-        .agg(countDistinct($"l_orderkey").as("n_ord"),
-          count(when($"l_returnflag" === "R", 1)).cast(DoubleType)
-            .divide(count(lit(1))).as("ret_rate"))
+      // popular ∧ returned fused into ONE two-phase aggregation: the
+      // (part, order) pre-agg replaces countDistinct's expand — phase 2
+      // counts pre-deduped orders and sums the carried line counters
+      val popularReturned = li
+        .groupBy($"l_partkey", $"l_orderkey")
+        .agg(count(when($"l_returnflag" === "R", 1)).as("n_ret"),
+          count(lit(1)).as("n_lines"))
+        .groupBy($"l_partkey")
+        .agg(count(lit(1)).as("n_ord"),
+          (sum($"n_ret").cast(DoubleType) / sum($"n_lines")).as("ret_rate"))
         .filter($"n_ord" >= 3 && $"ret_rate" > 0.3)
         .select($"l_partkey")
       val building = li

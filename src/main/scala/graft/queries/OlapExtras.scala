@@ -1,0 +1,82 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.functions.Exact
+
+/** OLAP shape operators rounding out the §2.4 family: pivot (the
+  * Power-BI matrix shape the reference renders in its dashboard) and
+  * CUBE (completing GROUPING SETS / ROLLUP). Oracle twins express
+  * pivot as portable conditional aggregation and CUBE natively.
+  */
+object OlapExtras {
+
+  private val revSql =
+    "CAST(l_extendedprice * (1.0 - l_discount) AS DECIMAL(38,6))"
+
+  private val segments =
+    Seq("AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY")
+
+  /** q20a — pivot: yearly revenue, one column per market segment. */
+  val q20aPivot: GraftQuery = GraftQuery(
+    "q20a_pivot_segments",
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |${segments.map(s =>
+          s"""       CAST(CAST(coalesce(SUM(CASE WHEN c_mktsegment = '$s'
+             |         THEN $revSql END), 0) AS VARCHAR) AS DOUBLE) AS ${s.toLowerCase}""".stripMargin)
+          .mkString(",\n")}
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |JOIN customer ON o_custkey = c_custkey
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .pivot("c_mktsegment", segments)
+      .agg(sum(Exact.revenueExpr($"l_extendedprice", $"l_discount")
+        .cast(DecimalType(38, 6))))
+      .select($"o_year" +: segments.map(s =>
+        Exact.toDouble(coalesce(col(s), lit(0).cast(DecimalType(38, 6))))
+          .as(s.toLowerCase)): _*)
+  }
+
+  /** q20b — CUBE over (year, returnflag): all four grouping
+    * combinations with GROUPING() labels.
+    */
+  val q20bCube: GraftQuery = GraftQuery(
+    "q20b_cube",
+    s"""SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+       |       l_returnflag,
+       |       CASE WHEN GROUPING(year(o_orderdate)) = 1
+       |             AND GROUPING(l_returnflag) = 1 THEN 'GRAND TOTAL'
+       |            WHEN GROUPING(year(o_orderdate)) = 1 THEN 'FLAG TOTAL'
+       |            WHEN GROUPING(l_returnflag) = 1 THEN 'YEAR TOTAL'
+       |            ELSE 'DETAIL' END AS row_type,
+       |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue
+       |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |GROUP BY CUBE (year(o_orderdate), l_returnflag)""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      t.lineitem
+        .join(t.orders, $"l_orderkey" === $"o_orderkey")
+        .select(year($"o_orderdate").as("o_year"), $"l_returnflag",
+          Exact.revenueExpr($"l_extendedprice", $"l_discount")
+            .cast(DecimalType(38, 6)).as("rev"))
+        .cube($"o_year", $"l_returnflag")
+        .agg(
+          when(grouping($"o_year") === 1 && grouping($"l_returnflag") === 1,
+            "GRAND TOTAL")
+            .when(grouping($"o_year") === 1, "FLAG TOTAL")
+            .when(grouping($"l_returnflag") === 1, "YEAR TOTAL")
+            .otherwise("DETAIL").as("row_type"),
+          Exact.toDouble(sum($"rev")).as("revenue"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q20aPivot, q20bCube)
+}

@@ -129,5 +129,42 @@ object EventKpis {
           .as("avg_session_secs"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q15aTumbling, q15bSliding, q15cSessionization)
+  /** q15d — session_window() (the built-in merging session operator,
+    * batch+streaming): 30-min-gap sessions per user with micros-exact
+    * bounds. Oracle replicates the merge with gaps-and-islands:
+    * start = min(ts), end = max(ts) + gap.
+    */
+  val q15dSessionWindow: GraftQuery = GraftQuery(
+    "q15d_session_window",
+    """WITH marked AS (
+      |  SELECT user_id, ts, event_id,
+      |         CASE WHEN lag(ts) OVER w IS NULL
+      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |              THEN 1 ELSE 0 END AS new_session
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+      |sessions AS (
+      |  SELECT user_id, ts,
+      |         SUM(new_session) OVER (PARTITION BY user_id
+      |           ORDER BY ts, event_id
+      |           ROWS UNBOUNDED PRECEDING) AS session_id
+      |  FROM marked)
+      |SELECT user_id,
+      |       epoch_us(MIN(ts)) AS session_start_us,
+      |       epoch_us(MAX(ts)) + 1800000000 AS session_end_us,
+      |       COUNT(*) AS n_events
+      |FROM sessions GROUP BY user_id, session_id""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).events
+        .groupBy(session_window($"ts", "30 minutes"), $"user_id")
+        .agg(count(lit(1)).as("n_events"))
+        .select($"user_id",
+          unix_micros($"session_window.start").as("session_start_us"),
+          unix_micros($"session_window.end").as("session_end_us"),
+          $"n_events")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q15aTumbling, q15bSliding, q15cSessionization, q15dSessionWindow)
 }
