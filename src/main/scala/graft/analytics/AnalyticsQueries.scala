@@ -455,8 +455,63 @@ object AnalyticsQueries {
           .as("recommended_rate"))
   }
 
+  /** q9m — prescriptive delivery optimization (ref
+    * `PythonAnalysis.py:516-533`, `prescriptive_delivery_optimization
+    * .csv`): per region, on-time rate and mean delay-if-late with a
+    * risk flag (< 85% on-time) and a rule-based recommendation.
+    */
+  val q9mDeliveryRisk: GraftQuery = GraftQuery(
+    "q9m_delivery_risk",
+    s"""WITH lines AS (
+       |  SELECT n_name,
+       |         CASE WHEN o_orderstatus = 'O' THEN NULL
+       |              WHEN date_diff('day', CAST(o_orderdate AS DATE),
+       |                             CAST(l_shipdate AS DATE)) <= 30 THEN 1.0
+       |              ELSE 0.0 END AS on_time,
+       |         CASE WHEN o_orderstatus <> 'O'
+       |               AND date_diff('day', CAST(o_orderdate AS DATE),
+       |                             CAST(l_shipdate AS DATE)) > 30
+       |              THEN CAST(date_diff('day', CAST(o_orderdate AS DATE),
+       |                        CAST(l_shipdate AS DATE)) AS DOUBLE) END AS delay
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey)
+       |SELECT n_name,
+       |       CAST(CAST(SUM(CAST(on_time AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(on_time) AS on_time_rate,
+       |       CAST(CAST(SUM(CAST(delay AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(delay) AS avg_delay_if_late,
+       |       CAST(CAST(SUM(CAST(on_time AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(on_time) < 0.85 AS at_risk,
+       |       CASE WHEN CAST(CAST(SUM(CAST(on_time AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+       |                 / COUNT(on_time) < 0.85
+       |            THEN 'add_carrier_capacity' ELSE 'maintain' END
+       |         AS recommendation
+       |FROM lines GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val delayDays = datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+    val onTime = when($"o_orderstatus" === "O", lit(null).cast(DoubleType))
+      .when(delayDays <= 30, 1.0).otherwise(0.0)
+    val delay = when($"o_orderstatus" =!= "O" && delayDays > 30,
+      delayDays.cast(DoubleType))
+    val lines = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .select($"n_name", onTime.as("on_time"), delay.as("delay"))
+    val rate = Exact.dsum($"on_time") / count($"on_time")
+    lines.groupBy($"n_name")
+      .agg(rate.as("on_time_rate"),
+        (Exact.dsum($"delay") / count($"delay")).as("avg_delay_if_late"),
+        (rate < 0.85).as("at_risk"),
+        when(rate < 0.85, "add_carrier_capacity").otherwise("maintain")
+          .as("recommendation"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q9aDescriptiveStats, q9bCorrelations, q9cBinnedAgg, q9dSegmentation,
     q9eChurnFeatures, q9fRevenueShare, q9gHaversine, q9hElasticity,
-    q9iFreightOpt)
+    q9iFreightOpt, q9mDeliveryRisk)
 }
