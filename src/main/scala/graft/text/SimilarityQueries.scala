@@ -142,5 +142,41 @@ object SimilarityQueries {
       .filter($"rank" <= 3)
   }
 
-  val all: Seq[GraftQuery] = Seq(q14aAnnBruteTopk, q14bAnnLsh)
+  /** q14c — IVF ANN: a spark.ml KMeans coarse quantizer (k=16,
+    * seed 42) assigns every vector to a cell; queries probe their own
+    * cell (nprobe=1) and rank candidates by exact cosine. At scale
+    * the cell assignment is a write-time partition key — each probe
+    * touches 1/k of the corpus. Statistical (k-means), so rows-only;
+    * structure asserted in TextDedupSpec.
+    */
+  val q14cAnnIvf: GraftQuery = GraftQuery.noOracle("q14c_ann_ivf") {
+    (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.ml.functions.array_to_vector
+      val v = Tables(spark, dir).embeddings
+        .select($"vec_id", $"embedding",
+          VectorOps.norm2($"embedding").as("n2"),
+          array_to_vector(transform($"embedding", _.cast("double")))
+            .as("features"))
+        .cache()
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(16).setSeed(42L).setFeaturesCol("features")
+        .fit(v)
+      val assigned = model.transform(v)
+        .select($"vec_id", $"embedding", $"n2", $"prediction".as("cell"))
+      val q = assigned.filter($"vec_id" < 50)
+        .toDF("query_id", "emb_q", "n2_q", "cell")
+      val c = assigned.toDF("cand_id", "emb_c", "n2_c", "cell")
+      val scored = q.join(c, Seq("cell"))
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id", $"cell",
+          VectorOps.cosineFrom(VectorOps.dot($"emb_q", $"emb_c"),
+            $"n2_q", $"n2_c").as("cosine"))
+      scored
+        .withColumn("rank", row_number().over(
+          Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+  }
+
+  val all: Seq[GraftQuery] = Seq(q14aAnnBruteTopk, q14bAnnLsh, q14cAnnIvf)
 }

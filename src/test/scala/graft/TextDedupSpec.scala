@@ -66,6 +66,21 @@ class TextDedupSpec extends SparkTestBase {
     res.unpersist()
   }
 
+  test("IVF ANN: ranked within-cell neighbors, valid cosine") {
+    import spark.implicits._
+    val res = SimilarityQueries.q14cAnnIvf.fn(spark, sfDir).cache()
+    assert(res.count() > 0)
+    assert(res.filter($"rank" > 3).count() == 0)
+    assert(res.filter(abs($"cosine") > 1.0 + 1e-9).count() == 0)
+    // within a query, ranks follow descending cosine
+    val bad = res.withColumn("prev",
+      lag($"cosine", 1).over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"query_id").orderBy($"rank")))
+      .filter($"prev".isNotNull && $"cosine" > $"prev")
+    assert(bad.count() == 0)
+    res.unpersist()
+  }
+
   test("fingerprint: identical texts share winnow_fp") {
     import spark.implicits._
     val fp = TextQueries.q12dFingerprint.fn(spark, sfDir)
