@@ -510,8 +510,51 @@ object AnalyticsQueries {
           .as("recommendation"))
   }
 
+  /** q9n — the order-grain analytic extract (ref the 116-line
+    * extraction SQL `PythonAnalysis.py:30-149`, S7): left-joined
+    * dims, haversine distance, and a FILTER-ed aggregate (A5:
+    * `MAX(x) FILTER (WHERE …)` as null-ignoring max(when)).
+    */
+  val q9nOrderExtract: GraftQuery = GraftQuery(
+    "q9n_order_extract",
+    s"""SELECT o_orderkey, o_orderstatus,
+       |       n_name AS nation,
+       |       COUNT(*) AS n_lines,
+       |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue,
+       |       CAST(CAST(SUM(CAST(l_extendedprice * l_tax AS DECIMAL(38,4)))
+       |            AS VARCHAR) AS DOUBLE) AS total_freight,
+       |       CAST(CAST(MAX(CAST(${haversineSql(
+              latSql("o_custkey"), lngSql("o_custkey"),
+              latSql("l_suppkey"), lngSql("l_suppkey"))} AS DECIMAL(38,6)))
+       |         FILTER (WHERE l_returnflag <> 'R') AS VARCHAR) AS DOUBLE)
+       |         AS max_kept_distance
+       |FROM lineitem
+       |JOIN orders ON l_orderkey = o_orderkey
+       |LEFT JOIN customer ON o_custkey = c_custkey
+       |LEFT JOIN nation ON c_nationkey = n_nationkey
+       |GROUP BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val dist = haversine(
+      latOf($"o_custkey"), lngOf($"o_custkey"),
+      latOf($"l_suppkey"), lngOf($"l_suppkey"))
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey", "left")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey", "left")
+      .groupBy($"o_orderkey", $"o_orderstatus", $"n_name".as("nation"))
+      .agg(count(lit(1)).as("n_lines"),
+        Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
+          .as("revenue"),
+        Exact.dsum($"l_extendedprice" * $"l_tax", 4).as("total_freight"),
+        // FILTER-ed aggregate: null-ignoring max over the kept rows
+        Exact.toDouble(
+          max(when($"l_returnflag" =!= "R", dist.cast(DecimalType(38, 6)))))
+          .as("max_kept_distance"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q9aDescriptiveStats, q9bCorrelations, q9cBinnedAgg, q9dSegmentation,
     q9eChurnFeatures, q9fRevenueShare, q9gHaversine, q9hElasticity,
-    q9iFreightOpt, q9mDeliveryRisk)
+    q9iFreightOpt, q9mDeliveryRisk, q9nOrderExtract)
 }

@@ -165,6 +165,42 @@ object EventKpis {
           $"n_events")
   }
 
-  val all: Seq[GraftQuery] =
-    Seq(q15aTumbling, q15bSliding, q15cSessionization, q15dSessionWindow)
+  /** Interval join shared by batch and streaming: errors within
+    * 10 minutes AFTER a click by the same user. Both time bounds are
+    * in the condition, so the same transform is a valid watermarked
+    * stream-stream join (state expires past the interval).
+    */
+  def clickErrorJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    import clicks.sparkSession.implicits._
+    clicks.alias("c").join(errors.alias("e"),
+      $"c.user_id" === $"e.user_id" &&
+        $"e.ts" >= $"c.ts" && $"e.ts" <= $"c.ts" + expr("interval 10 minutes"))
+      .select($"c.user_id".as("user_id"),
+        $"c.event_id".as("click_id"), $"e.event_id".as("error_id"))
+  }
+
+  /** q15e — interval-join batch twin: errors-after-click pairs per
+    * user. The streaming run of the same transform is in StreamingSpec.
+    */
+  val q15eIntervalJoin: GraftQuery = GraftQuery(
+    "q15e_interval_join",
+    """SELECT c.user_id, COUNT(*) AS n_pairs,
+      |       COUNT(DISTINCT c.event_id) AS n_clicks_with_error
+      |FROM events c
+      |JOIN events e ON c.user_id = e.user_id
+      | AND c.event_type = 'click' AND e.event_type = 'error'
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    clickErrorJoin(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "error"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_pairs"),
+        countDistinct($"click_id").as("n_clicks_with_error"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q15aTumbling, q15bSliding,
+    q15cSessionization, q15dSessionWindow, q15eIntervalJoin)
 }

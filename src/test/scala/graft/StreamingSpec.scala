@@ -51,6 +51,29 @@ class StreamingSpec extends SparkTestBase {
       "streaming result differs from batch twin")
   }
 
+  test("stream-stream interval join matches the batch twin") {
+    import spark.implicits._
+    val clicks = streamingEvents().filter($"event_type" === "click")
+      .withWatermark("ts", "1 hour")
+    val errors = streamingEvents().filter($"event_type" === "error")
+      .withWatermark("ts", "1 hour")
+    val q = EventKpis.clickErrorJoin(clicks, errors)
+      .writeStream.format("memory").queryName("interval_join_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("interval_join_test")
+      .select($"user_id", $"click_id", $"error_id")
+    val ev = Tables(spark, sfDir).events
+    val batch = EventKpis.clickErrorJoin(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "error"))
+      .select($"user_id", $"click_id", $"error_id")
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stream-stream join differs from batch interval join")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions correctly") {
     import spark.implicits._
     val q = Sessionize.sessionize(Sessionize.prepare(streamingEvents()))
