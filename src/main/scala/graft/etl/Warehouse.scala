@@ -106,6 +106,28 @@ object Warehouse {
         to_date($"ts").as("review_date"))
   }
 
+  /** fact_delivery from Olist-shaped order rows (`order_id, purchase_ts,
+    * delivered_ts, estimated_ts, status`) — the reference's delivery
+    * ETL semantics (SURVEY §1.3): day counts via `datediff` (equivalent
+    * to the reference's dense time-key subtraction), and THREE-VALUED
+    * on_time_delivery (`ETL for delivery.ktr:1147-1178` JS): true when
+    * delay ≤ 0, false when late, NULL when the delivery date is
+    * missing — query 5B's rate depends on the NULL case being excluded.
+    */
+  def factDelivery(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val estimated = datediff(to_date($"estimated_ts"), to_date($"purchase_ts"))
+    val actual    = datediff(to_date($"delivered_ts"), to_date($"purchase_ts"))
+    val delay     = actual - estimated
+    orders.select(
+      $"order_id", $"status".as("order_status"),
+      estimated.as("estimated_delivery_days"),
+      actual.as("actual_delivery_days"),
+      delay.as("delivery_delay_days"),
+      when($"delivered_ts".isNull, lit(null).cast(BooleanType))
+        .when(delay <= 0, true).otherwise(false).as("on_time_delivery"))
+  }
+
   /** q18 — warehouse consistency probe (oracle-checked): the fact
     * joined back through surrogate keys must reproduce the raw-table
     * revenue per segment — proves key assignment is lossless.
