@@ -78,5 +78,41 @@ object OlapExtras {
           Exact.toDouble(sum($"rev")).as("revenue"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q20aPivot, q20bCube)
+  /** q20c — calendar densify / gap-fill: every day in the data's
+    * [min, max] ship-date range appears, zero-filled where no lines
+    * shipped (`sequence` generator + left join + coalesce — the
+    * dashboard-feeding "resample" shape).
+    */
+  val q20cDensify: GraftQuery = GraftQuery(
+    "q20c_densify_days",
+    s"""WITH daily AS (
+       |  SELECT CAST(l_shipdate AS DATE) AS d, SUM($revSql) AS rev
+       |  FROM lineitem GROUP BY 1),
+       |bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+       |cal AS (
+       |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+       |    AS d
+       |  FROM bounds)
+       |SELECT CAST(cal.d AS VARCHAR) AS ship_day,
+       |       CAST(CAST(coalesce(daily.rev, 0) AS VARCHAR) AS DOUBLE)
+       |         AS revenue,
+       |       daily.rev IS NULL AS gap_filled
+       |FROM cal LEFT JOIN daily ON cal.d = daily.d""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val li = Tables(spark, dir).lineitem
+      val daily = li.groupBy(to_date($"l_shipdate").as("d"))
+        .agg(sum(Exact.revenueExpr($"l_extendedprice", $"l_discount")
+          .cast(DecimalType(38, 6))).as("rev"))
+      val bounds = daily.agg(min($"d").as("lo"), max($"d").as("hi"))
+      val cal = bounds.select(
+        explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("d"))
+      cal.join(daily, Seq("d"), "left")
+        .select($"d".cast(StringType).as("ship_day"),
+          Exact.toDouble(coalesce($"rev", lit(0).cast(DecimalType(38, 6))))
+            .as("revenue"),
+          $"rev".isNull.as("gap_filled"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q20aPivot, q20bCube, q20cDensify)
 }

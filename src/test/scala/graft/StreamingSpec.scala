@@ -74,6 +74,40 @@ class StreamingSpec extends SparkTestBase {
       "stream-stream join differs from batch interval join")
   }
 
+  test("streaming dedup-within-watermark drops replayed events") {
+    import spark.implicits._
+    // a dir with the same file twice = every event delivered twice
+    val dupDir = Files.createTempDirectory("graft-dup")
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dupDir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    Files.copy(Paths.get(s"$sfDir/events.parquet"),
+      dupDir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("event_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("ts",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("user_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("event_type",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("value",
+        org.apache.spark.sql.types.DoubleType),
+      org.apache.spark.sql.types.StructField("props",
+        org.apache.spark.sql.types.StringType)))
+    val stream = spark.readStream.schema(schema).parquet(dupDir.toString)
+      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      .withWatermark("ts", "1 hour")
+      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    val q = stream.writeStream.format("memory").queryName("dedup_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val n = spark.table("dedup_test").count()
+    val expected = Tables(spark, sfDir).events.count()
+    assert(n == expected,
+      s"dedup kept $n rows, expected $expected (duplicated input)")
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions correctly") {
     import spark.implicits._
     val q = Sessionize.sessionize(Sessionize.prepare(streamingEvents()))
