@@ -367,11 +367,16 @@ object AnalyticalQueries {
     */
   val q5aTopLtv: GraftQuery = GraftQuery(
     "q5a_top_ltv",
-    s"""SELECT c_custkey, c_name,
-       |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS ltv_revenue,
-       |       COUNT(DISTINCT o_orderkey) AS n_orders
-       |FROM lineitem
-       |JOIN orders ON l_orderkey = o_orderkey
+    s"""WITH per_order AS (
+       |  SELECT o_custkey, o_orderkey, SUM($revSql) AS rev
+       |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+       |  GROUP BY 1, 2)
+       |SELECT c_custkey, c_name,
+       |       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) AS ltv_revenue,
+       |       COUNT(*) AS n_orders,
+       |       CAST(CAST(SUM(rev) AS VARCHAR) AS DOUBLE) / COUNT(*)
+       |         AS avg_receipt_value
+       |FROM per_order
        |JOIN customer ON o_custkey = c_custkey
        |GROUP BY 1, 2
        |ORDER BY ltv_revenue DESC, c_custkey
@@ -389,7 +394,11 @@ object AnalyticalQueries {
       .groupBy($"c_custkey", $"c_name")
       .agg(
         Exact.toDouble(sum($"rev")).as("ltv_revenue"),
-        count(lit(1)).as("n_orders"))
+        count(lit(1)).as("n_orders"),
+        // ref 5A's avg_receipt_value (AVG(payment_value) analog at
+        // order grain, `TASK 2A…sql:246`)
+        (Exact.toDouble(sum($"rev")) / count(lit(1)))
+          .as("avg_receipt_value"))
       .orderBy($"ltv_revenue".desc, $"c_custkey")
       .limit(20)
   }
@@ -406,6 +415,8 @@ object AnalyticalQueries {
        |       CAST(month(o_orderdate) AS INTEGER) AS o_month,
        |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue,
        |       COUNT(DISTINCT o_orderkey) AS n_orders,
+       |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE)
+       |         / COUNT(DISTINCT o_orderkey) AS avg_order_value,
        |       CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
        |         / COUNT(*) AS avg_discount,
        |       100 * AVG(CASE
@@ -432,6 +443,10 @@ object AnalyticalQueries {
       .agg(
         Exact.dsum(revenue(t.lineitem)).as("revenue"),
         countDistinct($"o_orderkey").as("n_orders"),
+        // ref 5B's avg_order_value: AVG over order-grain revenue
+        // == monthly revenue / distinct orders (`TASK 2A…sql:276`)
+        (Exact.dsum(revenue(t.lineitem)) / countDistinct($"o_orderkey"))
+          .as("avg_order_value"),
         (Exact.toDouble(sum($"l_discount".cast(DecimalType(38, 6))))
           / count(lit(1))).as("avg_discount"),
         (avg(onTime) * 100).as("on_time_rate_pct"),
