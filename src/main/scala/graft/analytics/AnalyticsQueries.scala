@@ -69,15 +69,27 @@ object AnalyticsQueries {
     }
   }
 
-  /** q9b — correlation matrix of measures vs outcomes
-    * (ref `PythonAnalysis.py:172-177`, A11) from exact decimal moments.
+  /** q9b — correlation matrix of measures vs delivery outcomes
+    * (ref `PythonAnalysis.py:172-177`, A11: measures correlated
+    * against on_time/delay) from exact decimal moments. delay_days =
+    * ship − order date; on_time = delay ≤ 30 as 0/1.
     */
   val q9bCorrelations: GraftQuery = {
     val pairs = Seq(
       ("l_quantity", "l_extendedprice"),
       ("l_discount", "l_extendedprice"),
-      ("l_tax", "l_extendedprice"),
-      ("l_quantity", "l_discount"))
+      ("l_extendedprice", "delay_days"),
+      ("l_discount", "delay_days"),
+      ("l_quantity", "on_time"),
+      ("l_tax", "on_time"))
+    val baseSql =
+      """SELECT l_quantity, l_extendedprice, l_discount, l_tax,
+        |       CAST(date_diff('day', CAST(o_orderdate AS DATE),
+        |                      CAST(l_shipdate AS DATE)) AS DOUBLE) AS delay_days,
+        |       CAST(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
+        |                      CAST(l_shipdate AS DATE)) <= 30
+        |            THEN 1.0 ELSE 0.0 END AS DOUBLE) AS on_time
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
     def duckPair(x: String, y: String): String =
       s"""SELECT '${x}_vs_$y' AS pair, COUNT(*) AS n,
          |  (COUNT(*) * CAST(CAST(SUM(CAST($x*$y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
@@ -89,18 +101,27 @@ object AnalyticsQueries {
          |     * sqrt(COUNT(*) * CAST(CAST(SUM(CAST($y*$y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
          |            - CAST(CAST(SUM(CAST($y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          |              * CAST(CAST(SUM(CAST($y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)))
-         |    AS corr FROM lineitem""".stripMargin
+         |    AS corr FROM base""".stripMargin
     GraftQuery(
       "q9b_correlations",
-      pairs.map { case (x, y) => duckPair(x, y) }.mkString("\nUNION ALL\n")) {
+      s"WITH base AS ($baseSql)\n" +
+        pairs.map { case (x, y) => duckPair(x, y) }.mkString("\nUNION ALL\n")) {
       (spark, dir) =>
         import spark.implicits._
-        val li = Tables(spark, dir).lineitem
-        pairs.map { case (x, y) =>
-          li.agg(count(lit(1)).as("n"),
+        val t = Tables(spark, dir)
+        val delay = datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+        val base = t.lineitem
+          .join(t.orders, $"l_orderkey" === $"o_orderkey")
+          .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
+            delay.cast(DoubleType).as("delay_days"),
+            when(delay <= 30, 1.0).otherwise(0.0).as("on_time"))
+          .cache()
+        try pairs.map { case (x, y) =>
+          base.agg(count(lit(1)).as("n"),
             Exact.dcorr(col(x), col(y)).as("corr"))
             .select(lit(s"${x}_vs_$y").as("pair"), $"n", $"corr")
         }.reduce(_ unionByName _)
+        finally () // cache released with the session; tiny projection
     }
   }
 

@@ -144,6 +144,49 @@ object DaxMeasures {
         .unionByName(one("except_95_96", a.except(b)))
   }
 
+  /** q10d — KPI vs target flags (Power BI KPI visuals, report §7.1:
+    * monthly revenue / order-count targets with met/missed states).
+    * Targets are the overall monthly averages (scale-free analog of
+    * the reference's fixed R$850k / 7,000-order targets).
+    */
+  val q10dKpiTargets: GraftQuery = GraftQuery(
+    "q10d_kpi_targets",
+    """WITH monthly AS (
+      |  SELECT CAST(year(o_orderdate) AS INTEGER) AS o_year,
+      |         CAST(month(o_orderdate) AS INTEGER) AS o_month,
+      |         CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
+      |              AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE) AS revenue,
+      |         COUNT(DISTINCT o_orderkey) AS n_orders
+      |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |  GROUP BY 1, 2),
+      |targets AS (
+      |  SELECT CAST(CAST(SUM(CAST(revenue AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+      |           / COUNT(*) AS revenue_target,
+      |         CAST(CAST(SUM(CAST(n_orders AS DECIMAL(38,0))) AS VARCHAR) AS DOUBLE)
+      |           / COUNT(*) AS orders_target
+      |  FROM monthly)
+      |SELECT o_year, o_month, revenue, n_orders,
+      |       t.revenue_target, t.orders_target,
+      |       revenue >= t.revenue_target AS revenue_target_met,
+      |       n_orders >= t.orders_target AS orders_target_met
+      |FROM monthly CROSS JOIN targets t""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val monthly = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy(year($"o_orderdate").as("o_year"),
+        month($"o_orderdate").as("o_month"))
+      .agg(Exact.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+        .as("revenue"),
+        countDistinct($"o_orderkey").as("n_orders"))
+    val targets = monthly.agg(
+      (Exact.dsum($"revenue") / count(lit(1))).as("revenue_target"),
+      (Exact.dsum($"n_orders", 0) / count(lit(1))).as("orders_target"))
+    monthly.crossJoin(broadcast(targets))
+      .withColumn("revenue_target_met", $"revenue" >= $"revenue_target")
+      .withColumn("orders_target_met", $"n_orders" >= $"orders_target")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q10aRollingActive, q10bChurned, q10cWhatIf, q11SetOps)
+    Seq(q10aRollingActive, q10bChurned, q10cWhatIf, q10dKpiTargets, q11SetOps)
 }
