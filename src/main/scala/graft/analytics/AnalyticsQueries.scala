@@ -115,13 +115,12 @@ object AnalyticsQueries {
           .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
             delay.cast(DoubleType).as("delay_days"),
             when(delay <= 30, 1.0).otherwise(0.0).as("on_time"))
-          .cache()
-        try pairs.map { case (x, y) =>
+          .cache() // six aggregates share one narrow projection
+        pairs.map { case (x, y) =>
           base.agg(count(lit(1)).as("n"),
             Exact.dcorr(col(x), col(y)).as("corr"))
             .select(lit(s"${x}_vs_$y").as("pair"), $"n", $"corr")
         }.reduce(_ unionByName _)
-        finally () // cache released with the session; tiny projection
     }
   }
 

@@ -53,7 +53,11 @@ object Sessionize {
                   closed += Session(userId, s.start_us, s.last_us, s.n_events)
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1))
                 case Some(s) =>
-                  cur = Some(SessionState(s.start_us, e.ts_us, s.n_events + 1))
+                  // a late event (within watermark) from an earlier
+                  // microbatch may precede s.last_us — never move the
+                  // session end backwards, and keep start_us the min
+                  cur = Some(SessionState(math.min(s.start_us, e.ts_us),
+                    math.max(s.last_us, e.ts_us), s.n_events + 1))
                 case None =>
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1))
               }
