@@ -52,6 +52,20 @@ object Sources {
       .sortBy(bucketCol)
       .saveAsTable(table)
 
+  /** Compaction-aware write: bound file count and rows-per-file so a
+    * 100 TB table neither fragments into millions of small files nor
+    * concentrates into unsplittable monoliths. Pair with
+    * [[writePartitioned]]'s date partitioning for pruning.
+    */
+  def writeCompacted(df: DataFrame, path: String, targetFileRows: Long,
+                     approxRows: Long): Unit = {
+    val files = math.max(1, (approxRows.toDouble / targetFileRows).ceil.toInt)
+    df.repartition(files)
+      .write.mode("overwrite")
+      .option("maxRecordsPerFile", targetFileRows)
+      .parquet(path)
+  }
+
   /** q17a — semi-structured JSON column parse: events.props →
     * typed field + aggregation (get_json_object / from_json).
     */

@@ -51,6 +51,20 @@ class SourcesSpec extends SparkTestBase {
       s"no partition filter in scan:\n$scanStr")
   }
 
+  test("compacted write bounds files and rows per file") {
+    import spark.implicits._
+    val dir = Files.createTempDirectory("graft-compact").toString
+    val li = Tables(spark, sfDir).lineitem
+    val n = li.count()
+    Sources.writeCompacted(li, dir, targetFileRows = 2000, approxRows = n)
+    val read = spark.read.parquet(dir)
+    assert(read.count() == n)
+    val files = read.inputFiles.length
+    val expected = math.max(1, (n.toDouble / 2000).ceil.toInt)
+    assert(files >= expected && files <= expected + 2,
+      s"$files files for $n rows (expected ~$expected)")
+  }
+
   test("bucketed join plans without a shuffle exchange") {
     import spark.implicits._
     spark.sql("DROP TABLE IF EXISTS li_b")
