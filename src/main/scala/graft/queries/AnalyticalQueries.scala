@@ -135,9 +135,11 @@ object AnalyticalQueries {
     import spark.implicits._
     val t = Tables(spark, dir)
     // pre-aggregate to order grain BEFORE the 4-way grouping-sets
-    // expand: the expand (and the countDistinct dedup inside it) then
-    // runs over ~4x fewer rows; revenue is additive so sum-of-sums is
-    // exact, and o_orderkey is a pre-agg key so distinctness survives
+    // expand. An order has exactly ONE (year, month) and ONE segment,
+    // so at every rollup level each order contributes exactly one
+    // pre-agg row — countDistinct(o_orderkey) degenerates to a plain
+    // count(*): no distinct expansion at all (the oracle keeps
+    // COUNT(DISTINCT), which is provably equal on this data model).
     val base = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
@@ -160,7 +162,7 @@ object AnalyticalQueries {
           .when(grouping($"segment") === 1, "MONTH TOTAL")
           .otherwise("DETAIL").as("row_type"),
         Exact.toDouble(sum($"rev")).as("revenue"),
-        countDistinct($"o_orderkey").as("n_orders"))
+        count(lit(1)).as("n_orders"))
       .select("o_year", "o_month", "segment", "row_type", "revenue", "n_orders")
   }
 
