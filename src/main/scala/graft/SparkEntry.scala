@@ -28,7 +28,8 @@ object SparkEntry {
       graft.streaming.EventKpis.all ++
       graft.multimodal.Multimodal.all ++
       graft.sources.Sources.all ++
-      graft.plans.GeoQueries.all
+      graft.plans.GeoQueries.all ++
+      graft.operators.AsofJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -151,5 +151,49 @@ object Scd {
       scd1Upsert(current, incoming, Seq("c_custkey"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q8aScd2Rebuild, q8bScd1Upsert)
+  /** Point-in-time lookup over an SCD2 dimension: the version valid
+    * at `probe` (effective_from ≤ probe < effective_to). With few
+    * versions per key this is a key-join + filter — no range join.
+    */
+  def pointInTime(scd2: DataFrame, probe: org.apache.spark.sql.Column): DataFrame =
+    scd2.filter(col("effective_from") <= probe && probe < col("effective_to"))
+
+  private val probeDates = Seq("2020-03-01", "2020-09-01", "2021-06-01")
+
+  val q8cScd2PointInTime: GraftQuery = GraftQuery(
+    "q8c_scd2_pointintime",
+    s"""WITH snaps AS ($snapshotSql),
+       |changes AS (
+       |  SELECT c_custkey, bal, snap,
+       |         lag(snap) OVER w IS NULL
+       |           OR bal IS DISTINCT FROM lag(bal) OVER w AS keep
+       |  FROM snaps
+       |  WINDOW w AS (PARTITION BY c_custkey ORDER BY snap)),
+       |scd AS (
+       |  SELECT c_custkey, bal,
+       |         CAST(row_number() OVER w2 AS INTEGER) AS version,
+       |         snap AS effective_from,
+       |         coalesce(lead(snap) OVER w2, '$OpenEnd') AS effective_to
+       |  FROM changes WHERE keep
+       |  WINDOW w2 AS (PARTITION BY c_custkey ORDER BY snap))
+       |SELECT p.probe_date, s.c_custkey, s.bal, s.version
+       |FROM scd s
+       |CROSS JOIN (VALUES ${probeDates.map("('" + _ + "')").mkString(",")})
+       |  p(probe_date)
+       |WHERE s.effective_from <= p.probe_date
+       |  AND p.probe_date < s.effective_to""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val scd = scd2Rebuild(snapshots(Tables(spark, dir)),
+      naturalKey = Seq("c_custkey"), tracked = Seq("bal"), snapCol = "snap")
+    val probes = probeDates.toDF("probe_date")
+    // ISO strings compare chronologically; each probe selects exactly
+    // one version per key
+    scd.crossJoin(broadcast(probes))
+      .filter($"effective_from" <= $"probe_date" &&
+        $"probe_date" < $"effective_to")
+      .select($"probe_date", $"c_custkey", $"bal", $"version")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q8aScd2Rebuild, q8bScd1Upsert, q8cScd2PointInTime)
 }

@@ -114,5 +114,32 @@ object OlapExtras {
           $"rev".isNull.as("gap_filled"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q20aPivot, q20bCube, q20cDensify)
+  /** q20d — unpivot/melt: the four lineitem measures to long form
+    * (`Dataset.unpivot`, the inverse of q20a's pivot), re-aggregated
+    * per measure. Oracle expresses the melt as UNION ALL.
+    */
+  val q20dUnpivot: GraftQuery = {
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    GraftQuery(
+      "q20d_unpivot_measures",
+      measures.map(m =>
+        s"""SELECT '$m' AS measure, COUNT(*) AS n,
+           |  CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+           |    AS total
+           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")) {
+      (spark, dir) =>
+        import spark.implicits._
+        Tables(spark, dir).lineitem
+          .unpivot(
+            ids = Array(col("l_orderkey"), col("l_linenumber")),
+            values = measures.map(col).toArray,
+            variableColumnName = "measure",
+            valueColumnName = "value")
+          .groupBy($"measure")
+          .agg(count(lit(1)).as("n"), Exact.dsum($"value").as("total"))
+    }
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot)
 }
