@@ -1,0 +1,36 @@
+package graft
+
+import java.sql.Timestamp
+
+import graft.operators.AsofJoin
+
+class AsofJoinSpec extends SparkTestBase {
+
+  private def ts(s: String) = Timestamp.valueOf(s)
+
+  test("asof backward: latest-before match, ties inclusive, null before first") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"), // before any right → null
+      (1L, ts("2024-01-01 12:00:00"), "e2"), // ties with r2 → r2 (inclusive)
+      (1L, ts("2024-01-01 13:30:00"), "e3"), // after r2 → r2
+      (2L, ts("2024-01-01 12:00:00"), "e4")  // other key, only r3 visible
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 200L),
+      (2L, ts("2024-01-01 11:59:59"), 300L)
+    ).toDF("user_id", "ts", "rid")
+
+    val out = AsofJoin.asofBackward(left, right,
+      keys = Seq("user_id"), tsCol = "ts", carryCols = Seq("rid"))
+      .select($"tag", $"asof_rid").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    assert(out("e1").isEmpty, "match before any right row must be null")
+    assert(out("e2").contains(200L), "equal timestamps must match (inclusive)")
+    assert(out("e3").contains(200L))
+    assert(out("e4").contains(300L), "keys must not leak across partitions")
+  }
+}
