@@ -26,15 +26,9 @@ class StreamingUpsertSpec extends SparkTestBase {
       .withColumn("was_updated", lit(false))
       .write.mode(SaveMode.Overwrite).parquet(dimDir)
 
-    // streamed updates: change k=2, insert k=9 (two files → the
-    // AvailableNow run may split them into micro-batches)
-    val updDir = Files.createTempDirectory("graft-upd")
-    Seq((2L, 99.0)).toDF("k", "bal").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(updDir.resolve("u1").toString)
-    Seq((9L, 1.0)).toDF("k", "bal").coalesce(1)
-      .write.mode(SaveMode.Overwrite).parquet(updDir.resolve("u2").toString)
-    val updTop = Files.createTempDirectory("graft-updflat")
-    // flatten: file source wants one directory of files
+    // streamed updates: change k=2, insert k=9 (two files so the
+    // AvailableNow run can split them into micro-batches)
+    val updTop = Files.createTempDirectory("graft-upd")
     Seq((2L, 99.0), (9L, 1.0)).toDF("k", "bal")
       .repartition(2)
       .write.mode(SaveMode.Overwrite).parquet(updTop.toString)
