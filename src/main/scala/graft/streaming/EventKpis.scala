@@ -132,14 +132,17 @@ object EventKpis {
   /** q15d — session_window() (the built-in merging session operator,
     * batch+streaming): 30-min-gap sessions per user with micros-exact
     * bounds. Oracle replicates the merge with gaps-and-islands:
-    * start = min(ts), end = max(ts) + gap.
+    * start = min(ts), end = max(ts) + gap. The boundary test is >=
+    * (not >): session_window merges on [start, start+gap) OVERLAP, so
+    * an event exactly `gap` after the previous one opens a NEW
+    * session — unlike q15c's strict-gap islands definition.
     */
   val q15dSessionWindow: GraftQuery = GraftQuery(
     "q15d_session_window",
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),

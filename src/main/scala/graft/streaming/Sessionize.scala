@@ -45,17 +45,43 @@ object Sessionize {
             out.iterator
           } else {
             val sorted = batch.toSeq.sortBy(_.ts_us)
-            var cur = state.getOption
             val closed = Seq.newBuilder[Session]
-            sorted.foreach { e =>
+            // Late in-watermark events that precede the live session's
+            // start by MORE than the gap can never merge with it (the
+            // batch gaps-and-islands twin would put a session boundary
+            // there). Sessionize that prefix separately and emit it
+            // closed, instead of dragging start_us backwards across a
+            // gap — which would overlap sessions already emitted.
+            val (late, mergeable) = state.getOption match {
+              case Some(s) => sorted.partition(_.ts_us < s.start_us - GapMicros)
+              case None    => (Seq.empty[Event], sorted)
+            }
+            var lateCur: Option[SessionState] = None
+            late.foreach { e =>
+              lateCur match {
+                case Some(s) if e.ts_us - s.last_us > GapMicros =>
+                  closed += Session(userId, s.start_us, s.last_us, s.n_events)
+                  lateCur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                case Some(s) =>
+                  lateCur = Some(SessionState(s.start_us,
+                    math.max(s.last_us, e.ts_us), s.n_events + 1))
+                case None =>
+                  lateCur = Some(SessionState(e.ts_us, e.ts_us, 1))
+              }
+            }
+            lateCur.foreach(s =>
+              closed += Session(userId, s.start_us, s.last_us, s.n_events))
+            var cur = state.getOption
+            mergeable.foreach { e =>
               cur match {
                 case Some(s) if e.ts_us - s.last_us > GapMicros =>
                   closed += Session(userId, s.start_us, s.last_us, s.n_events)
                   cur = Some(SessionState(e.ts_us, e.ts_us, 1))
                 case Some(s) =>
                   // a late event (within watermark) from an earlier
-                  // microbatch may precede s.last_us — never move the
-                  // session end backwards, and keep start_us the min
+                  // microbatch may precede s.last_us by at most the
+                  // gap — merging (start_us = min) matches the batch
+                  // twin; never move the session end backwards
                   cur = Some(SessionState(math.min(s.start_us, e.ts_us),
                     math.max(s.last_us, e.ts_us), s.n_events + 1))
                 case None =>

@@ -158,13 +158,19 @@ object TextQueries {
     */
   def shingles(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    // Docs shorter than one shingle (< 3 tokens) yield no shingles.
+    // The guard matters: sequence(1, 0) counts DOWN ([1, 0]) because
+    // the step defaults to -1 when start > stop, and element_at(_, 0)
+    // throws — so short docs must never reach the generator.
     docs
       .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
       .select($"doc_id", explode(expr(
-        """transform(sequence(1, greatest(size(toks) - 2, 0)),
-          |  i -> concat_ws(' ', element_at(toks, i),
-          |                 element_at(toks, i + 1),
-          |                 element_at(toks, i + 2)))""".stripMargin)).as("sh"))
+        """CASE WHEN size(toks) >= 3 THEN
+          |  transform(sequence(1, size(toks) - 2),
+          |    i -> concat_ws(' ', element_at(toks, i),
+          |                   element_at(toks, i + 1),
+          |                   element_at(toks, i + 2)))
+          |ELSE CAST(array() AS array<string>) END""".stripMargin)).as("sh"))
       .distinct()
   }
 

@@ -19,6 +19,18 @@ class SaltSpec extends SparkTestBase {
       salted.exceptAll(direct).count() == 0)
   }
 
+  test("salted join rejects right/full join types") {
+    import spark.implicits._
+    val a = Seq((1L, "x")).toDF("k", "v")
+    val b = Seq((1L, "y")).toDF("k", "w")
+    intercept[IllegalArgumentException] {
+      Salt.saltedJoin(a, b, Seq("k"), n = 4, joinType = "right")
+    }
+    intercept[IllegalArgumentException] {
+      Salt.saltedJoin(a, b, Seq("k"), n = 4, joinType = "full_outer")
+    }
+  }
+
   test("salted join equals the plain join") {
     import spark.implicits._
     val li = Tables(spark, sfDir).lineitem

@@ -108,6 +108,41 @@ class StreamingSpec extends SparkTestBase {
       s"dedup kept $n rows, expected $expected (duplicated input)")
   }
 
+  test("late in-watermark event beyond the gap opens its own session") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val events = Sessionize.prepare(mem.toDF().toDF("user_id", "ts"))
+    val q = Sessionize.sessionize(events)
+      .writeStream.format("memory").queryName("late_sessions")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    try {
+      mem.addData((1L, at(0)))   // live session opens at 12:00
+      q.processAllAvailable()
+      // 11:10 is inside the 1h watermark but 50min (> 30min gap)
+      // BEFORE the live session's start: must NOT merge backwards
+      mem.addData((1L, at(-50)))
+      q.processAllAvailable()
+      mem.addData((1L, at(120))) // push watermark → close 12:00 session
+      q.processAllAvailable()
+      val emitted = spark.table("late_sessions").as[Sessionize.Session]
+        .collect().sortBy(_.start_us)
+      assert(emitted.length >= 2,
+        s"expected the late event and the 12:00 session emitted, got ${emitted.toSeq}")
+      val late = emitted.head
+      assert(late.start_us == late.end_us && late.n_events == 1,
+        s"late event should be its own single-event session, got $late")
+      val main = emitted(1)
+      assert(main.n_events == 1 &&
+        main.start_us == java.util.concurrent.TimeUnit.MILLISECONDS
+          .toMicros(at(0).getTime),
+        s"12:00 session must not be dragged backwards, got $main")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions correctly") {
     import spark.implicits._
     val q = Sessionize.sessionize(Sessionize.prepare(streamingEvents()))

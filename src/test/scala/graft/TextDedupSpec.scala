@@ -81,6 +81,17 @@ class TextDedupSpec extends SparkTestBase {
     res.unpersist()
   }
 
+  test("shingles: docs with fewer than 3 tokens yield none, no crash") {
+    import spark.implicits._
+    val docs = Seq((1L, "one"), (2L, "one two"), (3L, "one two three"),
+      (4L, "  "), (5L, "a b c d")).toDF("doc_id", "text")
+    val sh = TextQueries.shingles(spark, docs).collect()
+    assert(!sh.exists(r => r.getLong(0) <= 2L),
+      "sub-shingle docs must produce no shingles")
+    assert(sh.count(_.getLong(0) == 3L) == 1)
+    assert(sh.count(_.getLong(0) == 5L) == 2)
+  }
+
   test("fingerprint: identical texts share winnow_fp") {
     import spark.implicits._
     val fp = TextQueries.q12dFingerprint.fn(spark, sfDir)
