@@ -69,27 +69,66 @@ object AnalyticsQueries {
     }
   }
 
-  /** q9b — correlation matrix of measures vs delivery outcomes
-    * (ref `PythonAnalysis.py:172-177`, A11: measures correlated
-    * against on_time/delay) from exact decimal moments. delay_days =
-    * ship − order date; on_time = delay ≤ 30 as 0/1.
+  /** q9a scale path — exact `percentile` is a TypedImperativeAggregate
+    * that buffers EVERY value in one aggregation buffer: OOM at 100 TB.
+    * This twin swaps in `percentile_approx` (Greenwald-Khanna sketch:
+    * bounded memory, map-side combine, rank error ≤ n/accuracy) —
+    * same baseline/scale-path pairing as q13e/q14b. Sketch output is
+    * engine-specific → rows-only gate; ApproxSpec pins the error
+    * against the exact twin.
+    */
+  val q9aApproxDescriptiveStats: GraftQuery = {
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
+    GraftQuery.noOracle("q9a_descriptive_stats_approx") { (spark, dir) =>
+      import spark.implicits._
+      val li = Tables(spark, dir).lineitem
+      def one(m: String): DataFrame = {
+        val c = col(m)
+        li.agg(
+          count(c).as("n"),
+          Exact.davg(c).as("mean"),
+          Exact.dstddev(c).as("std"),
+          min(c).as("min_v"),
+          percentile_approx(c, lit(0.25), lit(10000)).as("p25"),
+          percentile_approx(c, lit(0.5), lit(10000)).as("median"),
+          percentile_approx(c, lit(0.75), lit(10000)).as("p75"),
+          max(c).as("max_v"))
+          .select(lit(m).as("measure"), $"n", $"mean", $"std",
+            $"min_v", $"p25", $"median", $"p75", $"max_v")
+      }
+      measures.map(one).reduce(_ unionByName _)
+    }
+  }
+
+  /** q9b — the FULL measures-vs-outcomes correlation matrix
+    * (ref `PythonAnalysis.py:172-177`, A11: the reference correlates
+    * its 10 measures against on_time/delay — same 10×2 grid here)
+    * from exact decimal moments. delay_days = ship − order date;
+    * on_time = delay ≤ 30 as 0/1. Measures are raw ≤2dp columns ONLY:
+    * derived doubles (revenue = price·(1−disc), 4dp) would square to
+    * 8dp products, outside the decimal-snap exactness envelope Exact
+    * documents — the grid stays bitwise-reproducible by construction.
     */
   val q9bCorrelations: GraftQuery = {
-    val pairs = Seq(
-      ("l_quantity", "l_extendedprice"),
-      ("l_discount", "l_extendedprice"),
-      ("l_extendedprice", "delay_days"),
-      ("l_discount", "delay_days"),
-      ("l_quantity", "on_time"),
-      ("l_tax", "on_time"))
+    val measures = Seq("l_quantity", "l_extendedprice", "l_discount",
+      "l_tax", "l_linenumber", "o_totalprice", "p_retailprice", "p_size",
+      "c_acctbal", "s_acctbal")
+    val outcomes = Seq("delay_days", "on_time")
+    val pairs = for { m <- measures; o <- outcomes } yield (m, o)
     val baseSql =
       """SELECT l_quantity, l_extendedprice, l_discount, l_tax,
+        |       l_linenumber, o_totalprice, p_retailprice, p_size,
+        |       c_acctbal, s_acctbal,
         |       CAST(date_diff('day', CAST(o_orderdate AS DATE),
         |                      CAST(l_shipdate AS DATE)) AS DOUBLE) AS delay_days,
         |       CAST(CASE WHEN date_diff('day', CAST(o_orderdate AS DATE),
         |                      CAST(l_shipdate AS DATE)) <= 30
         |            THEN 1.0 ELSE 0.0 END AS DOUBLE) AS on_time
-        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey""".stripMargin
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN part ON l_partkey = p_partkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
     def duckPair(x: String, y: String): String =
       s"""SELECT '${x}_vs_$y' AS pair, COUNT(*) AS n,
          |  (COUNT(*) * CAST(CAST(SUM(CAST($x*$y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
@@ -112,14 +151,34 @@ object AnalyticsQueries {
         val delay = datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
         val base = t.lineitem
           .join(t.orders, $"l_orderkey" === $"o_orderkey")
+          .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+          .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+          .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
           .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
+            $"l_linenumber", $"o_totalprice", $"p_retailprice", $"p_size",
+            $"c_acctbal", $"s_acctbal",
             delay.cast(DoubleType).as("delay_days"),
             when(delay <= 30, 1.0).otherwise(0.0).as("on_time"))
-          .cache() // six aggregates share one narrow projection
+        // ONE pass computes every moment the 20-cell grid needs (a
+        // per-pair agg would rescan the fact 20× at 100 TB; caching a
+        // 100 TB projection is not a plan). The 20 corr rows then
+        // derive from the cached ONE-ROW moment table, with the same
+        // exact-sums-then-double arithmetic shape as the oracle.
+        val aggs =
+          Seq(count(lit(1)).as("n")) ++
+            (measures ++ outcomes).flatMap(c => Seq(
+              Exact.dsum(col(c)).as(s"sx_$c"),
+              Exact.dsum(col(c) * col(c), 4).as(s"sxx_$c"))) ++
+            pairs.map { case (x, y) =>
+              Exact.dsum(col(x) * col(y), 4).as(s"sxy_${x}_$y") }
+        val m = base.agg(aggs.head, aggs.tail: _*).cache()
         pairs.map { case (x, y) =>
-          base.agg(count(lit(1)).as("n"),
-            Exact.dcorr(col(x), col(y)).as("corr"))
-            .select(lit(s"${x}_vs_$y").as("pair"), $"n", $"corr")
+          val n = $"n".cast(DoubleType)
+          m.select(lit(s"${x}_vs_$y").as("pair"), $"n",
+            ((n * col(s"sxy_${x}_$y") - col(s"sx_$x") * col(s"sx_$y"))
+              / (sqrt(n * col(s"sxx_$x") - col(s"sx_$x") * col(s"sx_$x"))
+                * sqrt(n * col(s"sxx_$y") - col(s"sx_$y") * col(s"sx_$y"))))
+              .as("corr"))
         }.reduce(_ unionByName _)
     }
   }
@@ -147,9 +206,25 @@ object AnalyticsQueries {
         Exact.davg($"l_discount").as("avg_discount"))
   }
 
+  /** Per-customer (spend, n_orders) — shared input of the q9d twins. */
+  private def custSpendOrders(spark: org.apache.spark.sql.SparkSession,
+                              dir: String): DataFrame = {
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .groupBy($"o_custkey")
+      .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
+        .as("spend"),
+        countDistinct($"o_orderkey").as("n_orders"))
+  }
+
   /** q9d — value×frequency tertile segmentation + prescriptive action
     * matrix (ref `pd.qcut` `PythonAnalysis.py:459-468` A13 + 3×3
-    * action rules `:480-504` M7). ntile over a total order.
+    * action rules `:480-504` M7). ntile over a total order — the
+    * oracle-checked exactness baseline; q9d_segmentation_approx is
+    * the scale path (the global ntile windows funnel every customer
+    * through ONE task's sort).
     */
   val q9dSegmentation: GraftQuery = GraftQuery(
     "q9d_segmentation",
@@ -176,18 +251,50 @@ object AnalyticsQueries {
        |            ELSE 'nurture' END AS action
        |FROM seg GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val t = Tables(spark, dir)
-    val cust = t.lineitem
-      .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .groupBy($"o_custkey")
-      .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
-        .as("spend"),
-        countDistinct($"o_orderkey").as("n_orders"))
-    val seg = cust
+    val seg = custSpendOrders(spark, dir)
       .withColumn("value_tertile",
         ntile(3).over(Window.orderBy($"spend".desc, $"o_custkey")))
       .withColumn("freq_tertile",
         ntile(3).over(Window.orderBy($"n_orders".desc, $"o_custkey")))
+    seg.groupBy($"value_tertile", $"freq_tertile")
+      .agg(count(lit(1)).as("n_customers"),
+        Exact.davg($"spend").as("avg_spend"),
+        first(when($"value_tertile" === 1 && $"freq_tertile" === 1, "reward_vip")
+          .when($"value_tertile" === 1, "increase_frequency")
+          .when($"freq_tertile" === 1, "upsell_value")
+          .when($"value_tertile" === 3 && $"freq_tertile" === 3,
+            "reactivate_or_drop")
+          .otherwise("nurture")).as("action"))
+  }
+
+  /** q9d scale path — segmentation without the global sort: tertile
+    * CUTPOINTS come from one `percentile_approx` aggregate (GK sketch,
+    * map+combine, no single-task window), then bucketing is a map-only
+    * `when()` chain against 4 broadcast doubles. Semantics shift from
+    * ntile's balanced-count tiles to threshold tiles (ties share a
+    * tile — the behavior you actually want for segments); sketch-based
+    * → rows-only gate, ApproxSpec pins cutpoint error vs the exact
+    * twin and asserts the plan is Window-free.
+    * Ref semantics preserved: `PythonAnalysis.py:459-468, 480-504`.
+    */
+  val q9dApproxSegmentation: GraftQuery = GraftQuery.noOracle(
+    "q9d_segmentation_approx") { (spark, dir) =>
+    import spark.implicits._
+    val cust = custSpendOrders(spark, dir)
+    // descending tertiles: tile 1 = top third → thresholds at the
+    // ascending 2/3 and 1/3 quantiles
+    val cuts = cust.agg(
+      percentile_approx($"spend", lit(2.0 / 3), lit(10000)).as("spend_hi"),
+      percentile_approx($"spend", lit(1.0 / 3), lit(10000)).as("spend_lo"),
+      percentile_approx($"n_orders", lit(2.0 / 3), lit(10000)).as("ord_hi"),
+      percentile_approx($"n_orders", lit(1.0 / 3), lit(10000)).as("ord_lo"))
+    val seg = cust.crossJoin(broadcast(cuts))
+      .withColumn("value_tertile",
+        when($"spend" > $"spend_hi", 1)
+          .when($"spend" > $"spend_lo", 2).otherwise(3))
+      .withColumn("freq_tertile",
+        when($"n_orders" > $"ord_hi", 1)
+          .when($"n_orders" > $"ord_lo", 2).otherwise(3))
     seg.groupBy($"value_tertile", $"freq_tertile")
       .agg(count(lit(1)).as("n_customers"),
         Exact.davg($"spend").as("avg_spend"),
@@ -574,7 +681,8 @@ object AnalyticsQueries {
   }
 
   val all: Seq[GraftQuery] = Seq(
-    q9aDescriptiveStats, q9bCorrelations, q9cBinnedAgg, q9dSegmentation,
+    q9aDescriptiveStats, q9aApproxDescriptiveStats, q9bCorrelations,
+    q9cBinnedAgg, q9dSegmentation, q9dApproxSegmentation,
     q9eChurnFeatures, q9fRevenueShare, q9gHaversine, q9hElasticity,
     q9iFreightOpt, q9mDeliveryRisk, q9nOrderExtract)
 }

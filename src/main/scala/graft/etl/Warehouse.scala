@@ -1,7 +1,6 @@
 package graft.etl
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -13,10 +12,16 @@ import graft.queries.GraftQuery
   * functions over the harness tables, wired into one warehouse
   * handle. Patterns per dimension:
   *
-  *  - surrogate keys: deterministic `row_number()` over the natural
-  *    order (Kettle `Sequence`, D3) — window on a broadcast-scale dim
-  *    is fine; facts NEVER take a window over fact-cardinality data
-  *    (keys come from joins against the dims).
+  *  - surrogate keys: `xxhash64(natural_key)` (Kettle `Sequence`, D3,
+  *    re-expressed per SURVEY §1.2) — map-only and shuffle-free where
+  *    a global `row_number()` would funnel the whole dimension through
+  *    ONE task's sort, and stable under SCD2 re-loads (the same
+  *    natural key always hashes to the same surrogate). Collision odds
+  *    are birthday-bounded (~n²/2⁶⁵: ~10⁻⁴ at 100 M members); q18
+  *    would surface a collision as a fan-out revenue mismatch, and
+  *    WarehouseSpec asserts key uniqueness outright. Facts NEVER take a
+  *    window over fact-cardinality data (keys come from joins against
+  *    the dims).
   *  - SCD2 columns initialized as the reference's initial load
   *    (effective_from 2016-01-01, effective_to 2099-12-31, version 1 —
   *    `ETL for seller with scd2.ktr:523-570`); incremental maintenance
@@ -37,8 +42,7 @@ object Warehouse {
         $"c_mktsegment".as("segment"), $"n_name".as("nation"),
         $"r_name".as("region"), $"c_acctbal".as("acctbal"))
     base
-      .withColumn("customer_key",
-        row_number().over(Window.orderBy($"customer_id")))
+      .withColumn("customer_key", xxhash64($"customer_id"))
       .withColumn("effective_from", lit("2016-01-01"))
       .withColumn("effective_to", lit(Scd.OpenEnd))
       .withColumn("version", lit(1))
@@ -51,8 +55,7 @@ object Warehouse {
     p.select($"p_partkey".as("product_id"), $"p_name".as("product_name"),
       $"p_brand".as("brand"), $"p_type".as("product_type"),
       $"p_size".as("size"), $"p_retailprice".as("retail_price"))
-      .withColumn("product_key",
-        row_number().over(Window.orderBy($"product_id")))
+      .withColumn("product_key", xxhash64($"product_id"))
       .withColumn("effective_from", lit("2016-01-01"))
       .withColumn("effective_to", lit(Scd.OpenEnd))
       .withColumn("version", lit(1))
@@ -65,8 +68,7 @@ object Warehouse {
     s.join(broadcast(t.nation), $"s_nationkey" === $"n_nationkey", "left")
       .select($"s_suppkey".as("seller_id"), $"s_name".as("seller_name"),
         $"n_name".as("nation"), $"s_acctbal".as("acctbal"))
-      .withColumn("seller_key",
-        row_number().over(Window.orderBy($"seller_id")))
+      .withColumn("seller_key", xxhash64($"seller_id"))
   }
 
   /** fact_order_lines analog: the q7a star enrichment joined against
@@ -130,13 +132,17 @@ object Warehouse {
 
   /** q18 — warehouse consistency probe (oracle-checked): the fact
     * joined back through surrogate keys must reproduce the raw-table
-    * revenue per segment — proves key assignment is lossless.
+    * revenue per segment — proves key assignment is lossless (an
+    * xxhash64 collision would fan the join out and inflate revenue).
+    * The oracle keys by the natural id itself — any injective keying
+    * yields the same ground-truth segment revenue, and DuckDB has no
+    * Spark-compatible xxhash64.
     */
   val q18WarehouseBuild: GraftQuery = GraftQuery(
     "q18_warehouse_build",
     """WITH cust AS (
       |  SELECT c_custkey AS customer_id, c_mktsegment AS segment,
-      |         row_number() OVER (ORDER BY c_custkey) AS customer_key
+      |         c_custkey AS customer_key
       |  FROM customer),
       |fol AS (
       |  SELECT customer_key, l_extendedprice AS price

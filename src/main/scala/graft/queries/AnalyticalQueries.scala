@@ -197,6 +197,14 @@ object AnalyticalQueries {
   /** 3A — RANK + NTILE(100) of customers within nation by revenue
     * (ref `TASK 2A…sql:129-144`). Order is made total (revenue DESC,
     * custkey ASC) so NTILE is deterministic across engines.
+    *
+    * Scale note: the window partitions by nation (25 groups), so each
+    * task sorts ~1/25th of all customers — ~60 M rows/task at 100 TB.
+    * That sort is spill-safe (ExternalSorter) but single-threaded per
+    * nation; the exact-rank scale path is
+    * [[graft.operators.DistributedRank]] (range-repartitioned sort +
+    * per-partition offsets — many tasks per nation), with this window
+    * form kept as the oracle-checked baseline.
     */
   val q3aRankNtile: GraftQuery = GraftQuery(
     "q3a_rank_ntile",

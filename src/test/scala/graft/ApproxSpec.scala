@@ -41,4 +41,52 @@ class ApproxSpec extends SparkTestBase {
     assert(math.abs(approx - exact) / exact < 0.01,
       s"median approx=$approx exact=$exact")
   }
+
+  test("q9a approx twin matches the exact describe() within sketch error") {
+    import spark.implicits._
+    val exact = graft.analytics.AnalyticsQueries.q9aDescriptiveStats
+      .fn(spark, sfDir).select($"measure", $"p25", $"median", $"p75")
+      .collect().map(r => r.getString(0) ->
+        (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = graft.analytics.AnalyticsQueries.q9aApproxDescriptiveStats
+      .fn(spark, sfDir).select($"measure", $"p25", $"median", $"p75")
+      .collect()
+    assert(approx.length == 4)
+    approx.foreach { r =>
+      val (e25, e50, e75) = exact(r.getString(0))
+      Seq((r.getDouble(1), e25), (r.getDouble(2), e50),
+        (r.getDouble(3), e75)).foreach { case (a, e) =>
+        assert(math.abs(a - e) <= math.max(0.01 * math.abs(e), 1e-9),
+          s"${r.getString(0)}: approx=$a exact=$e")
+      }
+    }
+  }
+
+  test("q9d approx segmentation: Window-free plan, bounded cutpoint error") {
+    import spark.implicits._
+    val df = graft.analytics.AnalyticsQueries.q9dApproxSegmentation
+      .fn(spark, sfDir)
+    // the whole point of the scale path: no global-sort Window operator
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      "approx segmentation must not contain a Window operator")
+    val rows = df.collect()
+    // full 3×3-ish matrix, every customer in exactly one cell
+    val t = Tables(spark, sfDir)
+    val nCust = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .select($"o_custkey").distinct().count()
+    assert(rows.map(_.getLong(2)).sum == nCust)
+    assert(rows.forall(r => r.getInt(0) >= 1 && r.getInt(0) <= 3 &&
+      r.getInt(1) >= 1 && r.getInt(1) <= 3))
+    // value tertiles come from near-unique spend: sizes ≈ n/3 (sketch
+    // rank error ≤ n/10000 + threshold-boundary ties)
+    val byValue = rows.groupBy(_.getInt(0)).view
+      .mapValues(_.map(_.getLong(2)).sum)
+    (1 to 3).foreach { tile =>
+      val n = byValue.getOrElse(tile, 0L).toDouble
+      assert(math.abs(n - nCust / 3.0) <= math.max(0.05 * nCust, 3),
+        s"value tertile $tile holds $n of $nCust")
+    }
+  }
 }
