@@ -115,9 +115,18 @@ object AnalyticsQueries {
       "c_acctbal", "s_acctbal")
     val outcomes = Seq("delay_days", "on_time")
     val pairs = for { m <- measures; o <- outcomes } yield (m, o)
+    // o_totalprice reaches ~5e5, so its square ×10⁴ (~2.5e15) sits in
+    // the zone where DuckDB's multiply-then-round double→decimal cast
+    // can disagree with Spark's string-path cast (error bound 2⁻⁵²·x
+    // crosses 0.5 ulp of the decimal). Pearson corr is shift-invariant,
+    // so the measure enters BOTH engines centered (x − 250 000): still
+    // an exact 2dp value, squares ≤ 6.25e14·10⁻⁴ — safely inside the
+    // envelope Exact documents. The pair label keeps the raw name.
     val baseSql =
       """SELECT l_quantity, l_extendedprice, l_discount, l_tax,
-        |       l_linenumber, o_totalprice, p_retailprice, p_size,
+        |       l_linenumber,
+        |       o_totalprice - 250000.0 AS o_totalprice,
+        |       p_retailprice, p_size,
         |       c_acctbal, s_acctbal,
         |       CAST(date_diff('day', CAST(o_orderdate AS DATE),
         |                      CAST(l_shipdate AS DATE)) AS DOUBLE) AS delay_days,
@@ -149,13 +158,19 @@ object AnalyticsQueries {
         import spark.implicits._
         val t = Tables(spark, dir)
         val delay = datediff(to_date($"l_shipdate"), to_date($"o_orderdate"))
+        // part/customer/supplier are the LARGEST dims — no broadcast
+        // hint (at 100 TB they exceed the 8 GB broadcast cap; a hint
+        // would be a hard driver failure). AQE picks broadcast when a
+        // side is genuinely small, shuffle/sort-merge otherwise.
         val base = t.lineitem
           .join(t.orders, $"l_orderkey" === $"o_orderkey")
-          .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
-          .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
-          .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey")
+          .join(t.part, $"l_partkey" === $"p_partkey")
+          .join(t.customer, $"o_custkey" === $"c_custkey")
+          .join(t.supplier, $"l_suppkey" === $"s_suppkey")
           .select($"l_quantity", $"l_extendedprice", $"l_discount", $"l_tax",
-            $"l_linenumber", $"o_totalprice", $"p_retailprice", $"p_size",
+            $"l_linenumber",
+            ($"o_totalprice" - 250000.0).as("o_totalprice"),
+            $"p_retailprice", $"p_size",
             $"c_acctbal", $"s_acctbal",
             delay.cast(DoubleType).as("delay_days"),
             when(delay <= 30, 1.0).otherwise(0.0).as("on_time"))

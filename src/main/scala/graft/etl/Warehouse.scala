@@ -12,13 +12,18 @@ import graft.queries.GraftQuery
   * functions over the harness tables, wired into one warehouse
   * handle. Patterns per dimension:
   *
-  *  - surrogate keys: `xxhash64(natural_key)` (Kettle `Sequence`, D3,
-  *    re-expressed per SURVEY §1.2) — map-only and shuffle-free where
-  *    a global `row_number()` would funnel the whole dimension through
-  *    ONE task's sort, and stable under SCD2 re-loads (the same
-  *    natural key always hashes to the same surrogate). Collision odds
-  *    are birthday-bounded (~n²/2⁶⁵: ~10⁻⁴ at 100 M members); q18
-  *    would surface a collision as a fan-out revenue mismatch, and
+  *  - surrogate keys: `xxhash64(natural_key, version)` for SCD2 dims
+  *    (Kettle `Sequence`, D3, re-expressed per SURVEY §1.2) — map-only
+  *    and shuffle-free where a global `row_number()` would funnel the
+  *    whole dimension through ONE task's sort, and stable under re-loads
+  *    (the same natural key + version always hashes to the same
+  *    surrogate). The version MUST be in the hash: the reference's
+  *    Sequence assigns per-ROW keys, so each SCD2 version needs its own
+  *    surrogate or fact joins fan out once [[Scd.scd2Rebuild]] emits a
+  *    version 2. SCD1 dims (dim_seller) hash the natural key alone —
+  *    one row per key by construction. Collision odds are
+  *    birthday-bounded (~n²/2⁶⁵: ~10⁻⁴ at 100 M members); q18 would
+  *    surface a collision as a fan-out revenue mismatch, and
   *    WarehouseSpec asserts key uniqueness outright. Facts NEVER take a
   *    window over fact-cardinality data (keys come from joins against
   *    the dims).
@@ -42,10 +47,10 @@ object Warehouse {
         $"c_mktsegment".as("segment"), $"n_name".as("nation"),
         $"r_name".as("region"), $"c_acctbal".as("acctbal"))
     base
-      .withColumn("customer_key", xxhash64($"customer_id"))
       .withColumn("effective_from", lit("2016-01-01"))
       .withColumn("effective_to", lit(Scd.OpenEnd))
       .withColumn("version", lit(1))
+      .withColumn("customer_key", xxhash64($"customer_id", $"version"))
   }
 
   /** dim_product analog from part (brand = category role). */
@@ -55,10 +60,10 @@ object Warehouse {
     p.select($"p_partkey".as("product_id"), $"p_name".as("product_name"),
       $"p_brand".as("brand"), $"p_type".as("product_type"),
       $"p_size".as("size"), $"p_retailprice".as("retail_price"))
-      .withColumn("product_key", xxhash64($"product_id"))
       .withColumn("effective_from", lit("2016-01-01"))
       .withColumn("effective_to", lit(Scd.OpenEnd))
       .withColumn("version", lit(1))
+      .withColumn("product_key", xxhash64($"product_id", $"version"))
   }
 
   /** dim_seller analog from supplier + nation. */
@@ -97,13 +102,19 @@ object Warehouse {
 
   /** fact_review analog from events (review_score role = value
     * bucket), with the reference's OR-chain keep-filter (P3): keep
-    * rows where at least one payload field is present.
+    * rows where at least one payload field is present. customer_key is
+    * resolved by a broadcast lookup against dim_customer (J2) — the
+    * fact must carry the dim's surrogate, never the raw natural id,
+    * or joins to dim_customer silently match nothing now that
+    * surrogates are xxhash64(natural_key, version).
     */
   def factReview(t: Tables): DataFrame = {
     val e = t.events
     import e.sparkSession.implicits._
+    val cust = dimCustomer(t).select($"customer_id", $"customer_key")
     e.filter($"event_type".isNotNull || $"props".isNotNull)
-      .select($"event_id".as("review_id"), $"user_id".as("customer_key"),
+      .join(broadcast(cust), $"user_id" === $"customer_id", "left")
+      .select($"event_id".as("review_id"), $"customer_key",
         (pmod($"value".cast(IntegerType), lit(5)) + 1).as("review_score"),
         to_date($"ts").as("review_date"))
   }

@@ -44,48 +44,31 @@ object Sessionize {
             state.remove()
             out.iterator
           } else {
-            val sorted = batch.toSeq.sortBy(_.ts_us)
+            // ONE gaps-and-islands walk over the stored session plus the
+            // whole sorted batch — exactly the batch twin's (q15c)
+            // semantics. Splitting the batch against the live session's
+            // start misses chains: a late event can reach the session
+            // THROUGH an intermediate same-batch event (late→bridge ≤ gap,
+            // bridge→session ≤ gap) and must merge, not close early. The
+            // stored session enters the walk as a pre-merged interval;
+            // every closed prefix session then ends > gap before its
+            // successor's start by construction.
+            val items =
+              (state.getOption.toSeq ++
+                batch.map(e => SessionState(e.ts_us, e.ts_us, 1)))
+                .sortBy(s => (s.start_us, s.last_us))
             val closed = Seq.newBuilder[Session]
-            // Late in-watermark events that precede the live session's
-            // start by MORE than the gap can never merge with it (the
-            // batch gaps-and-islands twin would put a session boundary
-            // there). Sessionize that prefix separately and emit it
-            // closed, instead of dragging start_us backwards across a
-            // gap — which would overlap sessions already emitted.
-            val (late, mergeable) = state.getOption match {
-              case Some(s) => sorted.partition(_.ts_us < s.start_us - GapMicros)
-              case None    => (Seq.empty[Event], sorted)
-            }
-            var lateCur: Option[SessionState] = None
-            late.foreach { e =>
-              lateCur match {
-                case Some(s) if e.ts_us - s.last_us > GapMicros =>
-                  closed += Session(userId, s.start_us, s.last_us, s.n_events)
-                  lateCur = Some(SessionState(e.ts_us, e.ts_us, 1))
-                case Some(s) =>
-                  lateCur = Some(SessionState(s.start_us,
-                    math.max(s.last_us, e.ts_us), s.n_events + 1))
-                case None =>
-                  lateCur = Some(SessionState(e.ts_us, e.ts_us, 1))
-              }
-            }
-            lateCur.foreach(s =>
-              closed += Session(userId, s.start_us, s.last_us, s.n_events))
-            var cur = state.getOption
-            mergeable.foreach { e =>
+            var cur: Option[SessionState] = None
+            items.foreach { s =>
               cur match {
-                case Some(s) if e.ts_us - s.last_us > GapMicros =>
-                  closed += Session(userId, s.start_us, s.last_us, s.n_events)
-                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
-                case Some(s) =>
-                  // a late event (within watermark) from an earlier
-                  // microbatch may precede s.last_us by at most the
-                  // gap — merging (start_us = min) matches the batch
-                  // twin; never move the session end backwards
-                  cur = Some(SessionState(math.min(s.start_us, e.ts_us),
-                    math.max(s.last_us, e.ts_us), s.n_events + 1))
+                case Some(c) if s.start_us - c.last_us > GapMicros =>
+                  closed += Session(userId, c.start_us, c.last_us, c.n_events)
+                  cur = Some(s)
+                case Some(c) =>
+                  cur = Some(SessionState(c.start_us,
+                    math.max(c.last_us, s.last_us), c.n_events + s.n_events))
                 case None =>
-                  cur = Some(SessionState(e.ts_us, e.ts_us, 1))
+                  cur = Some(s)
               }
             }
             cur.foreach { s =>
