@@ -92,6 +92,14 @@ object DaxMeasures {
 
   /** q10c — what-if discount scenarios (DAX what-if parameter,
     * report §7.1): yearly revenue under discount multipliers.
+    *
+    * Scenario revenue is LINEAR in the multiplier:
+    * Σ p·(1−d·mult) = Σp − mult·Σ(p·d), so ONE fact pass computes the
+    * two decimal sums per year and the 3-row scenario table joins the
+    * tiny aggregate — no 3× fact expand/shuffle. The combination stays
+    * in decimal (mult is an exact 1dp decimal; p is 2dp and p·d is
+    * 4dp, both inside scale 6), so the string-path double conversion
+    * is bit-identical to the oracle's per-row-expanded sum.
     */
   val q10cWhatIf: GraftQuery = GraftQuery(
     "q10c_whatif_discount",
@@ -104,14 +112,20 @@ object DaxMeasures {
       |CROSS JOIN (VALUES (0.5), (1.0), (1.5)) s(mult)
       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
     val t = Tables(spark, dir)
     val scenarios = Seq(0.5, 1.0, 1.5).toDF("discount_mult")
-    t.lineitem
+    val dec = DecimalType(38, graft.functions.Exact.Scale)
+    val sums = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .crossJoin(broadcast(scenarios))
-      .groupBy(year($"o_orderdate").as("o_year"), $"discount_mult")
-      .agg(Exact.dsum($"l_extendedprice" * (lit(1.0) - $"l_discount" * $"discount_mult"))
-        .as("scenario_revenue"))
+      .groupBy(year($"o_orderdate").as("o_year"))
+      .agg(sum($"l_extendedprice".cast(dec)).as("sum_p"),
+        sum(($"l_extendedprice" * $"l_discount").cast(dec)).as("sum_pd"))
+    sums.crossJoin(broadcast(scenarios))
+      .select($"o_year", $"discount_mult",
+        Exact.toDouble(
+          $"sum_p" - $"discount_mult".cast(DecimalType(2, 1)) * $"sum_pd")
+          .as("scenario_revenue"))
   }
 
   /** q11 — set operations over yearly active-customer sets

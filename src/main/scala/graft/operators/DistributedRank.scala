@@ -1,0 +1,131 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructType}
+
+/** Distributed RANK + NTILE — the scale path for per-group ranking
+  * (reference query 3A, `Database/TASK 2A SQL Analytical
+  * Queries.sql:129-144`) promised by the doc note on
+  * [[graft.queries.AnalyticalQueries.q3aRankNtile]].
+  *
+  * `Window.partitionBy(group).orderBy(order)` sorts each group inside
+  * ONE task: at 100 TB a single nation's ~60 M customers funnel
+  * through one thread. This operator instead:
+  *
+  *  1. `repartitionByRange(group ++ order)` — the range sampler splits
+  *     a large group across MANY partitions while keeping the global
+  *     (group, order) sort; each task then sorts only its slice.
+  *  2. Pass 1 (tiny): per-(Spark partition, group) row counts — groups
+  *     are contiguous in a sorted partition, so this is a streaming
+  *     count whose output is O(partitions + groups), collected to the
+  *     driver and broadcast back.
+  *  3. Pass 2: global position = partition offset + local index. The
+  *     second job reuses the range shuffle's map output (same RDD
+  *     lineage → skipped stages), so the input is scanned once.
+  *
+  * Contract: `orderCols` must be a TOTAL order within each group
+  * (tie-broken, as the reference query itself does with `c_custkey` —
+  * its stated reason is cross-engine determinism). Under a total order
+  * RANK = ROW_NUMBER, so the assigned rank hash-matches the window
+  * form exactly. NTILE uses the exact SQL split: with N rows and n
+  * tiles the first N mod n tiles carry one extra row.
+  *
+  * mapPartitions is justified here (per SURVEY §2 preference order):
+  * the offset handoff between range partitions is genuinely
+  * per-partition imperative state that no built-in operator expresses
+  * without re-introducing the single-task group sort.
+  */
+object DistributedRank {
+
+  /** Appends `rankName` and `ntileName` (both INT, matching the
+    * reference's CAST) to `df`, ranking within `groupCols` by
+    * `orderCols`. `numPartitions` <= 0 uses the session's shuffle
+    * partitions.
+    */
+  def rankNtile(
+      df: DataFrame,
+      groupCols: Seq[String],
+      orderCols: Seq[Column],
+      ntiles: Int,
+      rankName: String,
+      ntileName: String,
+      numPartitions: Int = 0): DataFrame = {
+    require(ntiles > 0, s"ntiles must be positive, got $ntiles")
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val sortCols = groupCols.map(col) ++ orderCols
+    val parted = df
+      .repartitionByRange(parts, sortCols: _*)
+      .sortWithinPartitions(sortCols: _*)
+    val schema = parted.schema
+    val gIdx = groupCols.map(schema.fieldIndex).toArray
+
+    // Single lineage for both passes: the range shuffle materializes
+    // once; the second job's stages up to it are skipped.
+    val rdd = parted.rdd
+
+    val counts: Array[(Int, List[Any], Long)] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, List[Any], Long)]
+        var cur: List[Any] = null
+        var n = 0L
+        it.foreach { row =>
+          val k = gIdx.map(row.get(_)).toList
+          if (k != cur) {
+            if (cur != null) out += ((pid, cur, n))
+            cur = k
+            n = 0L
+          }
+          n += 1
+        }
+        if (cur != null) out += ((pid, cur, n))
+        out.iterator
+      }.collect()
+
+    val totals: Map[List[Any], Long] =
+      counts.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
+    val offsets: Map[(Int, List[Any]), Long] =
+      counts.groupBy(_._2).flatMap { case (k, cs) =>
+        var acc = 0L
+        cs.sortBy(_._1).map { case (pid, _, n) =>
+          val entry = ((pid, k), acc)
+          acc += n
+          entry
+        }
+      }
+    val bcTotals = spark.sparkContext.broadcast(totals)
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+    val nt = ntiles.toLong
+
+    val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var cur: List[Any] = null
+      var base = 0L
+      var total = 0L
+      var local = 0L
+      it.map { row =>
+        val k = gIdx.map(row.get(_)).toList
+        if (k != cur) {
+          cur = k
+          local = 0L
+          base = bcOffsets.value((pid, k))
+          total = bcTotals.value(k)
+        }
+        val i = base + local // 0-based global position within the group
+        local += 1
+        val q = total / nt
+        val r = total % nt
+        val tile =
+          if (i < r * (q + 1)) i / (q + 1) + 1
+          else r + (i - r * (q + 1)) / q + 1
+        Row.fromSeq(row.toSeq :+ (i + 1).toInt :+ tile.toInt)
+      }
+    }
+    val outSchema = StructType(schema.fields)
+      .add(rankName, IntegerType, nullable = false)
+      .add(ntileName, IntegerType, nullable = false)
+    spark.createDataFrame(ranked, outSchema)
+  }
+}

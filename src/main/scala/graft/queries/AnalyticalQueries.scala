@@ -236,6 +236,33 @@ object AnalyticalQueries {
       .withColumn("percentile_band", ntile(100).over(w))
   }
 
+  /** 3A-dist — the SAME query through the
+    * [[graft.operators.DistributedRank]] scale path (range-repartition
+    * + per-partition offsets — many tasks per nation instead of one),
+    * hash-checked against the identical oracle as q3a. The revenue
+    * aggregate is converted to DOUBLE before ranking so the ordering
+    * and output column match the window baseline bit-for-bit.
+    */
+  val q3aRankNtileDist: GraftQuery = GraftQuery(
+    "q3a_rank_ntile_dist",
+    q3aRankNtile.oracle.get) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"c_custkey")
+      .agg(Exact.dsum(revenue(t.lineitem)).as("revenue"))
+    graft.operators.DistributedRank.rankNtile(
+      rev,
+      groupCols = Seq("n_name"),
+      orderCols = Seq($"revenue".desc, $"c_custkey"),
+      ntiles = 100,
+      rankName = "rev_rank",
+      ntileName = "percentile_band")
+  }
+
   /** 3B — daily revenue, 7-day trailing moving average, YTD cumulative
     * (ref `TASK 2A…sql:149-164`). Window sums stay DECIMAL (exact,
     * order-free) and convert to DOUBLE only at the output.
@@ -466,6 +493,7 @@ object AnalyticalQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q1aYoyGrowth, q1bSeasonalIndex, q2aGroupingSets, q2bRollup,
-    q3aRankNtile, q3bMovingAvgYtd, q4aSemiJoinChain, q4bPriceVsBrand,
+    q3aRankNtile, q3aRankNtileDist, q3bMovingAvgYtd,
+    q4aSemiJoinChain, q4bPriceVsBrand,
     q5aTopLtv, q5bMonthlyKpis)
 }

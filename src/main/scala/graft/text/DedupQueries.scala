@@ -52,13 +52,44 @@ object DedupQueries {
       .filter($"n_copies" > 1)
   }
 
+  /** Hot-shingle document-frequency cap: a shingle shared by k docs
+    * contributes k² candidate pairs in the inverted-index self-join,
+    * and boilerplate shingles (headers, common phrases) reach huge k
+    * at corpus scale while carrying no dedup signal. Dropping shingles
+    * with DF > [[MaxShingleDf]] bounds every posting list — the join
+    * is then linear in (capped) posting-list mass. The cap sits far
+    * above the synthetic corpus's organic max DF (7 at sf0.01), so
+    * the oracle results are unchanged; both engines apply it
+    * symmetrically. The hot list is tiny (only shingles with DF > K)
+    * → broadcast anti-join, no extra shuffle on the shingle stream.
+    */
+  val MaxShingleDf = 50
+
+  /** Shingles minus those appearing in more than `maxDf` docs. */
+  def cappedShingles(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    import spark.implicits._
+    val sh = TextQueries.shingles(spark, docs)
+    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
+      .filter($"df" > maxDf).select($"sh")
+    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+  }
+
+  private def cappedShinglesSql(maxDf: Int = MaxShingleDf): String =
+    s"""SELECT * FROM (${TextQueries.shinglesSql}) s0
+       |WHERE sh NOT IN (
+       |  SELECT sh FROM (${TextQueries.shinglesSql}) s1
+       |  GROUP BY sh HAVING COUNT(*) > $maxDf)""".stripMargin
+
   /** q13b — n-gram Jaccard near-dup: candidate pairs via the shingle
     * inverted index, J = |∩|/|∪| ≥ 0.5 (the planted near-dup
-    * threshold in the corpus).
+    * threshold in the corpus). Jaccard is over the CAPPED shingle
+    * sets — hot boilerplate shingles are excluded from both |∩| and
+    * |∪|, in both engines.
     */
   val q13bNgramJaccard: GraftQuery = GraftQuery(
     "q13b_ngram_jaccard",
-    s"""WITH sh AS (${TextQueries.shinglesSql}),
+    s"""WITH sh AS (${cappedShinglesSql()}),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
@@ -73,7 +104,7 @@ object DedupQueries {
     (spark, dir) =>
       import spark.implicits._
       val docs = Tables(spark, dir).documents
-      val sh = TextQueries.shingles(spark, docs).cache()
+      val sh = cappedShingles(spark, docs).cache()
       val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = sh.as("a")
         .join(sh.as("b"),
@@ -95,7 +126,10 @@ object DedupQueries {
     * seeded md5 over shingles), 4 bands of 2 → candidate pairs share
     * a band; estimated similarity = matching minhash fraction ≥ 0.5.
     * The band bucket-join is the scale path: candidates are generated
-    * per-band by equality, never by corpus cross product.
+    * per-band by equality, never by corpus cross product. Signatures
+    * are computed over the DF-capped shingle set (see
+    * [[MaxShingleDf]]) so boilerplate can neither skew a posting list
+    * nor collapse unrelated docs into one band bucket.
     */
   val q13cMinhashLsh: GraftQuery = {
     val hashAggsSql = (0 until NumHashes)
@@ -110,7 +144,7 @@ object DedupQueries {
       .mkString(" + ")
     GraftQuery(
       "q13c_minhash_lsh",
-      s"""WITH sh AS (${TextQueries.shinglesSql}),
+      s"""WITH sh AS (${cappedShinglesSql()}),
          |sig AS (SELECT doc_id, $hashAggsSql FROM sh GROUP BY 1),
          |sig2 AS (SELECT *, $bandsSql FROM sig),
          |bands AS ($bandRowsSql),
@@ -128,7 +162,7 @@ object DedupQueries {
       (spark, dir) =>
         import spark.implicits._
         val docs = Tables(spark, dir).documents
-        val sh = TextQueries.shingles(spark, docs)
+        val sh = cappedShingles(spark, docs)
         val hashAggs = (0 until NumHashes)
           .map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"h$i"))
         val sig = sh.groupBy($"doc_id")

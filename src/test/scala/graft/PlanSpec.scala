@@ -56,6 +56,23 @@ class PlanSpec extends SparkTestBase {
       s"expected multiple codegen stages in q1a plan:\n$plan")
   }
 
+  test("q10c what-if joins scenarios AFTER the fact aggregate") {
+    // the 3-row scenario table must meet the per-year aggregate, not
+    // expand the fact 3x: in the optimized plan the cross join's
+    // fact-side child is an Aggregate, never a raw join/scan
+    val df = graft.analytics.DaxMeasures.q10cWhatIf.fn(spark, sfDir)
+    val crossJoins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join
+          if j.joinType == org.apache.spark.sql.catalyst.plans.Cross => j
+    }
+    assert(crossJoins.nonEmpty, "expected a scenario cross join")
+    assert(crossJoins.forall(_.children.exists(c =>
+      c.collectFirst {
+        case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+      }.isDefined)),
+      s"cross join expands the un-aggregated fact:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("warehouse fact build keeps dim lookups broadcast") {
     val plan = executedPlan(Warehouse.factOrderLines(Tables(spark, sfDir)))
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
