@@ -57,6 +57,65 @@ class OlistFixtureSpec extends SparkTestBase {
       s"rate=$rate — NULL row leaked into the denominator")
   }
 
+  private val RefDir = "/root/reference"
+
+  test("regional revenue-share golden: published shares re-derive (SP 37.38%)") {
+    import spark.implicits._
+    // `Python Analytics/Results from Python Analytics/
+    // descriptive_regional_sales_analysis.csv` — re-derive every
+    // published revenue_share_pct and avg_order_value from the file's
+    // own revenue/order columns using OUR share formula (window total
+    // + round-2, the q9f shape). SP must come out at exactly 37.38.
+    val g = spark.read.option("header", "true").option("inferSchema", "true")
+      .csv(s"$RefDir/Python Analytics/Results from Python Analytics/" +
+        "descriptive_regional_sales_analysis.csv")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy()
+    val derived = g.select($"customer_state",
+      $"revenue_share_pct".as("published_share"),
+      $"avg_order_value".as("published_aov"),
+      round($"total_revenue" / sum($"total_revenue").over(w) * 100, 2)
+        .as("derived_share"),
+      round($"total_revenue" / $"orders", 2).as("derived_aov"))
+    val bad = derived.filter(
+      abs($"published_share" - $"derived_share") > 0.005 ||
+        abs($"published_aov" - $"derived_aov") > 0.005)
+    assert(bad.count() == 0, s"formula drift: ${bad.collect().mkString}")
+    val sp = derived.filter($"customer_state" === "SP").head
+    assert(sp.getDouble(3) == 37.38,
+      s"SP share ${sp.getDouble(3)} != golden 37.38")
+  }
+
+  test("2A rollup golden: our rollup reproduces all 1,311 rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // `Database/Results from Task 2A Analytical Queries/2A...csv` —
+    // strip the reference's subtotal rows, run OUR rollup + label
+    // mapping (the q2b shape) over the remaining detail rows, and the
+    // full published 1,311-row result must come back value-for-value:
+    // 1283 detail + 24 monthly + 3 yearly + 1 grand.
+    val labels = Seq("All categories monthly total",
+      "All categories yearly total", "Grand total")
+    val raw = spark.read.option("header", "true").option("nullValue", "NULL")
+      .csv(s"$RefDir/Database/Results from Task 2A Analytical Queries/" +
+        "2A. Drill-down and Roll-up Operations multi-level aggregation queries.csv")
+      .select($"year".cast("int"), $"month".cast("int"),
+        $"category_label", $"revenue".cast(DecimalType(18, 2)))
+    val detail = raw.filter(!$"category_label".isin(labels: _*))
+    val rolled = detail
+      .rollup($"year", $"month", $"category_label")
+      .agg(sum($"revenue").cast(DecimalType(18, 2)).as("revenue"),
+        when(grouping($"year") === 1, "Grand total")
+          .when(grouping($"month") === 1, "All categories yearly total")
+          .when(grouping($"category_label") === 1,
+            "All categories monthly total")
+          .otherwise($"category_label").as("label"))
+      .select($"year", $"month", $"label".as("category_label"), $"revenue")
+    assert(rolled.count() == 1311L)
+    assert(raw.exceptAll(rolled).count() == 0 &&
+      rolled.exceptAll(raw).count() == 0,
+      "rollup output diverges from the published 2A golden")
+  }
+
   test("seasonal index (1B grain): month-of-year pools across years") {
     import spark.implicits._
     // daily revenue: Jan-2016 has 10+20 (two days), Jan-2017 has 30,
