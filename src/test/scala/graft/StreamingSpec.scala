@@ -143,6 +143,41 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  test("late event chains to the live session through a bridge event") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val events = Sessionize.prepare(mem.toDF().toDF("user_id", "ts"))
+    val q = Sessionize.sessionize(events)
+      .writeStream.format("memory").queryName("chain_sessions")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(min: Long) = new java.sql.Timestamp(t0.getTime + min * 60000)
+    try {
+      mem.addData((1L, at(0)))   // live session opens at 12:00
+      q.processAllAvailable()
+      // 11:10 is 50min before the session start (> 30min gap on its
+      // own), but the same batch carries a bridge at 11:35: late→bridge
+      // 25min ≤ gap and bridge→session 25min ≤ gap — the whole chain
+      // must merge into ONE session, matching the batch
+      // gaps-and-islands twin
+      mem.addData((1L, at(-50)), (1L, at(-25)))
+      q.processAllAvailable()
+      mem.addData((1L, at(120))) // push watermark → close merged session
+      q.processAllAvailable()
+      val emitted = spark.table("chain_sessions").as[Sessionize.Session]
+        .collect().sortBy(_.start_us)
+      val us = (m: Long) => java.util.concurrent.TimeUnit.MILLISECONDS
+        .toMicros(at(m).getTime)
+      assert(emitted.exists(s =>
+        s.start_us == us(-50) && s.end_us == us(0) && s.n_events == 3),
+        s"chain must merge into one 11:10–12:00 session, got ${emitted.toSeq}")
+      assert(!emitted.exists(s => s.n_events < 3 && s.start_us <= us(0)),
+        s"chain fragments emitted as separate sessions: ${emitted.toSeq}")
+    } finally q.stop()
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions correctly") {
     import spark.implicits._
     val q = Sessionize.sessionize(Sessionize.prepare(streamingEvents()))

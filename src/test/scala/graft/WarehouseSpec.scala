@@ -42,6 +42,32 @@ class WarehouseSpec extends SparkTestBase {
     cust.unpersist()
   }
 
+  test("SCD2 versions get distinct surrogates (versioned hash)") {
+    import spark.implicits._
+    // the r3 advice scenario: once scd2Rebuild emits version 2+,
+    // xxhash64(natural_key) alone would collide across versions —
+    // hashing (natural_key, version) must keep every row unique and
+    // stay stable across re-loads
+    val snaps = Seq(
+      (1L, 10.0, "2020-01-01"), (1L, 20.0, "2020-06-01"),
+      (1L, 30.0, "2021-01-01"),
+      (2L, 5.0, "2020-01-01"), (2L, 5.0, "2020-06-01"))
+      .toDF("customer_id", "bal", "snap")
+    def build = graft.etl.Scd
+      .scd2Rebuild(snaps, Seq("customer_id"), Seq("bal"), "snap")
+      .withColumn("customer_key", xxhash64($"customer_id", $"version"))
+    val hist = build.cache()
+    keyIsUnique(hist, "customer_key")
+    assert(hist.filter($"customer_id" === 1).count() == 3,
+      "three changed snapshots must yield three versions")
+    assert(hist.filter($"customer_id" === 2).count() == 1,
+      "unchanged snapshot must not open a version")
+    val again = build.select("customer_key")
+    assert(hist.select("customer_key").exceptAll(again).count() == 0,
+      "re-load must assign identical surrogates")
+    hist.unpersist()
+  }
+
   test("dim builders are map-only: no Window, no Exchange") {
     val t = Tables(spark, sfDir)
     mapOnlyPlan(Warehouse.dimProduct(t), "dimProduct")
