@@ -60,19 +60,34 @@ object DedupQueries {
     * is then linear in (capped) posting-list mass. The cap sits far
     * above the synthetic corpus's organic max DF (7 at sf0.01), so
     * the oracle results are unchanged; both engines apply it
-    * symmetrically. The hot list is tiny (only shingles with DF > K)
-    * → broadcast anti-join, no extra shuffle on the shingle stream.
+    * symmetrically. Implementation is ONE scan + ONE shuffle: a
+    * bounded collect ([[graft.functions.BoundedList]], ≤ cap+1
+    * elements per agg buffer even on a billion-doc hot key) groups
+    * each shingle's posting list and drops overflowing shingles —
+    * where a count-then-anti-join would scan the corpus twice.
     */
   val MaxShingleDf = 50
+
+  /** Per-shingle posting lists (sorted doc_ids), hot shingles
+    * (DF > maxDf) dropped.
+    */
+  def cappedPostings(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
+    import spark.implicits._
+    val bounded =
+      udaf(graft.functions.BoundedList.BoundedListAggregator(maxDf),
+        org.apache.spark.sql.Encoders.scalaLong)
+    TextQueries.shingles(spark, docs)
+      .groupBy($"sh").agg(bounded($"doc_id").as("ds"))
+      .filter($"ds".isNotNull)
+  }
 
   /** Shingles minus those appearing in more than `maxDf` docs. */
   def cappedShingles(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     import spark.implicits._
-    val sh = TextQueries.shingles(spark, docs)
-    val hot = sh.groupBy($"sh").agg(count(lit(1)).as("df"))
-      .filter($"df" > maxDf).select($"sh")
-    sh.join(broadcast(hot), Seq("sh"), "left_anti")
+    cappedPostings(spark, docs, maxDf)
+      .select(explode($"ds").as("doc_id"), $"sh")
   }
 
   private def cappedShinglesSql(maxDf: Int = MaxShingleDf): String =
@@ -104,12 +119,25 @@ object DedupQueries {
     (spark, dir) =>
       import spark.implicits._
       val docs = Tables(spark, dir).documents
-      val sh = cappedShingles(spark, docs).cache()
-      val sz = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
-      val inter = sh.as("a")
-        .join(sh.as("b"),
-          $"a.sh" === $"b.sh" && $"a.doc_id" < $"b.doc_id")
-        .groupBy($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
+      // Candidate generation via posting lists, not a self-join: ONE
+      // doc scan, ONE groupBy(sh) shuffle builds each shingle's
+      // (capped, ≤ 50-doc, sorted) posting list, and the ordered pairs
+      // explode map-side — C(k,2) ≤ 1,225 pairs per shingle by the DF
+      // cap. Both the per-doc set sizes and the pair counts derive
+      // from the SAME cached postings, so the corpus is never scanned
+      // or shuffled twice the way a self-join formulation would.
+      val postings = cappedPostings(spark, docs).cache()
+      val sz = postings.select(explode($"ds").as("doc_id"))
+        .groupBy($"doc_id").agg(count(lit(1)).as("n"))
+      val inter = postings
+        .filter(size($"ds") >= 2)
+        .select(explode(expr(
+          """flatten(transform(ds, (a, i) ->
+            |  transform(slice(ds, i + 2, size(ds)),
+            |            b -> struct(a AS doc_a, b AS doc_b))))""".stripMargin))
+          .as("p"))
+        .select($"p.doc_a", $"p.doc_b")
+        .groupBy($"doc_a", $"doc_b")
         .agg(count(lit(1)).as("c"))
       inter
         .join(sz.select($"doc_id".as("da"), $"n".as("na")), $"doc_a" === $"da")
