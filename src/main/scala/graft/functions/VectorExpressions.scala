@@ -1,0 +1,172 @@
+package graft.functions
+
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.analysis.TypeCheckResult
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodeGenerator, CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, ExpressionInfo, UnaryExpression}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types._
+
+/** Native Catalyst expressions for the embedding hot path.
+  *
+  * The HOF formulation (`aggregate(zip_with(...))`) allocates an
+  * intermediate product array per row and evaluates the lambda through
+  * the interpreted higher-order path — fine at fixture scale, a real
+  * per-row cost when the ANN/dedup family scores millions of candidate
+  * pairs. These expressions generate a tight primitive loop inside
+  * whole-stage codegen instead: no intermediate array, no lambda
+  * dispatch, same IEEE result.
+  *
+  * Semantics are EXACTLY the ordered left fold the DuckDB oracle twins
+  * implement ([[VectorOps.dotSql]]): accumulate x_i·y_i left-to-right
+  * in double; any null element, or a length mismatch (zip_with pads
+  * with null), poisons the fold → null result. Bitwise identical to
+  * both the HOF version and DuckDB's `list_reduce` twin.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_dot"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    (left.dataType, right.dataType) match {
+      case (ArrayType(lt, _), ArrayType(rt, _))
+          if Seq(lt, rt).forall(t => t == FloatType || t == DoubleType) =>
+        TypeCheckResult.TypeCheckSuccess
+      case _ =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires two array<float|double> arguments, got " +
+            s"${left.dataType.catalogString} and ${right.dataType.catalogString}")
+    }
+
+  private def elemType(e: Expression): DataType =
+    e.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val ys = b.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    if (ys.numElements() != n) return null
+    val lt = elemType(left)
+    val rt = elemType(right)
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i) || ys.isNullAt(i)) return null
+      val x = if (lt == FloatType) xs.getFloat(i).toDouble else xs.getDouble(i)
+      val y = if (rt == FloatType) ys.getFloat(i).toDouble else ys.getDouble(i)
+      acc += x * y
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val getX = CodeGenerator.getValue(a, elemType(left), i)
+      val getY = CodeGenerator.getValue(b, elemType(right), i)
+      s"""
+         |final int $n = $a.numElements();
+         |if ($b.numElements() != $n) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $acc = 0.0;
+         |  boolean $bad = false;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    if ($a.isNullAt($i) || $b.isNullAt($i)) { $bad = true; break; }
+         |    $acc += ((double) $getX) * ((double) $getY);
+         |  }
+         |  if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+         |}
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+/** Squared L2 norm — the single-array specialization of [[DotProduct]]
+  * (one array walk, one null check per element).
+  */
+case class Norm2(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def nullIntolerant: Boolean = true
+  override def prettyName: String = "graft_norm2"
+
+  override def checkInputDataTypes(): TypeCheckResult =
+    child.dataType match {
+      case ArrayType(t, _) if t == FloatType || t == DoubleType =>
+        TypeCheckResult.TypeCheckSuccess
+      case other =>
+        TypeCheckResult.TypeCheckFailure(
+          s"$prettyName requires an array<float|double> argument, got " +
+            other.catalogString)
+    }
+
+  private def elemType: DataType =
+    child.dataType.asInstanceOf[ArrayType].elementType
+
+  override def nullSafeEval(a: Any): Any = {
+    val xs = a.asInstanceOf[ArrayData]
+    val n = xs.numElements()
+    val t = elemType
+    var acc = 0.0
+    var i = 0
+    while (i < n) {
+      if (xs.isNullAt(i)) return null
+      val x = if (t == FloatType) xs.getFloat(i).toDouble else xs.getDouble(i)
+      acc += x * x
+      i += 1
+    }
+    acc
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, a => {
+      val n = ctx.freshName("n")
+      val i = ctx.freshName("i")
+      val acc = ctx.freshName("acc")
+      val bad = ctx.freshName("bad")
+      val x = ctx.freshName("x")
+      val getX = CodeGenerator.getValue(a, elemType, i)
+      s"""
+         |final int $n = $a.numElements();
+         |double $acc = 0.0;
+         |boolean $bad = false;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  if ($a.isNullAt($i)) { $bad = true; break; }
+         |  final double $x = (double) $getX;
+         |  $acc += $x * $x;
+         |}
+         |if ($bad) { ${ev.isNull} = true; } else { ${ev.value} = $acc; }
+       """.stripMargin
+    })
+
+  override protected def withNewChildInternal(newChild: Expression): Norm2 =
+    copy(child = newChild)
+}
+
+object VectorExpressions {
+  /** injectFunction descriptors for [[graft.GraftExtensions]]. */
+  val dotDescriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_dot"),
+      new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+
+  val norm2Descriptor: (FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => Expression) =
+    (FunctionIdentifier("graft_norm2"),
+      new ExpressionInfo(classOf[Norm2].getName, "graft_norm2"),
+      (children: Seq[Expression]) => Norm2(children.head))
+}

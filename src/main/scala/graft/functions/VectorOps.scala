@@ -3,25 +3,40 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
+import org.apache.spark.sql.graftshim.SqlShim
+
 /** Vector math over `array<float>` embedding columns as ORDERED left
-  * folds (`aggregate`/`zip_with` — single codegen'd expression per
-  * row, no explode/join). A left fold fixes the IEEE addition order,
-  * so results are bitwise identical across engines (DuckDB twin:
-  * `list_reduce(list_transform(...), (acc, x) -> acc + x)`) — unlike
-  * relational SUM, whose accumulation order is nondeterministic, and
-  * unlike decimal-snapping, which rounds derived full-precision
-  * products differently per engine.
+  * folds — one expression per row, no explode/join. A left fold fixes
+  * the IEEE addition order, so results are bitwise identical across
+  * engines (DuckDB twin: `list_reduce(list_transform(...),
+  * (acc, x) -> acc + x)`) — unlike relational SUM, whose accumulation
+  * order is nondeterministic, and unlike decimal-snapping, which
+  * rounds derived full-precision products differently per engine.
+  *
+  * Backed by the native codegen expressions in [[VectorExpressions]]
+  * (tight primitive loop inside whole-stage codegen); the equivalent
+  * `aggregate(zip_with(...))` HOF formulation is kept in
+  * [[VectorOps.dotHof]] as the parity witness the spec checks against.
   */
 object VectorOps {
 
+  private def col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
+    SqlShim.column(e)
+
   /** dot(a, b), element-wise double product folded left-to-right. */
   def dot(a: Column, b: Column): Column =
+    col(DotProduct(SqlShim.expression(a), SqlShim.expression(b)))
+
+  /** squared L2 norm. */
+  def norm2(a: Column): Column = col(Norm2(SqlShim.expression(a)))
+
+  /** HOF twin of [[dot]] — same fold, interpreted higher-order path.
+    * Kept as the independent parity witness for VectorExpressionsSpec.
+    */
+  def dotHof(a: Column, b: Column): Column =
     aggregate(
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
-
-  /** squared L2 norm. */
-  def norm2(a: Column): Column = dot(a, a)
 
   /** cosine similarity from precomputed squared norms. */
   def cosineFrom(dotAb: Column, n2a: Column, n2b: Column): Column =
