@@ -59,19 +59,32 @@ object SimilarityQueries {
 
   private val NumPlanes = 4
 
-  /** Signed-projection fold: Σ_i emb[i]·h(p, i), where the hyperplane
-    * component h(p, i) = ±1 comes from the first md5 hex digit of
-    * "p|i" — deterministic, engine-identical.
+  /** Hyperplane sign vector h(p, ·): h(p, i) = +1 iff the first hex
+    * digit of md5("p|i") ≥ 8, else −1 — the same deterministic formula
+    * the DuckDB twin evaluates per element. The planes are
+    * data-independent constants, so they are computed ONCE here and
+    * shipped as array literals: the signed projection becomes a native
+    * [[VectorOps.dot]] against a constant vector (map-side, no
+    * per-row/per-element md5, no plane crossJoin, no per-vector
+    * groupBy shuffle). Fold order and operand values are identical to
+    * the per-element md5 formulation, so results stay bitwise equal.
     */
-  private def projection(emb: org.apache.spark.sql.Column,
-                         p: org.apache.spark.sql.Column) =
-    aggregate(
-      transform(sequence(lit(1), size(emb)), i =>
-        element_at(emb, i).cast("double") *
-          when(conv(substr(md5(concat(p.cast("string"), lit("|"),
-            (i - 1).cast("string"))), lit(1), lit(1)), 16, 10)
-            .cast("int") >= 8, 1.0).otherwise(-1.0)),
-      lit(0.0), (acc, x) => acc + x)
+  private def hyperplane(p: Int, dim: Int): Seq[Double] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until dim).map { i =>
+      val firstHex = (md.digest(s"$p|$i".getBytes("UTF-8"))(0) >> 4) & 0xf
+      if (firstHex >= 8) 1.0 else -1.0
+    }
+  }
+
+  /** bucket = Σ_p 2^p · [proj_p > 0] computed in one map-side pass
+    * over the embedding column (dim read from one row's metadata).
+    */
+  private def bucketCol(emb: org.apache.spark.sql.Column, dim: Int) =
+    (0 until NumPlanes).map { p =>
+      when(VectorOps.dot(emb, typedlit(hyperplane(p, dim))) > 0, lit(1L << p))
+        .otherwise(0L)
+    }.reduce(_ + _)
 
   private def projectionSql(emb: String, p: String): String =
     s"""list_reduce(list_transform(range(1, len($emb) + 1),
@@ -135,12 +148,8 @@ object SimilarityQueries {
     // cached copy would be corpus-sized at scale (r3 verdict note)
     val v = Tables(spark, dir).embeddings
       .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
-    val planes = spark.range(0, NumPlanes).select($"id".cast("int").as("p"))
-    val proj = v.crossJoin(broadcast(planes))
-      .select($"vec_id", $"p", projection($"embedding", $"p").as("pr"))
-    val sig = proj.groupBy($"vec_id")
-      .agg(sum(when($"pr" > 0, pow(lit(2.0), $"p").cast(LongType))
-        .otherwise(0L)).cast(LongType).as("bucket"))
+    val dim = v.select(size($"embedding")).head.getInt(0)
+    val sig = v.select($"vec_id", bucketCol($"embedding", dim).as("bucket"))
     val offsets = spark.range(-1, NumPlanes).select($"id".cast("int").as("j"))
     val probes = sig.filter($"vec_id" < 50)
       .crossJoin(broadcast(offsets))
