@@ -190,11 +190,23 @@ object DedupQueries {
       (spark, dir) =>
         import spark.implicits._
         val docs = Tables(spark, dir).documents
-        val sh = cappedShingles(spark, docs)
-        val hashAggs = (0 until NumHashes)
-          .map(i => min(md5(concat(lit(s"$i|"), $"sh"))).as(s"h$i"))
-        val sig = sh.groupBy($"doc_id")
-          .agg(hashAggs.head, hashAggs.tail: _*).cache()
+        // The 8 seeded hashes depend only on the shingle, and
+        // cappedPostings has ONE row per distinct shingle — hash
+        // there, then explode the posting list, so md5 runs per
+        // distinct shingle instead of per (doc, shingle) occurrence
+        // (the min over each doc's multiset is unchanged). Partial
+        // min-aggregation still combines map-side before the
+        // per-doc shuffle.
+        val hashed = cappedPostings(spark, docs).select(
+          $"ds" +: (0 until NumHashes)
+            .map(i => md5(concat(lit(s"$i|"), $"sh")).as(s"h$i")): _*)
+        val sig = hashed
+          .select($"ds" +: (0 until NumHashes).map(i => col(s"h$i")): _*)
+          .withColumn("doc_id", explode($"ds")).drop("ds")
+          .groupBy($"doc_id")
+          .agg(min($"h0").as("h0"),
+            (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+          .cache()
         val bands = (0 until NumBands).map { j =>
           sig.select($"doc_id", lit(j).as("band_idx"),
             md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("band_val"))

@@ -153,8 +153,13 @@ object TextQueries {
           (coalesce($"slang", lit("unknown")) === $"lang").as("correct"))
   }
 
-  /** Word 3-gram shingles (distinct), shared by fingerprinting and
-    * the dedup family. Exposed for reuse.
+  /** Word 3-gram shingles, shared by fingerprinting and the dedup
+    * family. Exposed for reuse. NOT deduplicated: a repeated shingle
+    * within a doc emits one row per occurrence. All consumers are
+    * duplicate-insensitive — min-aggregation (q12d) and the bounded
+    * collect-SET in [[DedupQueries.cappedPostings]], which dedupes
+    * inside O(cap) agg buffers — so the former corpus-wide
+    * `.distinct()` shuffle of the full shingle mass is dropped.
     */
   def shingles(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
@@ -171,7 +176,6 @@ object TextQueries {
           |                   element_at(toks, i + 1),
           |                   element_at(toks, i + 2)))
           |ELSE CAST(array() AS array<string>) END""".stripMargin)).as("sh"))
-      .distinct()
   }
 
   val shinglesSql: String =
