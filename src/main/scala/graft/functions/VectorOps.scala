@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.functions._
 
-import org.apache.spark.sql.graftshim.SqlShim
+import org.apache.spark.sql.GraftColumnBridge
 
 /** Vector math over `array<float>` embedding columns as ORDERED left
   * folds — one expression per row, no explode/join. A left fold fixes
@@ -21,14 +21,16 @@ import org.apache.spark.sql.graftshim.SqlShim
 object VectorOps {
 
   private def col(e: org.apache.spark.sql.catalyst.expressions.Expression) =
-    SqlShim.column(e)
+    GraftColumnBridge.column(e)
 
   /** dot(a, b), element-wise double product folded left-to-right. */
   def dot(a: Column, b: Column): Column =
-    col(DotProduct(SqlShim.expression(a), SqlShim.expression(b)))
+    col(DotProduct(GraftColumnBridge.expression(a),
+      GraftColumnBridge.expression(b)))
 
   /** squared L2 norm. */
-  def norm2(a: Column): Column = col(Norm2(SqlShim.expression(a)))
+  def norm2(a: Column): Column =
+    col(Norm2(GraftColumnBridge.expression(a)))
 
   /** HOF twin of [[dot]] — same fold, interpreted higher-order path.
     * Kept as the independent parity witness for VectorExpressionsSpec.

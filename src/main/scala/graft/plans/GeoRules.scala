@@ -1,6 +1,6 @@
 package graft.plans
 
-import org.apache.spark.sql.{Column, SparkSession, SparkSessionExtensions}
+import org.apache.spark.sql.{Column, SparkSession}
 import org.apache.spark.sql.catalyst.expressions.{Expression, Unevaluable}
 import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
 import org.apache.spark.sql.catalyst.rules.Rule
@@ -27,9 +27,9 @@ import graft.functions.Geo
   * user's own `&&` would work per query, the Rule does it for every
   * query, which is the legitimate use of `SparkSessionExtensions`.
   *
-  * Install per session via [[GeoRules.install]] (uses
+  * Install per session via [[graft.GraftExtensions.install]] (uses
   * `spark.experimental.extraOptimizations`) or cluster-wide with
-  * `spark.sql.extensions=graft.plans.GraftSparkExtensions`.
+  * `spark.sql.extensions=graft.GraftExtensions`.
   */
 object GeoRules {
 
@@ -90,16 +90,13 @@ object GeoRules {
       }
   }
 
-  /** Idempotently register the rewrite on an existing session. */
+  /** Idempotently register the rewrite on an existing session.
+    * (Subsumed by [[graft.GraftExtensions.install]], which registers
+    * the full extension set; kept for callers that want geo only.)
+    */
   def install(spark: SparkSession): Unit = {
     val cur = spark.experimental.extraOptimizations
     if (!cur.contains(RewriteWithinRadius))
       spark.experimental.extraOptimizations = cur :+ RewriteWithinRadius
   }
-}
-
-/** For `spark.sql.extensions=graft.plans.GraftSparkExtensions`. */
-class GraftSparkExtensions extends (SparkSessionExtensions => Unit) {
-  override def apply(e: SparkSessionExtensions): Unit =
-    e.injectOptimizerRule(_ => GeoRules.RewriteWithinRadius)
 }
