@@ -260,25 +260,27 @@ object DedupQueries {
       |FROM sh""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val docs = Tables(spark, dir).documents
-    val toks = docs.select($"doc_id",
-      explode(split(trim($"text"), "\\s+")).as("tok"))
-    val bitIdx = spark.range(0, 16).select($"id".cast("int").as("b"))
+    // All 16 bit contributions are extracted map-side from each
+    // token's md5 (hex digit b/4, bit 3−b%4) and aggregated as 16
+    // parallel SUM columns in ONE groupBy(doc_id) — the former
+    // token × bit-index crossJoin shuffled 16× the token mass through
+    // an extra (doc_id, b) aggregation stage for the same numbers.
     // hex digit value: conv(hexchar, 16, 10); same result as the
     // oracle's strpos-in-alphabet — only outputs must match, not calls
-    val digit = conv(
-      substr(md5($"tok"), lit(1) + ($"b" / lit(4)).cast("int"), lit(1)),
-      16, 10).cast("int")
-    // (digit >> (3 - b%4)) & 1, in arithmetic form (shiftright takes a
-    // literal bit count in the Scala API)
-    val shift = pow(lit(2.0), lit(3) - pmod($"b", lit(4)))
-    val bits = toks.crossJoin(broadcast(bitIdx))
-      .select($"doc_id", $"b",
-        pmod((digit / shift).cast("int"), lit(2)).as("bitval"))
-    val sig = bits.groupBy($"doc_id", $"b")
-      .agg(when(sum($"bitval" * 2 - 1) > 0, 1).otherwise(0).as("bit"))
-    val sh = sig.groupBy($"doc_id")
-      .agg(sum($"bit" * pow(lit(2.0), $"b").cast(LongType))
-        .cast(LongType).as("simhash"))
+    val toks = docs
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .select($"doc_id", md5($"tok").as("h"))
+    def bitval(b: Int) = {
+      val digit = conv(substr($"h", lit(1 + b / 4), lit(1)), 16, 10)
+        .cast("int")
+      shiftright(digit, 3 - b % 4) % 2
+    }
+    val sums = toks.groupBy($"doc_id")
+      .agg(sum(bitval(0) * 2 - 1).as("s0"),
+        (1 until 16).map(b => sum(bitval(b) * 2 - 1).as(s"s$b")): _*)
+    val sh = sums.select($"doc_id",
+      (0 until 16).map(b => when(col(s"s$b") > 0, 1L << b).otherwise(0L))
+        .reduce(_ + _).cast(LongType).as("simhash"))
     sh.withColumn("bucket_size",
       count(lit(1)).over(
         org.apache.spark.sql.expressions.Window.partitionBy($"simhash")))
