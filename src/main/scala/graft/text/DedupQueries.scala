@@ -74,6 +74,15 @@ object DedupQueries {
   def cappedPostings(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     import spark.implicits._
+    // Typed aggregators run through ObjectHashAggregate, which falls
+    // back to SORT-based aggregation after only 128 distinct keys per
+    // partition (default) — a full sort of the shingle mass. Each of
+    // our buffers is bounded at cap+1 longs (≈ 500 B), so 128k keys
+    // is a ~64 MB/task budget: raise the fallback to that, keeping
+    // hash aggregation for realistic per-partition shingle
+    // cardinalities while the byte-bound stays executor-safe.
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
     val bounded =
       udaf(graft.functions.BoundedList.BoundedListAggregator(maxDf),
         org.apache.spark.sql.Encoders.scalaLong)
