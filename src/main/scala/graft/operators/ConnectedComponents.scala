@@ -1,0 +1,66 @@
+package graft.operators
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Connected components over an undirected edge list — the step a
+  * dedup pipeline needs between near-dup PAIRS (q13b/q13c emit them)
+  * and a keep-one decision: docs A~B and B~C must collapse into ONE
+  * cluster even when A~C was never scored.
+  *
+  * Minimum-label propagation: every vertex starts labeled with
+  * itself; each round a vertex takes the min label among itself and
+  * its neighbors; fixpoint = every vertex carries the minimum vertex
+  * id of its component. Each round is one join + one min-aggregation
+  * (both shuffle on vertex id, so AQE coalesces them onto one
+  * exchange), and the round count is the graph diameter — near-dup
+  * graphs are unions of small cliques/chains, so a handful of rounds
+  * at any corpus scale. The driver-side loop is iteration CONTROL
+  * only (a count per round); all data stays distributed, and caching
+  * is per-round with eager unpersist of the previous label set so
+  * lineage and storage stay O(1) across rounds.
+  */
+object ConnectedComponents {
+
+  /** `edges`: two LONG columns (src, dst), undirected, self-loops and
+    * duplicates tolerated. Returns (id, component) for every vertex
+    * appearing in `edges`, component = min vertex id reachable.
+    */
+  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2).map(col)
+    val sym = edges.select(srcCol.cast("long").as("src"),
+        dstCol.cast("long").as("dst"))
+      .unionByName(edges.select(dstCol.cast("long").as("src"),
+        srcCol.cast("long").as("dst")))
+      .filter($"src" =!= $"dst").distinct().cache()
+
+    var labels = sym.select($"src".as("id")).distinct()
+      .select($"id", $"id".as("component")).cache()
+    var converged = false
+    var iter = 0
+    while (!converged && iter < maxIter) {
+      // neighbor labels flow along edges; keep own label in the race
+      val next = sym
+        .join(labels, $"src" === $"id")
+        .select($"dst".as("id"), $"component")
+        .unionByName(labels)
+        .groupBy($"id").agg(min($"component").as("component"))
+        .cache()
+      val changed = next.as("n")
+        .join(labels.as("o"), $"n.id" === $"o.id")
+        .filter($"n.component" =!= $"o.component")
+        .count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      iter += 1
+    }
+    sym.unpersist()
+    require(converged,
+      s"connected components did not converge within $maxIter rounds " +
+        "(graph diameter exceeds the bound — raise maxIter)")
+    labels
+  }
+}

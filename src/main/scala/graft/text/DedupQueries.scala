@@ -111,20 +111,29 @@ object DedupQueries {
     * sets — hot boilerplate shingles are excluded from both |∩| and
     * |∪|, in both engines.
     */
-  val q13bNgramJaccard: GraftQuery = GraftQuery(
-    "q13b_ngram_jaccard",
-    s"""WITH sh AS (${cappedShinglesSql()}),
+  /** Shared CTE body + final select of the Jaccard pair query —
+    * reused verbatim by q13f's oracle so the component oracle runs on
+    * EXACTLY the pair set q13b produces.
+    */
+  private def jaccardCtes: String =
+    s"""sh AS (${cappedShinglesSql()}),
        |sz AS (SELECT doc_id, COUNT(*) AS n FROM sh GROUP BY 1),
        |inter AS (
        |  SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS c
        |  FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-       |  GROUP BY 1, 2)
-       |SELECT doc_a, doc_b,
-       |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
-       |FROM inter
-       |JOIN sz sa ON doc_a = sa.doc_id
-       |JOIN sz sb ON doc_b = sb.doc_id
-       |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin) {
+       |  GROUP BY 1, 2)""".stripMargin
+
+  private val jaccardSelect: String =
+    """SELECT doc_a, doc_b,
+      |       CAST(c AS DOUBLE) / (sa.n + sb.n - c) AS jaccard
+      |FROM inter
+      |JOIN sz sa ON doc_a = sa.doc_id
+      |JOIN sz sb ON doc_b = sb.doc_id
+      |WHERE CAST(c AS DOUBLE) / (sa.n + sb.n - c) >= 0.5""".stripMargin
+
+  val q13bNgramJaccard: GraftQuery = GraftQuery(
+    "q13b_ngram_jaccard",
+    s"WITH $jaccardCtes\n$jaccardSelect") {
     (spark, dir) =>
       import spark.implicits._
       val docs = Tables(spark, dir).documents
@@ -154,6 +163,33 @@ object DedupQueries {
         .select($"doc_a", $"doc_b",
           ($"c".cast(DoubleType) / ($"na" + $"nb" - $"c")).as("jaccard"))
         .filter($"jaccard" >= 0.5)
+  }
+
+  /** q13f — near-dup clusters: connected components over the q13b
+    * pair graph ([[graft.operators.ConnectedComponents]], min-label
+    * propagation), with the component minimum as the kept
+    * representative. This is the step between PAIRS and a keep-one
+    * decision: A~B and B~C collapse into one cluster even though A~C
+    * was never scored. The oracle recomputes components independently
+    * via a recursive transitive-closure CTE over the same pair set.
+    */
+  val q13fDedupComponents: GraftQuery = GraftQuery(
+    "q13f_dedup_components",
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS ($jaccardSelect),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.v)
+       |SELECT v AS doc_id, MIN(r) AS component, v = MIN(r) AS keep
+       |FROM reach GROUP BY v""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val pairs = q13bNgramJaccard.fn(spark, dir).select($"doc_a", $"doc_b")
+    graft.operators.ConnectedComponents.components(pairs)
+      .select($"id".as("doc_id"), $"component",
+        ($"id" === $"component").as("keep"))
   }
 
   private val NumHashes = 8
@@ -329,5 +365,5 @@ object DedupQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q13aExactDedup, q13bNgramJaccard, q13cMinhashLsh, q13dSimhash,
-    q13eEmbedNeardup)
+    q13eEmbedNeardup, q13fDedupComponents)
 }

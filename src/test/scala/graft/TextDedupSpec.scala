@@ -139,6 +139,38 @@ class TextDedupSpec extends SparkTestBase {
     assert(sh.count(_.getLong(0) == 5L) == 2)
   }
 
+  test("connected components merge chains transitively") {
+    import spark.implicits._
+    // A~B, B~C (A~C never scored) must form ONE cluster; {10,11}
+    // stays separate; duplicate/reversed/self edges are tolerated
+    val edges = Seq((2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (5L, 5L),
+      (1L, 2L)).toDF("src", "dst")
+    val comp = graft.operators.ConnectedComponents.components(edges)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+  }
+
+  test("q13f components are consistent with the q13b pair graph") {
+    import spark.implicits._
+    val comp = DedupQueries.q13fDedupComponents.fn(spark, sfDir).cache()
+    val pairs = DedupQueries.q13bNgramJaccard.fn(spark, sfDir)
+      .select($"doc_a", $"doc_b")
+    // every endpoint of a pair edge carries the SAME component label
+    val lbl = comp.select($"doc_id", $"component")
+    val broken = pairs
+      .join(lbl.toDF("doc_a", "ca"), Seq("doc_a"))
+      .join(lbl.toDF("doc_b", "cb"), Seq("doc_b"))
+      .filter($"ca" =!= $"cb")
+    assert(broken.count() == 0)
+    // exactly one kept representative per component, = its min doc_id
+    val badRep = comp.groupBy($"component")
+      .agg(sum(when($"keep", 1).otherwise(0)).as("kept"),
+        min($"doc_id").as("mn"))
+      .filter($"kept" =!= 1 || $"mn" =!= $"component")
+    assert(badRep.count() == 0)
+    comp.unpersist()
+  }
+
   test("fingerprint: identical texts share winnow_fp") {
     import spark.implicits._
     val fp = TextQueries.q12dFingerprint.fn(spark, sfDir)
