@@ -46,6 +46,61 @@ object TextQueries {
           .as("avg_token_len"))
   }
 
+  /** BPE-ish pre-tokenizer regex (GPT-2-style, portable subset):
+    * contraction suffixes, optional-leading-space letter runs, digit
+    * runs, punctuation runs, then whitespace runs. Both engines use
+    * leftmost-first alternation (Java regex, DuckDB's RE2 non-POSIX
+    * mode), so the match streams are identical.
+    */
+  private[graft] val bpePattern =
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+
+  /** q12e — BPE-ish token counting (builder contract: "token counting
+    * (whitespace + a BPE-ish regex)"; q12a is the whitespace half).
+    * Whitespace runs count as tokens here (as a byte-level BPE would
+    * carry them), so `bpe_per_word` > 1 measures subword+space
+    * expansion over the whitespace segmentation.
+    */
+  val q12eBpeTokens: GraftQuery = GraftQuery(
+    "q12e_bpe_tokens",
+    s"""WITH toks AS (
+       |  SELECT doc_id,
+       |         unnest(regexp_extract_all(text,
+       |           '${bpePattern.replace("'", "''")}'))
+       |           AS tok
+       |  FROM documents),
+       |ws AS (
+       |  SELECT doc_id, COUNT(*) AS n_words
+       |  FROM (SELECT doc_id,
+       |          unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |        FROM documents) GROUP BY 1),
+       |bpe AS (
+       |  SELECT doc_id, COUNT(*) AS n_bpe,
+       |         COUNT(DISTINCT tok) AS n_distinct_bpe,
+       |         CAST(SUM(length(tok)) AS DOUBLE) / COUNT(*) AS avg_bpe_len
+       |  FROM toks GROUP BY 1)
+       |SELECT bpe.doc_id, n_bpe, n_distinct_bpe, avg_bpe_len,
+       |       CAST(n_bpe AS DOUBLE) / n_words AS bpe_per_word
+       |FROM bpe JOIN ws ON bpe.doc_id = ws.doc_id""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val toks = docs.select($"doc_id",
+        explode(regexp_extract_all($"text", lit(bpePattern), lit(0)))
+          .as("tok"))
+      val bpe = toks.groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_bpe"),
+          countDistinct($"tok").as("n_distinct_bpe"),
+          (sum(length($"tok")).cast("double") / count(lit(1)))
+            .as("avg_bpe_len"))
+      val ws = tokens(docs).groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_words"))
+        .withColumnRenamed("doc_id", "wdoc")
+      bpe.join(ws, $"doc_id" === $"wdoc")
+        .select($"doc_id", $"n_bpe", $"n_distinct_bpe", $"avg_bpe_len",
+          ($"n_bpe".cast("double") / $"n_words").as("bpe_per_word"))
+  }
+
   /** English-ish stopwords present in the corpus vocabulary. */
   private val stopEn = Seq("the", "a", "and", "of", "to", "is")
 
@@ -208,5 +263,6 @@ object TextQueries {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(q12aTokenStats, q12bQualityScore, q12cLangId, q12dFingerprint)
+    Seq(q12aTokenStats, q12bQualityScore, q12cLangId, q12dFingerprint,
+      q12eBpeTokens)
 }

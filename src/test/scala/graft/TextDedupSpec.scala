@@ -171,6 +171,21 @@ class TextDedupSpec extends SparkTestBase {
     comp.unpersist()
   }
 
+  test("BPE-ish tokenizer splits contractions, digits and punct runs") {
+    import spark.implicits._
+    // "We'll pay $12,50 now!" →
+    //   [We]['ll][ pay][ $][12][,][50][ now][!] = 9 tokens
+    val df = Seq((1L, "We'll pay $12,50 now!")).toDF("doc_id", "text")
+    val toks = df.select(explode(regexp_extract_all($"text",
+      lit(TextQueries.bpePattern), lit(0))).as("tok")).as[String].collect()
+    assert(toks.toSeq === Seq("We", "'ll", " pay", " $", "12", ",", "50",
+      " now", "!"))
+    // and the registered query reproduces the count on the fixture
+    val row = TextQueries.q12eBpeTokens.fn(spark, sfDir)
+      .filter($"doc_id" === 0L).collect()
+    assert(row.nonEmpty && row.head.getAs[Long]("n_bpe") > 0L)
+  }
+
   test("fingerprint: identical texts share winnow_fp") {
     import spark.implicits._
     val fp = TextQueries.q12dFingerprint.fn(spark, sfDir)
