@@ -101,6 +101,54 @@ object TextQueries {
           ($"n_bpe".cast("double") / $"n_words").as("bpe_per_word"))
   }
 
+  /** Per-language keep rates for q12f, in 256ths (so the threshold
+    * compares against an exact byte value — no float roundoff between
+    * engines). Demo mixture: downsample the over-represented sources.
+    */
+  private val rebalanceRates: Seq[(String, Int)] =
+    Seq("en" -> 128, "es" -> 192, "de" -> 192, "fr" -> 256, "zh" -> 96)
+
+  /** q12f — deterministic corpus rebalancing: keep a doc iff the
+    * first byte of md5(doc_id || '|rebalance') falls under its
+    * language's threshold. Training pipelines re-mix sources at
+    * weights; doing it with a content-independent hash (not `rand()`
+    * or `sample`) makes the subset reproducible across runs, engines,
+    * partitionings and cluster sizes — the property an auditable data
+    * recipe needs. Map-side only: no shuffle, no state, linear scan.
+    */
+  val q12fCorpusRebalance: GraftQuery = {
+    val caseSql = rebalanceRates
+      .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
+    GraftQuery(
+      "q12f_corpus_rebalance",
+      s"""WITH u AS (
+         |  SELECT doc_id, lang,
+         |         (strpos('0123456789abcdef',
+         |            substr(md5(CAST(doc_id AS VARCHAR) || '|rebalance'), 1, 1)) - 1) * 16
+         |         + (strpos('0123456789abcdef',
+         |            substr(md5(CAST(doc_id AS VARCHAR) || '|rebalance'), 2, 1)) - 1)
+         |           AS byte0
+         |  FROM documents)
+         |SELECT doc_id, lang
+         |FROM u
+         |WHERE byte0 < CASE lang $caseSql ELSE 0 END""".stripMargin) {
+      (spark, dir) =>
+        import spark.implicits._
+        val byte0 = conv(
+          substr(md5(concat($"doc_id".cast("string"), lit("|rebalance"))),
+            lit(1), lit(2)), 16, 10).cast("int")
+        val threshold = rebalanceRates
+          .foldLeft(when(lit(false), 0)) { case (c, (l, r)) =>
+            c.when($"lang" === l, r)
+          }.otherwise(0)
+        Tables(spark, dir).documents
+          .select($"doc_id", $"lang", byte0.as("byte0"),
+            threshold.as("thr"))
+          .filter($"byte0" < $"thr")
+          .select($"doc_id", $"lang")
+    }
+  }
+
   /** English-ish stopwords present in the corpus vocabulary. */
   private val stopEn = Seq("the", "a", "and", "of", "to", "is")
 
@@ -264,5 +312,5 @@ object TextQueries {
 
   val all: Seq[GraftQuery] =
     Seq(q12aTokenStats, q12bQualityScore, q12cLangId, q12dFingerprint,
-      q12eBpeTokens)
+      q12eBpeTokens, q12fCorpusRebalance)
 }

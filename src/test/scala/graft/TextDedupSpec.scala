@@ -186,6 +186,24 @@ class TextDedupSpec extends SparkTestBase {
     assert(row.nonEmpty && row.head.getAs[Long]("n_bpe") > 0L)
   }
 
+  test("corpus rebalance is deterministic and rate-proportional") {
+    import spark.implicits._
+    val a = TextQueries.q12fCorpusRebalance.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    val b = TextQueries.q12fCorpusRebalance.fn(spark, sfDir)
+      .collect().map(r => (r.getLong(0), r.getString(1))).toSet
+    assert(a == b, "hash sampling must be reproducible run-over-run")
+    assert(a.nonEmpty)
+    // kept fraction tracks the per-lang rate (fr keeps all, zh ~3/8)
+    val total = Tables(spark, sfDir).documents
+      .groupBy($"lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val kept = a.groupBy(_._2).view.mapValues(_.size.toDouble).toMap
+    assert(kept("fr") == total("fr").toDouble, "rate 256/256 keeps all")
+    val zhFrac = kept.getOrElse("zh", 0.0) / total("zh")
+    assert(zhFrac > 0.1 && zhFrac < 0.7, s"zh fraction $zhFrac far from 96/256")
+  }
+
   test("fingerprint: identical texts share winnow_fp") {
     import spark.implicits._
     val fp = TextQueries.q12dFingerprint.fn(spark, sfDir)
