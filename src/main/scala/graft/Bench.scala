@@ -39,12 +39,15 @@ object Bench {
     // that is linear at scale (the labeled quadratic baselines q13e /
     // q14a stay out).
     val ext = Seq(
-      "q12a_token_stats", "q12d_fingerprint", "q13a_exact_dedup",
+      "q12a_token_stats", "q12d_fingerprint", "q12e_bpe_tokens",
+      "q12f_corpus_rebalance", "q13a_exact_dedup",
       "q13b_ngram_jaccard", "q13c_minhash_lsh", "q13d_simhash",
       "q14b_ann_lsh", "q15a_event_kpis_tumbling", "q15c_sessionization",
       "q15f_asof_join",
       // the W2/W3 scale path, tracked against q3a's window form
       "q3a_rank_ntile_dist")
+    // q13f (components) stays out: its dominant cost is recomputing the
+    // q13b pair graph, which is already tracked above.
 
     def timeOne(name: String): Double = {
       val t0 = System.nanoTime()
