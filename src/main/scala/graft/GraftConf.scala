@@ -1,0 +1,25 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Engine-level session tuning applied by graft's own mains and test
+  * base — explicit and in ONE place, never mutated from inside a
+  * query (a query that silently re-configures the session would
+  * change unrelated workloads that run after it).
+  */
+object GraftConf {
+
+  /** ObjectHashAggregate falls back to SORT-based aggregation after
+    * 128 distinct keys per partition (default) — a full sort of the
+    * input mass under any typed aggregator. graft's typed aggregators
+    * (BoundedList, TopK) hold O(cap) ≈ 500 B buffers, so 128k keys is
+    * a ~64 MB/task budget: hash aggregation survives realistic
+    * per-partition cardinalities while staying executor-safe. Library
+    * users who run LARGE-buffer object aggregations (uncapped
+    * collect_list over wide rows) in the same session should size
+    * this themselves.
+    */
+  def tune(spark: SparkSession): Unit =
+    spark.conf.set(
+      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+}

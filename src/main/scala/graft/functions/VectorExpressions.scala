@@ -157,16 +157,25 @@ case class Norm2(child: Expression) extends UnaryExpression {
 }
 
 object VectorExpressions {
+  private def arity(name: String, n: Int)(
+      build: Seq[Expression] => Expression): Seq[Expression] => Expression =
+    children => {
+      if (children.length != n)
+        throw new IllegalArgumentException(
+          s"$name requires exactly $n argument(s), got ${children.length}")
+      build(children)
+    }
+
   /** injectFunction descriptors for [[graft.GraftExtensions]]. */
   val dotDescriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_dot"),
       new ExpressionInfo(classOf[DotProduct].getName, "graft_dot"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1)))
+      arity("graft_dot", 2)(c => DotProduct(c(0), c(1))))
 
   val norm2Descriptor: (FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => Expression) =
     (FunctionIdentifier("graft_norm2"),
       new ExpressionInfo(classOf[Norm2].getName, "graft_norm2"),
-      (children: Seq[Expression]) => Norm2(children.head))
+      arity("graft_norm2", 1)(c => Norm2(c.head)))
 }

@@ -40,27 +40,40 @@ object ConnectedComponents {
       .select($"id", $"id".as("component")).cache()
     var converged = false
     var iter = 0
-    while (!converged && iter < maxIter) {
-      // neighbor labels flow along edges; keep own label in the race
-      val next = sym
-        .join(labels, $"src" === $"id")
-        .select($"dst".as("id"), $"component")
-        .unionByName(labels)
-        .groupBy($"id").agg(min($"component").as("component"))
-        .cache()
-      val changed = next.as("n")
-        .join(labels.as("o"), $"n.id" === $"o.id")
-        .filter($"n.component" =!= $"o.component")
-        .count()
+    try {
+      while (!converged && iter < maxIter) {
+        // neighbor labels flow along edges; keep own label in the race
+        val next = sym
+          .join(labels, $"src" === $"id")
+          .select($"dst".as("id"), $"component")
+          .unionByName(labels)
+          .groupBy($"id").agg(min($"component").as("component"))
+          .cache()
+        val changed =
+          try next.as("n")
+            .join(labels.as("o"), $"n.id" === $"o.id")
+            .filter($"n.component" =!= $"o.component")
+            .count()
+          catch { case t: Throwable => next.unpersist(); throw t }
+        labels.unpersist()
+        labels = next
+        converged = changed == 0
+        iter += 1
+      }
+      require(converged,
+        s"connected components did not converge within $maxIter rounds " +
+          "(graph diameter exceeds the bound — raise maxIter)")
+      // Materialize with the iterative lineage CUT (localCheckpoint is
+      // eager here), then drop the loop's cache: the result must not
+      // stay pinned in the session's cache manager for the life of the
+      // session (an O(vertices) leak per call), and it must not carry
+      // an N-round join lineage that an uncached consumer would replay.
+      // Checkpoint blocks are released by the ContextCleaner once the
+      // caller drops the DataFrame.
+      labels.localCheckpoint(eager = true)
+    } finally {
       labels.unpersist()
-      labels = next
-      converged = changed == 0
-      iter += 1
+      sym.unpersist()
     }
-    sym.unpersist()
-    require(converged,
-      s"connected components did not converge within $maxIter rounds " +
-        "(graph diameter exceeds the bound — raise maxIter)")
-    labels
   }
 }

@@ -74,15 +74,12 @@ object DedupQueries {
   def cappedPostings(spark: org.apache.spark.sql.SparkSession,
       docs: DataFrame, maxDf: Int = MaxShingleDf): DataFrame = {
     import spark.implicits._
-    // Typed aggregators run through ObjectHashAggregate, which falls
-    // back to SORT-based aggregation after only 128 distinct keys per
-    // partition (default) — a full sort of the shingle mass. Each of
-    // our buffers is bounded at cap+1 longs (≈ 500 B), so 128k keys
-    // is a ~64 MB/task budget: raise the fallback to that, keeping
-    // hash aggregation for realistic per-partition shingle
-    // cardinalities while the byte-bound stays executor-safe.
-    spark.conf.set(
-      "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+    // NOTE: this aggregation wants
+    // spark.sql.objectHashAggregate.sortBased.fallbackThreshold well
+    // above the 128-key default (see GraftConf.tune — set explicitly
+    // in graft's session builders, NOT mutated here: a query silently
+    // re-configuring the session would change unrelated object
+    // aggregations that run after it).
     val bounded =
       udaf(graft.functions.BoundedList.BoundedListAggregator(maxDf),
         org.apache.spark.sql.Encoders.scalaLong)

@@ -148,7 +148,24 @@ object SimilarityQueries {
     // cached copy would be corpus-sized at scale (r3 verdict note)
     val v = Tables(spark, dir).embeddings
       .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
-    val dim = v.select(size($"embedding")).head.getInt(0)
+    // one-row metadata probe for the (uniform, by contract) embedding
+    // dimension; null rows skipped, empty corpus → empty result with
+    // the right schema instead of a head() crash
+    val dimRow = v.filter($"embedding".isNotNull)
+      .select(size($"embedding")).limit(1).collect()
+    if (dimRow.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        new StructType()
+          .add("query_id", LongType).add("cand_id", LongType)
+          .add("cosine", DoubleType).add("rank", IntegerType))
+    else annLshTopk(spark, v, dimRow.head.getInt(0))
+  }
+
+  /** The non-empty-corpus body of q14b (see the query doc above). */
+  private def annLshTopk(spark: org.apache.spark.sql.SparkSession,
+      v: DataFrame, dim: Int): DataFrame = {
+    import spark.implicits._
     val sig = v.select($"vec_id", bucketCol($"embedding", dim).as("bucket"))
     val offsets = spark.range(-1, NumPlanes).select($"id".cast("int").as("j"))
     val probes = sig.filter($"vec_id" < 50)

@@ -107,6 +107,14 @@ class VectorExpressionsSpec extends SparkTestBase {
     }
   }
 
+  test("wrong arity is rejected with a clear message") {
+    GraftExtensions.install(spark)
+    val e = intercept[Exception] {
+      spark.sql("SELECT graft_dot(array(1.0D))").collect()
+    }
+    assert(e.getMessage.contains("exactly 2 argument"))
+  }
+
   test("type errors are rejected at analysis") {
     import spark.implicits._
     val df = Seq((Seq("x"), 1)).toDF("s", "i")
