@@ -226,5 +226,60 @@ object SimilarityQueries {
         .filter($"rank" <= 3)
   }
 
-  val all: Seq[GraftQuery] = Seq(q14aAnnBruteTopk, q14bAnnLsh, q14cAnnIvf)
+  /** q14d — symmetric int8 embedding quantization audit: per-vector
+    * scale = max|x|/127, q_i = clamp(floor(x_i/scale + 0.5), ±127),
+    * reporting the max/mean absolute reconstruction error. The
+    * storage path for embeddings at corpus scale (4× smaller than
+    * f32, dot products stay int-SIMD-able); the audit quantifies what
+    * recall the compression can cost. `floor(x + 0.5)` is spelled out
+    * (not `round`) so both engines use the identical tie rule; all
+    * reductions are ordered left folds → bitwise-equal doubles.
+    * Zero vectors quantize to zeros (scale 0 guarded).
+    */
+  val q14dEmbedQuantize: GraftQuery = GraftQuery(
+    "q14d_embed_quantize",
+    """WITH q AS (
+      |  SELECT vec_id,
+      |         list_reduce(list_transform(embedding,
+      |             x -> abs(CAST(x AS DOUBLE))),
+      |           (a, b) -> greatest(a, b)) / 127.0 AS scale,
+      |         len(embedding) AS dim
+      |  FROM embeddings),
+      |e AS (
+      |  SELECT q.vec_id, q.scale, q.dim,
+      |         list_transform(embedding, x ->
+      |           abs(CAST(x AS DOUBLE) -
+      |               CASE WHEN q.scale = 0 THEN 0.0
+      |                    ELSE greatest(least(floor(CAST(x AS DOUBLE) / q.scale + 0.5),
+      |                                        127.0), -127.0) * q.scale END)) AS errs
+      |  FROM embeddings v JOIN q ON v.vec_id = q.vec_id)
+      |SELECT vec_id, scale,
+      |       list_reduce(errs, (a, b) -> greatest(a, b)) AS max_abs_err,
+      |       list_reduce(errs, (a, b) -> a + b) / dim AS mean_abs_err
+      |FROM e""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val x = $"embedding"
+    val scale = aggregate(
+      transform(x, v => abs(v.cast("double"))),
+      lit(0.0), (a, b) => greatest(a, b)) / 127.0
+    val withScale = Tables(spark, dir).embeddings
+      .select($"vec_id", x, scale.as("scale"), size(x).as("dim"))
+    val errs = transform($"embedding", v => {
+      val d = v.cast("double")
+      val deq = when($"scale" === 0.0, 0.0)
+        .otherwise(greatest(least(floor(d / $"scale" + 0.5), lit(127.0)),
+          lit(-127.0)) * $"scale")
+      abs(d - deq)
+    })
+    withScale
+      .select($"vec_id", $"scale", errs.as("errs"), $"dim")
+      .select($"vec_id", $"scale",
+        aggregate($"errs", lit(0.0), (a, b) => greatest(a, b))
+          .as("max_abs_err"),
+        (aggregate($"errs", lit(0.0), (a, b) => a + b) / $"dim")
+          .as("mean_abs_err"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q14aAnnBruteTopk, q14bAnnLsh, q14cAnnIvf, q14dEmbedQuantize)
 }

@@ -204,6 +204,17 @@ class TextDedupSpec extends SparkTestBase {
     assert(zhFrac > 0.1 && zhFrac < 0.7, s"zh fraction $zhFrac far from 96/256")
   }
 
+  test("int8 quantization error stays within half a quantization step") {
+    import spark.implicits._
+    val q = SimilarityQueries.q14dEmbedQuantize.fn(spark, sfDir)
+    // round-to-nearest with scale = max|x|/127 never clamps past the
+    // grid, so |x - deq(x)| <= scale/2 must hold exactly
+    val bad = q.filter($"max_abs_err" > $"scale" / 2 + 1e-12)
+    assert(bad.count() == 0)
+    assert(q.filter($"scale" <= 0).count() == 0, "real vectors have scale > 0")
+    assert(q.filter($"mean_abs_err" > $"max_abs_err").count() == 0)
+  }
+
   test("fingerprint: identical texts share winnow_fp") {
     import spark.implicits._
     val fp = TextQueries.q12dFingerprint.fn(spark, sfDir)
