@@ -56,6 +56,36 @@ class PlanSpec extends SparkTestBase {
       s"expected multiple codegen stages in q1a plan:\n$plan")
   }
 
+  test("q12f corpus rebalance plans with zero shuffles") {
+    val df = graft.text.TextQueries.q12fCorpusRebalance.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(!plan.contains("Exchange"),
+      s"map-side-only claim broken — plan shuffles:\n$plan")
+  }
+
+  test("q13d simhash plans exactly its two claimed shuffles") {
+    val df = graft.text.DedupQueries.q13dSimhash.fn(spark, sfDir)
+    df.collect()
+    // AQE renders the final AND initial plans — count only the final
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // one Exchange for groupBy(doc_id), one for the bucket-size window
+    val exchanges = "Exchange".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"expected <=2 shuffles (doc agg + window), got $exchanges:\n$plan")
+  }
+
+  test("q14b bucket assignment stays aggregation-free") {
+    // hyperplane constants make the signature a pure projection: the
+    // plan must not contain a per-vector aggregate below the probes
+    val df = graft.text.SimilarityQueries.q14bAnnLsh.fn(spark, sfDir)
+    val aggs = df.queryExecution.optimizedPlan.collect {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }
+    assert(aggs.isEmpty,
+      s"expected no Aggregate in q14b (bucketing is map-side):\n${aggs.mkString}")
+  }
+
   test("q10c what-if joins scenarios AFTER the fact aggregate") {
     // the 3-row scenario table must meet the per-year aggregate, not
     // expand the fact 3x: in the optimized plan the cross join's
