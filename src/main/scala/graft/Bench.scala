@@ -44,7 +44,8 @@ object Bench {
       "q12a_token_stats", "q12d_fingerprint", "q12e_bpe_tokens",
       "q12f_corpus_rebalance", "q13a_exact_dedup",
       "q13b_ngram_jaccard", "q13c_minhash_lsh", "q13d_simhash",
-      "q14b_ann_lsh", "q15a_event_kpis_tumbling", "q15c_sessionization",
+      "q14b_ann_lsh", "q14d_embed_quantize",
+      "q15a_event_kpis_tumbling", "q15c_sessionization",
       "q15f_asof_join",
       // the W2/W3 scale path, tracked against q3a's window form
       "q3a_rank_ntile_dist")

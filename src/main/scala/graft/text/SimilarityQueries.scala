@@ -240,9 +240,10 @@ object SimilarityQueries {
     "q14d_embed_quantize",
     """WITH q AS (
       |  SELECT vec_id,
-      |         list_reduce(list_transform(embedding,
-      |             x -> abs(CAST(x AS DOUBLE))),
-      |           (a, b) -> greatest(a, b)) / 127.0 AS scale,
+      |         CASE WHEN len(embedding) = 0 THEN 0.0
+      |              ELSE list_reduce(list_transform(embedding,
+      |                     x -> abs(CAST(x AS DOUBLE))),
+      |                   (a, b) -> greatest(a, b)) / 127.0 END AS scale,
       |         len(embedding) AS dim
       |  FROM embeddings),
       |e AS (
@@ -254,8 +255,12 @@ object SimilarityQueries {
       |                                        127.0), -127.0) * q.scale END)) AS errs
       |  FROM embeddings v JOIN q ON v.vec_id = q.vec_id)
       |SELECT vec_id, scale,
-      |       list_reduce(errs, (a, b) -> greatest(a, b)) AS max_abs_err,
-      |       list_reduce(errs, (a, b) -> a + b) / dim AS mean_abs_err
+      |       CASE WHEN dim = 0 THEN 0.0
+      |            ELSE list_reduce(errs, (a, b) -> greatest(a, b)) END
+      |         AS max_abs_err,
+      |       CASE WHEN dim = 0 THEN 0.0
+      |            ELSE list_reduce(errs, (a, b) -> a + b) / dim END
+      |         AS mean_abs_err
       |FROM e""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val x = $"embedding"
@@ -276,7 +281,8 @@ object SimilarityQueries {
       .select($"vec_id", $"scale",
         aggregate($"errs", lit(0.0), (a, b) => greatest(a, b))
           .as("max_abs_err"),
-        (aggregate($"errs", lit(0.0), (a, b) => a + b) / $"dim")
+        when($"dim" === 0, 0.0)
+          .otherwise(aggregate($"errs", lit(0.0), (a, b) => a + b) / $"dim")
           .as("mean_abs_err"))
   }
 

@@ -70,9 +70,10 @@ class PlanSpec extends SparkTestBase {
     // AQE renders the final AND initial plans — count only the final
     val plan = executedPlan(df).split("== Initial Plan ==").head
     // one Exchange for groupBy(doc_id), one for the bucket-size window
-    val exchanges = "Exchange".r.findAllIn(plan).length
-    assert(exchanges <= 2,
-      s"expected <=2 shuffles (doc agg + window), got $exchanges:\n$plan")
+    // (match the shuffle node specifically — not Reused/BroadcastExchange)
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 2,
+      s"expected exactly 2 shuffles (doc agg + window), got $exchanges:\n$plan")
   }
 
   test("q14b bucket assignment stays aggregation-free") {

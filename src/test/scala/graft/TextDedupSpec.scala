@@ -211,7 +211,11 @@ class TextDedupSpec extends SparkTestBase {
     // grid, so |x - deq(x)| <= scale/2 must hold exactly
     val bad = q.filter($"max_abs_err" > $"scale" / 2 + 1e-12)
     assert(bad.count() == 0)
-    assert(q.filter($"scale" <= 0).count() == 0, "real vectors have scale > 0")
+    // isNull guards: null <= 0 is null and would slip through silently
+    assert(q.filter($"scale".isNull || $"scale" <= 0).count() == 0,
+      "real vectors have scale > 0")
+    assert(q.filter($"max_abs_err".isNull || $"mean_abs_err".isNull)
+      .count() == 0)
     assert(q.filter($"mean_abs_err" > $"max_abs_err").count() == 0)
   }
 
