@@ -3,7 +3,7 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftColumnBridge
 
-import graft.functions.VectorExpressions
+import graft.functions.{NGramExpressions, VectorExpressions}
 import graft.plans.{GeoRules, Norm2Rewrite}
 
 /** THE session extension for the graft engine — registers everything
@@ -29,6 +29,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
     ext.injectFunction(VectorExpressions.dotDescriptor)
     ext.injectFunction(VectorExpressions.norm2Descriptor)
+    ext.injectFunction(NGramExpressions.ngramsDescriptor)
     ext.injectOptimizerRule(_ => Norm2Rewrite)
     ext.injectOptimizerRule(_ => GeoRules.RewriteWithinRadius)
   }
@@ -37,7 +38,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
 object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     val reg = GraftColumnBridge.functionRegistry(spark)
-    Seq(VectorExpressions.dotDescriptor, VectorExpressions.norm2Descriptor)
+    Seq(VectorExpressions.dotDescriptor, VectorExpressions.norm2Descriptor,
+        NGramExpressions.ngramsDescriptor)
       .foreach { case (ident, info, builder) =>
         if (!reg.functionExists(ident))
           reg.registerFunction(ident, info, builder)

@@ -266,6 +266,23 @@ object TextQueries {
     */
   def shingles(spark: SparkSession, docs: DataFrame): DataFrame = {
     import spark.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    // Native codegen n-gram expression (one loop per row, no
+    // interpreted lambda); < 3 tokens yields an empty array → no rows
+    // after explode. The HOF twin lives in shinglesHof for the
+    // parity spec.
+    docs
+      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .select($"doc_id", explode(GraftColumnBridge.column(
+        graft.functions.WordNGrams(
+          GraftColumnBridge.expression($"toks"), 3))).as("sh"))
+  }
+
+  /** HOF twin of [[shingles]] — kept as the independent parity
+    * witness (TextDedupSpec asserts identical output).
+    */
+  def shinglesHof(spark: SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
     // Docs shorter than one shingle (< 3 tokens) yield no shingles.
     // The guard matters: sequence(1, 0) counts DOWN ([1, 0]) because
     // the step defaults to -1 when start > stop, and element_at(_, 0)

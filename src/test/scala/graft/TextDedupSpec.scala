@@ -128,6 +128,23 @@ class TextDedupSpec extends SparkTestBase {
     res.unpersist()
   }
 
+  test("native n-gram expression matches the HOF twin exactly") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir).documents
+    val native = TextQueries.shingles(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    val hof = TextQueries.shinglesHof(spark, docs)
+      .collect().map(r => (r.getLong(0), r.getString(1)))
+    assert(native.sorted.toSeq === hof.sorted.toSeq)
+    assert(native.nonEmpty)
+    // SQL surface: registered width must be a literal int
+    GraftExtensions.install(spark)
+    val viaSql = spark.sql(
+      "SELECT graft_ngrams(array('a','b','c','d'), 3) AS g")
+      .collect().head.getSeq[String](0)
+    assert(viaSql === Seq("a b c", "b c d"))
+  }
+
   test("shingles: docs with fewer than 3 tokens yield none, no crash") {
     import spark.implicits._
     val docs = Seq((1L, "one"), (2L, "one two"), (3L, "one two three"),
