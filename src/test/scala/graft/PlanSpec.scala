@@ -56,6 +56,29 @@ class PlanSpec extends SparkTestBase {
       s"expected multiple codegen stages in q1a plan:\n$plan")
   }
 
+  test("q2a pre-aggregates to order grain BEFORE the grouping-sets expand") {
+    // the r3-audited plan: countDistinct becomes count(*) because the
+    // 4-way Expand sits ABOVE an order-grain Aggregate, never above
+    // the raw fact join
+    val df = AnalyticalQueries.q2aGroupingSets.fn(spark, sfDir)
+    val expands = df.queryExecution.optimizedPlan.collect {
+      case e: org.apache.spark.sql.catalyst.plans.logical.Expand => e
+    }
+    assert(expands.nonEmpty, "expected a grouping-sets Expand")
+    assert(expands.forall(_.collectFirst {
+      case a: org.apache.spark.sql.catalyst.plans.logical.Aggregate => a
+    }.isDefined),
+      s"Expand sits on the un-aggregated fact:\n${df.queryExecution.optimizedPlan}")
+  }
+
+  test("q5a top-k plans as TakeOrderedAndProject, not a global sort") {
+    val df = AnalyticalQueries.q5aTopLtv.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"top-k LIMIT fell back to a full sort:\n$plan")
+  }
+
   test("q12f corpus rebalance plans with zero shuffles") {
     val df = graft.text.TextQueries.q12fCorpusRebalance.fn(spark, sfDir)
     df.collect()
