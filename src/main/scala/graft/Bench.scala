@@ -52,13 +52,19 @@ object Bench {
     // q13f (components) stays out: its dominant cost is recomputing the
     // q13b pair graph, which is already tracked above.
 
-    def timeOne(name: String): Double = {
+    // (seconds, succeeded) — a failed run must NOT feed the min: a
+    // query that dies fast would otherwise win its per-query min and
+    // a regression would silently LOWER the reported totals.
+    def timeOne(name: String): (Double, Boolean) = {
       val t0 = System.nanoTime()
-      try SparkEntry.queries(name)(spark, sfDir).count()
-      catch { case _: Throwable => () }
-      (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { SparkEntry.queries(name)(spark, sfDir).count(); true }
+        catch { case t: Throwable =>
+          System.err.println(s"BENCH FAILURE $name: ${t.getMessage}"); false
+        }
+      ((System.nanoTime() - t0) / 1e9, ok)
     }
-    def runSet(names: Seq[String]): Map[String, Double] =
+    def runSet(names: Seq[String]): Map[String, (Double, Boolean)] =
       names.map(n => n -> timeOne(n)).toMap
 
     val headlineRuns = (1 to iters).map { _ =>
@@ -73,18 +79,34 @@ object Bench {
       runSet(ext)
     }
 
-    def minPerQuery(runs: Seq[Map[String, Double]]): Map[String, Double] =
-      runs.head.keys.map(k => k -> runs.map(_(k)).min).toMap
+    // per-query min over SUCCESSFUL iterations only; a query with zero
+    // successes reports -1 (JSON has no NaN) and shows up in "failed"
+    def minPerQuery(runs: Seq[Map[String, (Double, Boolean)]]): Map[String, Double] =
+      runs.head.keys.map { k =>
+        val ok = runs.map(_(k)).collect { case (t, true) => t }
+        k -> (if (ok.nonEmpty) ok.min else -1.0)
+      }.toMap
+    // query -> number of failed iterations (only queries that failed)
+    def failures(runs: Seq[Map[String, (Double, Boolean)]]): Map[String, Int] =
+      runs.head.keys.map(k => k -> runs.map(_(k)).count(!_._2))
+        .filter(_._2 > 0).toMap
     def med(xs: Seq[Double]): Double = {
       val s = xs.sorted
       if (s.size % 2 == 1) s(s.size / 2) else (s(s.size / 2 - 1) + s(s.size / 2)) / 2
     }
     val headlineMin = minPerQuery(headlineRuns)
     val extMin = minPerQuery(extRuns)
-    val totalsPerIter = headlineRuns.map(_.values.sum)
-    val extTotalsPerIter = extRuns.map(_.values.sum)
+    val failed = failures(headlineRuns) ++ failures(extRuns)
+    // iteration totals sum successful measurements only — time-to-crash
+    // is not a throughput number; failures are flagged via "failed"
+    def totals(runs: Seq[Map[String, (Double, Boolean)]]): Seq[Double] =
+      runs.map(_.values.collect { case (t, true) => t }.sum)
+    val totalsPerIter = totals(headlineRuns)
+    val extTotalsPerIter = totals(extRuns)
 
     def js(m: Map[String, Double]): String =
+      m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
+    def jsInt(m: Map[String, Int]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
     println(
@@ -92,6 +114,7 @@ object Bench {
         s""""queries":${js(headlineMin)},"sf":"$sfDir","iters":$iters,""" +
         s""""totals_per_iter":${arr(totalsPerIter)},""" +
         s""""median_total":${med(totalsPerIter)},""" +
+        s""""failed":${jsInt(failed)},""" +
         s""""ext_queries":${js(extMin)},""" +
         s""""ext_totals_per_iter":${arr(extTotalsPerIter)},""" +
         s""""ext_total":${extTotalsPerIter.min}}""")

@@ -77,7 +77,13 @@ object Warehouse {
   }
 
   /** fact_order_lines analog: the q7a star enrichment joined against
-    * the dims' surrogate keys (DBLookup → broadcast hash join, J2).
+    * the dims' surrogate keys (DBLookup → hash-join lookups, J2). The
+    * member-scale dims (customer/product/seller) carry NO broadcast
+    * hint: at 100 TB they are 10⁸–10⁹ rows and an unconditional hint
+    * is a hard driver OOM at the 8 GB broadcast cap, exactly the
+    * argument that removed broadcast(customer) from the corr query.
+    * AQE sees the dims' actual runtime size and still picks a
+    * broadcast join whenever they genuinely fit.
     */
   def factOrderLines(t: Tables): DataFrame = {
     val li = t.lineitem
@@ -86,9 +92,9 @@ object Warehouse {
     val prod = dimProduct(t).select($"product_id", $"product_key")
     val sell = dimSeller(t).select($"seller_id", $"seller_key")
     li.join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(cust), $"o_custkey" === $"customer_id", "left")
-      .join(broadcast(prod), $"l_partkey" === $"product_id", "left")
-      .join(broadcast(sell), $"l_suppkey" === $"seller_id", "left")
+      .join(cust, $"o_custkey" === $"customer_id", "left")
+      .join(prod, $"l_partkey" === $"product_id", "left")
+      .join(sell, $"l_suppkey" === $"seller_id", "left")
       .select(
         $"l_orderkey".as("order_id"),
         $"l_linenumber".as("order_item_id"),
@@ -103,17 +109,19 @@ object Warehouse {
   /** fact_review analog from events (review_score role = value
     * bucket), with the reference's OR-chain keep-filter (P3): keep
     * rows where at least one payload field is present. customer_key is
-    * resolved by a broadcast lookup against dim_customer (J2) — the
+    * resolved by a hash-join lookup against dim_customer (J2) — the
     * fact must carry the dim's surrogate, never the raw natural id,
     * or joins to dim_customer silently match nothing now that
-    * surrogates are xxhash64(natural_key, version).
+    * surrogates are xxhash64(natural_key, version). No broadcast
+    * hint: dim_customer is member-scale (see [[factOrderLines]]);
+    * AQE broadcasts it at runtime only when it actually fits.
     */
   def factReview(t: Tables): DataFrame = {
     val e = t.events
     import e.sparkSession.implicits._
     val cust = dimCustomer(t).select($"customer_id", $"customer_key")
     e.filter($"event_type".isNotNull || $"props".isNotNull)
-      .join(broadcast(cust), $"user_id" === $"customer_id", "left")
+      .join(cust, $"user_id" === $"customer_id", "left")
       .select($"event_id".as("review_id"), $"customer_key",
         (pmod($"value".cast(IntegerType), lit(5)) + 1).as("review_score"),
         to_date($"ts").as("review_date"))
@@ -170,8 +178,7 @@ object Warehouse {
     val t = Tables(spark, dir)
     val cust = dimCustomer(t)
     factOrderLines(t)
-      .join(broadcast(cust.select($"customer_key", $"segment")),
-        Seq("customer_key"))
+      .join(cust.select($"customer_key", $"segment"), Seq("customer_key"))
       .groupBy($"segment")
       .agg(count(lit(1)).as("n_lines"),
         graft.functions.Exact.dsum($"price").as("revenue"))

@@ -24,19 +24,24 @@ object ConnectedComponents {
 
   /** `edges`: two LONG columns (src, dst), undirected, self-loops and
     * duplicates tolerated. Returns (id, component) for every vertex
-    * appearing in `edges`, component = min vertex id reachable.
+    * appearing in `edges`, component = min vertex id reachable. A
+    * vertex whose only edges are self-loops has nothing reachable but
+    * itself, so it comes back as a singleton component (id, id).
     */
   def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2).map(col)
-    val sym = edges.select(srcCol.cast("long").as("src"),
-        dstCol.cast("long").as("dst"))
-      .unionByName(edges.select(dstCol.cast("long").as("src"),
-        srcCol.cast("long").as("dst")))
+    val raw = edges.select(srcCol.cast("long").as("src"),
+      dstCol.cast("long").as("dst"))
+    // propagation runs over the self-loop-free symmetric closure (a
+    // self edge carries no information), but the LABEL set must cover
+    // every endpoint in the input, or self-loop-only vertices vanish
+    val sym = raw.unionByName(raw.select($"dst".as("src"), $"src".as("dst")))
       .filter($"src" =!= $"dst").distinct().cache()
 
-    var labels = sym.select($"src".as("id")).distinct()
+    var labels = raw.select($"src".as("id"))
+      .unionByName(raw.select($"dst".as("id"))).distinct()
       .select($"id", $"id".as("component")).cache()
     var converged = false
     var iter = 0

@@ -127,8 +127,14 @@ class PlanSpec extends SparkTestBase {
       s"cross join expands the un-aggregated fact:\n${df.queryExecution.optimizedPlan}")
   }
 
-  test("warehouse fact build keeps dim lookups broadcast") {
-    val plan = executedPlan(Warehouse.factOrderLines(Tables(spark, sfDir)))
+  test("warehouse fact build broadcasts dim lookups when they fit") {
+    // the member-scale dims carry NO static broadcast hint (at 100 TB
+    // they exceed the broadcast cap — a hinted plan is a driver OOM);
+    // what must hold is that AQE, seeing their actual size at this SF,
+    // still picks broadcast joins. Materialize so AQE finalizes.
+    val df = Warehouse.factOrderLines(Tables(spark, sfDir))
+    df.collect()
+    val plan = executedPlan(df)
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(broadcasts >= 3,
       s"expected >=3 broadcast key lookups, got $broadcasts:\n$plan")

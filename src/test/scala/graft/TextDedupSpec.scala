@@ -159,12 +159,14 @@ class TextDedupSpec extends SparkTestBase {
   test("connected components merge chains transitively") {
     import spark.implicits._
     // A~B, B~C (A~C never scored) must form ONE cluster; {10,11}
-    // stays separate; duplicate/reversed/self edges are tolerated
+    // stays separate; duplicate/reversed edges are tolerated; the
+    // self-loop-only vertex 5 must survive as a singleton component
     val edges = Seq((2L, 1L), (2L, 3L), (3L, 2L), (10L, 11L), (5L, 5L),
       (1L, 2L)).toDF("src", "dst")
     val comp = graft.operators.ConnectedComponents.components(edges)
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L, 11L -> 10L))
+    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 10L -> 10L,
+      11L -> 10L, 5L -> 5L))
   }
 
   test("q13f components are consistent with the q13b pair graph") {
