@@ -248,28 +248,50 @@ object DedupQueries {
           .groupBy($"doc_id")
           .agg(min($"h0").as("h0"),
             (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
-          .cache()
-        val bands = (0 until NumBands).map { j =>
-          sig.select($"doc_id", lit(j).as("band_idx"),
-            md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}"))).as("band_val"))
-        }.reduce(_ unionByName _)
-        val cand = bands.as("a")
-          .join(bands.as("b"),
-            $"a.band_idx" === $"b.band_idx" &&
-              $"a.band_val" === $"b.band_val" &&
-              $"a.doc_id" < $"b.doc_id")
-          .select($"a.doc_id".as("doc_a"), $"b.doc_id".as("doc_b"))
-          .distinct()
-        val sa = sig.toDF(sig.columns.map(c => s"a_$c"): _*)
-        val sb = sig.toDF(sig.columns.map(c => s"b_$c"): _*)
-        val matchFrac = (0 until NumHashes)
-          .map(i => when(col(s"a_h$i") === col(s"b_h$i"), 1).otherwise(0))
-          .reduce(_ + _).cast(DoubleType) / NumHashes
-        cand
-          .join(sa, $"doc_a" === $"a_doc_id")
-          .join(sb, $"doc_b" === $"b_doc_id")
-          .select($"doc_a", $"doc_b", matchFrac.as("est_similarity"))
+        // Candidates via posting lists over band buckets — the SAME
+        // bounded pattern as q13b, not a two-sided self-join: each doc
+        // emits (band_idx, band_val, doc_id, signature) rows map-side
+        // in ONE explode, each bucket groups its members once, and the
+        // ordered pairs + their match fraction explode map-side from
+        // the sorted member list. This replaces the former 4-way band
+        // union, two-sided bucket join, candidate distinct, and TWO
+        // signature re-joins (which needed `sig` cached) with two
+        // exchanges and no cache. Bucket buffers are O(bucket size);
+        // a mega-bucket can only come from floods of byte-identical
+        // docs, which exact dedup (q13a) removes UPSTREAM in any real
+        // pipeline — and a flood of k identical docs is k² candidate
+        // pairs under ANY LSH formulation, so the join form would
+        // blow up on the same input anyway.
+        val bandStructs = array((0 until NumBands).map { j =>
+          struct(lit(j).as("band_idx"),
+            md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))
+              .as("band_val"))
+        }: _*)
+        val sigStruct = struct((0 until NumHashes).map(i => col(s"h$i")): _*)
+        val bandRows = sig
+          .select($"doc_id", sigStruct.as("sg"), explode(bandStructs).as("b"))
+          .select($"b.band_idx", $"b.band_val", $"doc_id", $"sg")
+        val matchSql = (0 until NumHashes)
+          .map(i => s"CASE WHEN a.sg.h$i = b.sg.h$i THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        bandRows
+          .groupBy($"band_idx", $"band_val")
+          // sort_array orders struct elements by leading field doc_id,
+          // so the exploded pairs satisfy doc_a < doc_b by construction
+          .agg(sort_array(collect_list(struct($"doc_id", $"sg"))).as("ms"))
+          .filter(size($"ms") >= 2)
+          .select(explode(expr(
+            s"""flatten(transform(ms, (a, i) ->
+               |  transform(slice(ms, i + 2, size(ms)),
+               |    b -> struct(a.doc_id AS doc_a, b.doc_id AS doc_b,
+               |           CAST($matchSql AS DOUBLE) / $NumHashes
+               |             AS est_similarity))))""".stripMargin)).as("p"))
+          .select($"p.doc_a", $"p.doc_b", $"p.est_similarity")
           .filter($"est_similarity" >= 0.5)
+          // a pair sharing several bands repeats with the SAME
+          // est_similarity (it is a function of the two signatures),
+          // so distinct after the threshold dedups across bands
+          .distinct()
     }
   }
 

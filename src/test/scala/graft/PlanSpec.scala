@@ -99,6 +99,19 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly 2 shuffles (doc agg + window), got $exchanges:\n$plan")
   }
 
+  test("q13c minhash candidate generation is join-free") {
+    // candidates come from band-bucket posting lists (group + ordered
+    // pair explode), carrying signatures along — NOT from a two-sided
+    // bucket self-join plus signature re-joins. Any join node here
+    // means the bucket-join formulation crept back in.
+    val df = graft.text.DedupQueries.q13cMinhashLsh.fn(spark, sfDir)
+    val joins = df.queryExecution.optimizedPlan.collect {
+      case j: org.apache.spark.sql.catalyst.plans.logical.Join => j
+    }
+    assert(joins.isEmpty,
+      s"expected a join-free q13c plan:\n${df.queryExecution.optimizedPlan}")
+  }
+
   test("q14b bucket assignment stays aggregation-free") {
     // hyperplane constants make the signature a pure projection: the
     // plan must not contain a per-vector aggregate below the probes
