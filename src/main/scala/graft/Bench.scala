@@ -42,9 +42,10 @@ object Bench {
     // q14a stay out).
     val ext = Seq(
       "q12a_token_stats", "q12d_fingerprint", "q12e_bpe_tokens",
-      "q12f_corpus_rebalance", "q13a_exact_dedup",
+      "q12f_corpus_rebalance", "q12g_pii_scrub", "q12h_repetition_stats",
+      "q12i_shuffle_order", "q13a_exact_dedup",
       "q13b_ngram_jaccard", "q13c_minhash_lsh", "q13d_simhash",
-      "q14b_ann_lsh", "q14d_embed_quantize",
+      "q13g_contamination", "q14b_ann_lsh", "q14d_embed_quantize",
       "q15a_event_kpis_tumbling", "q15c_sessionization",
       "q15f_asof_join",
       // the W2/W3 scale path, tracked against q3a's window form

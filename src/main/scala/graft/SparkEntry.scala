@@ -23,6 +23,7 @@ object SparkEntry {
       graft.analytics.MlQueries.all ++
       graft.analytics.DaxMeasures.all ++
       graft.text.TextQueries.all ++
+      graft.text.CurationQueries.all ++
       graft.text.DedupQueries.all ++
       graft.text.SimilarityQueries.all ++
       graft.streaming.EventKpis.all ++

@@ -1,0 +1,261 @@
+package graft.text
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** Corpus-curation operators for training-data pipelines (builder
+  * contract "Text analysis" / "Deduplication" adjuncts): PII
+  * detection + redaction, Gopher-style repetition quality signals,
+  * benchmark-contamination checks, and a deterministic global
+  * training-shuffle order. All are linear relational dataflow —
+  * regex/ngram work happens map-side, aggregation is hash-based, and
+  * the one broadcast (the holdout shingle set in q13g) is bounded by
+  * benchmark-suite size, not corpus size.
+  */
+object CurationQueries {
+
+  // ---------------------------------------------------------------
+  // q12g — PII scrub
+  // ---------------------------------------------------------------
+
+  /** Email/phone patterns written to behave identically under Java
+    * regex (Spark codegen) and RE2 (DuckDB): greedy character-class
+    * runs, no backreferences, no lookaround.
+    */
+  private val EmailPat = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  private val PhonePat = "\\b555-[0-9]{4}\\b"
+
+  /** q12g — PII detection + redaction. The synthetic corpus carries no
+    * PII, so both engines symmetrically PLANT deterministic addresses
+    * (doc_id % 10) and numbers (doc_id % 15; % 30 gets both) the same
+    * way the dedup family plants duplicates — the operator is then
+    * exercised against known positives AND negatives. Counting uses
+    * native regexp_count and redaction chained regexp_replace, all
+    * map-side; the redacted text is emitted as a hash so the oracle
+    * hash-compare covers the full replacement output without shipping
+    * megabyte strings through the gate.
+    */
+  val q12gPiiScrub: GraftQuery = GraftQuery(
+    "q12g_pii_scrub",
+    s"""WITH planted AS (
+       |  SELECT doc_id,
+       |         text
+       |         || CASE WHEN doc_id % 10 = 0
+       |              THEN ' contact user' || CAST(doc_id AS VARCHAR)
+       |                   || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+       |                   || '.example.com now'
+       |              ELSE '' END
+       |         || CASE WHEN doc_id % 15 = 0
+       |              THEN ' call 555-'
+       |                   || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+       |                   || ' today'
+       |              ELSE '' END AS text
+       |  FROM documents)
+       |SELECT doc_id,
+       |       CAST(len(regexp_extract_all(text, '$EmailPat')) AS BIGINT)
+       |         AS n_emails,
+       |       CAST(len(regexp_extract_all(text, '$PhonePat')) AS BIGINT)
+       |         AS n_phones,
+       |       md5(regexp_replace(regexp_replace(text,
+       |             '$EmailPat', '[EMAIL]', 'g'),
+       |             '$PhonePat', '[PHONE]', 'g')) AS redacted_hash
+       |FROM planted""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val planted = docs.select($"doc_id",
+      concat($"text",
+        when($"doc_id" % 10 === 0,
+          concat(lit(" contact user"), $"doc_id".cast("string"),
+            lit("@mail"), ($"doc_id" % 7).cast("string"),
+            lit(".example.com now"))).otherwise(lit("")),
+        when($"doc_id" % 15 === 0,
+          concat(lit(" call 555-"),
+            lpad(($"doc_id" % 10000).cast("string"), 4, "0"),
+            lit(" today"))).otherwise(lit(""))).as("text"))
+    planted.select($"doc_id",
+      regexp_count($"text", lit(EmailPat)).cast("long").as("n_emails"),
+      regexp_count($"text", lit(PhonePat)).cast("long").as("n_phones"),
+      md5(regexp_replace(regexp_replace($"text",
+        lit(EmailPat), lit("[EMAIL]")),
+        lit(PhonePat), lit("[PHONE]"))).as("redacted_hash"))
+  }
+
+  // ---------------------------------------------------------------
+  // q12h — repetition quality signals (Gopher-style)
+  // ---------------------------------------------------------------
+
+  /** q12h — repetition signals: top-token fraction, top-2-gram
+    * fraction, and duplicate-2-gram mass fraction (the share of
+    * 2-gram occurrences whose 2-gram appears more than once in the
+    * doc) — the Gopher-rule family for catching degenerate/looped
+    * generations. Two-level hash aggregation: (doc, gram) counts,
+    * then per-doc max/sum — no windows, no sorts; 2-grams come from
+    * the same native codegen n-gram expression as the shingle path.
+    */
+  val q12hRepetitionStats: GraftQuery = GraftQuery(
+    "q12h_repetition_stats",
+    """WITH ws AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |tok AS (
+      |  SELECT doc_id, unnest(ws) AS tok FROM ws),
+      |tokc AS (
+      |  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+      |toks AS (
+      |  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS max_tok
+      |  FROM tokc GROUP BY 1),
+      |bg AS (
+      |  SELECT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(ws), 1)),
+      |           i -> ws[i] || ' ' || ws[i+1])) AS bg
+      |  FROM ws),
+      |bgc AS (
+      |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+      |bgs AS (
+      |  SELECT doc_id, SUM(c) AS n_2grams, MAX(c) AS max_bg,
+      |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_mass
+      |  FROM bgc GROUP BY 1)
+      |SELECT t.doc_id,
+      |       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+      |       CAST(t.max_tok AS DOUBLE) / t.n_tokens AS top_token_frac,
+      |       CAST(coalesce(b.n_2grams, 0) AS BIGINT) AS n_2grams,
+      |       coalesce(CAST(b.max_bg AS DOUBLE) / b.n_2grams, 0.0)
+      |         AS top_2gram_frac,
+      |       coalesce(CAST(b.dup_mass AS DOUBLE) / b.n_2grams, 0.0)
+      |         AS dup_2gram_frac,
+      |       coalesce(CAST(b.max_bg AS DOUBLE) / b.n_2grams, 0.0) > 0.18
+      |         OR coalesce(CAST(b.dup_mass AS DOUBLE) / b.n_2grams, 0.0) > 0.6
+      |         AS repetitive
+      |FROM toks t LEFT JOIN bgs b ON t.doc_id = b.doc_id""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.sql.GraftColumnBridge
+      val docs = Tables(spark, dir).documents
+      val ws = docs.select($"doc_id",
+        split(trim($"text"), "\\s+").as("ws"))
+      val tokStats = ws
+        .select($"doc_id", explode($"ws").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"), max($"c").as("max_tok"))
+      val bgStats = ws
+        .select($"doc_id", explode(GraftColumnBridge.column(
+          graft.functions.WordNGrams(
+            GraftColumnBridge.expression($"ws"), 2))).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_2grams"), max($"c").as("max_bg"),
+          sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_mass"))
+        .withColumnRenamed("doc_id", "bdoc")
+      val top2 = coalesce($"max_bg".cast("double") / $"n_2grams", lit(0.0))
+      val dup2 = coalesce($"dup_mass".cast("double") / $"n_2grams", lit(0.0))
+      tokStats.join(bgStats, $"doc_id" === $"bdoc", "left")
+        .select($"doc_id",
+          $"n_tokens",
+          ($"max_tok".cast("double") / $"n_tokens").as("top_token_frac"),
+          coalesce($"n_2grams", lit(0L)).as("n_2grams"),
+          top2.as("top_2gram_frac"),
+          dup2.as("dup_2gram_frac"),
+          (top2 > 0.18 || dup2 > 0.6).as("repetitive"))
+  }
+
+  // ---------------------------------------------------------------
+  // q13g — benchmark contamination check
+  // ---------------------------------------------------------------
+
+  /** q13g — test-set contamination: fraction of each training doc's
+    * distinct 3-gram shingles that also appear in a holdout set
+    * (docs with doc_id % 97 == 0 stand in for a benchmark suite).
+    * The holdout's shingle vocabulary is broadcast — it is bounded by
+    * BENCHMARK size (thousands of eval documents), not corpus size,
+    * which is what makes the check a map-side semi-probe + one
+    * per-doc aggregation at 100 TB. Holdout shingling filters its
+    * docs BEFORE the n-gram explode (partition-prunable scan), so
+    * the corpus-side mass is shingled exactly once.
+    */
+  val q13gContamination: GraftQuery = GraftQuery(
+    "q13g_contamination",
+    """WITH ws AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |sh AS (
+      |  SELECT DISTINCT doc_id,
+      |         unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+      |  FROM ws),
+      |hold AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+      |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+      |agg AS (
+      |  SELECT c.doc_id, COUNT(*) AS n_shingles,
+      |         CAST(SUM(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END)
+      |              AS BIGINT) AS n_overlap
+      |  FROM corp c LEFT JOIN hold h ON c.sh = h.sh
+      |  GROUP BY 1)
+      |SELECT doc_id, n_shingles, n_overlap,
+      |       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_frac,
+      |       CAST(n_overlap AS DOUBLE) / n_shingles >= 0.3 AS contaminated
+      |FROM agg""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val hold = TextQueries.shingles(spark, docs.filter($"doc_id" % 97 === 0))
+      .select($"sh").distinct()
+      .withColumn("hit", lit(1))
+    val corp = TextQueries.shingles(spark, docs.filter($"doc_id" % 97 =!= 0))
+      .distinct()
+    val frac = $"n_overlap".cast("double") / $"n_shingles"
+    corp.join(broadcast(hold), Seq("sh"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_shingles"),
+        sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+      .select($"doc_id", $"n_shingles", $"n_overlap",
+        frac.as("overlap_frac"), (frac >= 0.3).as("contaminated"))
+  }
+
+  // ---------------------------------------------------------------
+  // q12i — deterministic global training-shuffle order
+  // ---------------------------------------------------------------
+
+  /** q12i — reproducible corpus shuffle: every doc gets a global
+    * pseudo-random position (rank of a seeded content-independent
+    * hash) and a training shard (NTILE over the same order). `rand()`
+    * or `.orderBy(rand())` would change across runs/partitionings; a
+    * seeded hash gives the exact property a training recipe needs —
+    * the same corpus always shuffles the same way on any cluster.
+    * Ranking goes through [[graft.operators.DistributedRank]] (range
+    * repartition + per-partition offsets), NOT a global window — a
+    * single-partition `row_number() OVER (ORDER BY …)` funnels the
+    * whole corpus through one task at 100 TB. The md5 key is the
+    * tie-free total order (doc_id tiebreak guards the theoretical
+    * collision), satisfying the operator's total-order contract.
+    */
+  val q12iShuffleOrder: GraftQuery = GraftQuery(
+    "q12i_shuffle_order",
+    """WITH keyed AS (
+      |  SELECT doc_id,
+      |         md5(CAST(doc_id AS VARCHAR) || '|shuffle') AS shuffle_key
+      |  FROM documents)
+      |SELECT doc_id, shuffle_key,
+      |       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)
+      |            AS INTEGER) AS shuffle_pos,
+      |       CAST(NTILE(16) OVER (ORDER BY shuffle_key, doc_id)
+      |            AS INTEGER) AS shard
+      |FROM keyed""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val keyed = Tables(spark, dir).documents.select($"doc_id",
+      md5(concat($"doc_id".cast("string"), lit("|shuffle")))
+        .as("shuffle_key"))
+    graft.operators.DistributedRank.rankNtile(
+      keyed,
+      groupCols = Seq.empty,
+      orderCols = Seq($"shuffle_key", $"doc_id"),
+      ntiles = 16,
+      rankName = "shuffle_pos",
+      ntileName = "shard")
+  }
+
+  val all: Seq[GraftQuery] = Seq(
+    q12gPiiScrub, q12hRepetitionStats, q12iShuffleOrder, q13gContamination)
+}

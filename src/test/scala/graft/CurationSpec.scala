@@ -1,0 +1,90 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.CurationQueries
+
+/** Invariants for the corpus-curation operators (q12g/h/i, q13g).
+  * Value-level correctness is oracle-gated at sf0.01; these pin the
+  * operator contracts on sf0.001.
+  */
+class CurationSpec extends SparkTestBase {
+
+  test("q12g finds exactly the planted PII and leaves the rest clean") {
+    import spark.implicits._
+    val out = CurationQueries.q12gPiiScrub.fn(spark, sfDir).cache()
+    try {
+      // planted positives: one email per %10 doc, one phone per %15 doc
+      assert(out.filter($"doc_id" % 10 === 0 && $"n_emails" =!= 1)
+        .count() == 0)
+      assert(out.filter($"doc_id" % 15 === 0 && $"n_phones" =!= 1)
+        .count() == 0)
+      // no false positives on unplanted docs
+      assert(out.filter($"doc_id" % 10 =!= 0 && $"n_emails" =!= 0)
+        .count() == 0)
+      assert(out.filter($"doc_id" % 15 =!= 0 && $"n_phones" =!= 0)
+        .count() == 0)
+      // redaction round-trip: a clean doc's redacted hash is its own
+      // text hash (replacement must not touch non-PII content)
+      val docs = Tables(spark, sfDir).documents
+        .select($"doc_id".as("d"), md5($"text").as("orig_hash"))
+      val cleanChanged = out
+        .filter($"doc_id" % 10 =!= 0 && $"doc_id" % 15 =!= 0)
+        .join(docs, $"doc_id" === $"d")
+        .filter($"redacted_hash" =!= $"orig_hash")
+      assert(cleanChanged.count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("q12h repetition fractions are bounded and 2-gram counts line up") {
+    import spark.implicits._
+    val out = CurationQueries.q12hRepetitionStats.fn(spark, sfDir).cache()
+    try {
+      assert(out.filter($"top_token_frac" < 0 || $"top_token_frac" > 1 ||
+        $"top_2gram_frac" < 0 || $"top_2gram_frac" > 1 ||
+        $"dup_2gram_frac" < 0 || $"dup_2gram_frac" > 1).count() == 0)
+      // a doc with n tokens has exactly n-1 2-gram occurrences
+      assert(out.filter($"n_tokens" >= 2 &&
+        $"n_2grams" =!= $"n_tokens" - 1).count() == 0)
+      // a top 2-gram with count > 1 is itself duplicate mass, so the
+      // top fraction may only exceed the dup fraction when max_bg == 1
+      assert(out.filter($"top_2gram_frac" > $"dup_2gram_frac" &&
+        $"top_2gram_frac" * $"n_2grams" > 1.5).count() == 0)
+    } finally out.unpersist()
+  }
+
+  test("q12i shuffle order is a deterministic permutation with even shards") {
+    import spark.implicits._
+    val a = CurationQueries.q12iShuffleOrder.fn(spark, sfDir).cache()
+    try {
+      val n = a.count()
+      // positions are exactly 1..N, each once
+      assert(a.select($"shuffle_pos").distinct().count() == n)
+      assert(a.agg(min($"shuffle_pos"), max($"shuffle_pos")).first()
+        match { case r => r.getInt(0) == 1 && r.getInt(1) == n })
+      // shard sizes differ by at most one (NTILE contract)
+      val sizes = a.groupBy($"shard").count()
+        .agg(min($"count"), max($"count")).first()
+      assert(sizes.getLong(1) - sizes.getLong(0) <= 1)
+      // rerun assigns identical positions (reproducible recipe)
+      val b = CurationQueries.q12iShuffleOrder.fn(spark, sfDir)
+        .withColumnRenamed("shuffle_pos", "pos_b")
+        .select($"doc_id".as("d"), $"pos_b")
+      assert(a.join(b, $"doc_id" === $"d")
+        .filter($"shuffle_pos" =!= $"pos_b").count() == 0)
+    } finally a.unpersist()
+  }
+
+  test("q13g holdout docs are excluded and fractions bounded") {
+    import spark.implicits._
+    val out = CurationQueries.q13gContamination.fn(spark, sfDir).cache()
+    try {
+      assert(out.filter($"doc_id" % 97 === 0).count() == 0)
+      assert(out.filter($"n_overlap" > $"n_shingles" ||
+        $"overlap_frac" < 0 || $"overlap_frac" > 1).count() == 0)
+      // flag agrees with the fraction it is defined over
+      assert(out.filter($"contaminated" =!=
+        ($"overlap_frac" >= 0.3)).count() == 0)
+    } finally out.unpersist()
+  }
+}
