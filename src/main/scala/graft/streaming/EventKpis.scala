@@ -204,6 +204,57 @@ object EventKpis {
         countDistinct($"click_id").as("n_clicks_with_error"))
   }
 
+  /** Planted at-least-once delivery: every event_id % 13 == 0 arrives
+    * AGAIN 5 minutes late — the raw table is exactly-once (event_id is
+    * unique), and an ingest-dedup operator needs positives. Shared by
+    * the batch twin and the streaming spec so both paths see the same
+    * duplicate stream.
+    */
+  def plantedRedelivery(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    events.unionByName(events.filter($"event_id" % 13 === 0)
+      .withColumn("ts", $"ts" + expr("INTERVAL 5 MINUTES")))
+  }
+
+  /** Streaming ingest dedup: first delivery wins, duplicate state
+    * expires with the watermark (bounded state — the whole point at
+    * 100 TB/day ingest; an unwatermarked dropDuplicates would grow
+    * state forever). Driven in StreamingSpec; the audit-table batch
+    * twin below is the oracle-gated surface.
+    */
+  def streamDedup(events: DataFrame): DataFrame =
+    events.withWatermark("ts", "10 minutes")
+      .dropDuplicatesWithinWatermark("event_id")
+
+  /** q15g — ingest-dedup audit (batch twin): per event_id the
+    * delivery count and the winning (earliest) delivery's fields.
+    * min(ts) is the deterministic "first delivery wins" rule;
+    * event_type/value are delivery-invariant so min() selects the
+    * same payload both engines. One hash aggregation keyed on
+    * event_id — linear, skew-free (planted dup factor is 2).
+    */
+  val q15gStreamDedup: GraftQuery = GraftQuery(
+    "q15g_stream_dedup",
+    """WITH planted AS (
+      |  SELECT event_id, ts, user_id, event_type, value FROM events
+      |  UNION ALL
+      |  SELECT event_id, ts + INTERVAL 5 MINUTE, user_id, event_type, value
+      |  FROM events WHERE event_id % 13 = 0)
+      |SELECT event_id, COUNT(*) AS n_deliveries,
+      |       epoch_us(MIN(ts)) AS first_ts_us,
+      |       MIN(event_type) AS event_type,
+      |       MIN(value) AS value
+      |FROM planted GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    plantedRedelivery(Tables(spark, dir).events)
+      .groupBy($"event_id")
+      .agg(count(lit(1)).as("n_deliveries"),
+        unix_micros(min($"ts")).as("first_ts_us"),
+        min($"event_type").as("event_type"),
+        min($"value").as("value"))
+  }
+
   val all: Seq[GraftQuery] = Seq(q15aTumbling, q15bSliding,
-    q15cSessionization, q15dSessionWindow, q15eIntervalJoin)
+    q15cSessionization, q15dSessionWindow, q15eIntervalJoin,
+    q15gStreamDedup)
 }

@@ -256,6 +256,57 @@ object CurationQueries {
       ntileName = "shard")
   }
 
+  // ---------------------------------------------------------------
+  // q12j — corpus vocabulary stats (exact + HLL scale twin)
+  // ---------------------------------------------------------------
+
+  /** q12j — per-language vocabulary: token occurrences, exact vocab
+    * size, type-token ratio. Exact COUNT(DISTINCT tok) is a two-phase
+    * hash aggregation (partial distinct per map task, merge on lang) —
+    * fine per-language, but the distinct-token shuffle mass grows with
+    * corpus vocabulary; [[q12jVocabApprox]] is the sketch path.
+    */
+  val q12jVocabStats: GraftQuery = GraftQuery(
+    "q12j_vocab_stats",
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_tokens,
+      |       COUNT(DISTINCT tok) AS vocab_size,
+      |       CAST(COUNT(DISTINCT tok) AS DOUBLE) / COUNT(*)
+      |         AS type_token_ratio
+      |FROM toks GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        countDistinct($"tok").as("vocab_size"),
+        (countDistinct($"tok").cast("double") / count(lit(1)))
+          .as("type_token_ratio"))
+  }
+
+  /** q12j-approx — the same vocabulary report through
+    * approx_count_distinct (HyperLogLog++, rsd 1%). At 100 TB the
+    * exact form shuffles every distinct token per language; the
+    * sketch is fixed-size per group, merges map-side, and turns the
+    * job into one linear scan. HLL estimates are engine-specific →
+    * rows-only gate; CurationSpec bounds the relative error against
+    * the exact twin.
+    */
+  val q12jVocabApprox: GraftQuery =
+    GraftQuery.noOracle("q12j_vocab_approx") { (spark, dir) =>
+      import spark.implicits._
+      Tables(spark, dir).documents
+        .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+        .groupBy($"lang")
+        .agg(count(lit(1)).as("n_tokens"),
+          approx_count_distinct($"tok", 0.01).as("vocab_size"),
+          (approx_count_distinct($"tok", 0.01).cast("double")
+            / count(lit(1))).as("type_token_ratio"))
+    }
+
   val all: Seq[GraftQuery] = Seq(
-    q12gPiiScrub, q12hRepetitionStats, q12iShuffleOrder, q13gContamination)
+    q12gPiiScrub, q12hRepetitionStats, q12iShuffleOrder,
+    q12jVocabStats, q12jVocabApprox, q13gContamination)
 }

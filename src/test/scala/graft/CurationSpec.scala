@@ -75,6 +75,18 @@ class CurationSpec extends SparkTestBase {
     } finally a.unpersist()
   }
 
+  test("q12j approx vocab within 5% of the exact twin per language") {
+    import spark.implicits._
+    val exact = CurationQueries.q12jVocabStats.fn(spark, sfDir)
+      .select($"lang", $"vocab_size".as("v_exact"))
+    val approx = CurationQueries.q12jVocabApprox.fn(spark, sfDir)
+      .select($"lang".as("l"), $"vocab_size".as("v_approx"))
+    val off = exact.join(approx, $"lang" === $"l")
+      .filter(abs($"v_approx" - $"v_exact") >
+        $"v_exact" * 0.05)
+    assert(off.count() == 0, off.collect().mkString(", "))
+  }
+
   test("q13g holdout docs are excluded and fractions bounded") {
     import spark.implicits._
     val out = CurationQueries.q13gContamination.fn(spark, sfDir).cache()

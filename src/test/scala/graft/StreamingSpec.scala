@@ -95,10 +95,13 @@ class StreamingSpec extends SparkTestBase {
         org.apache.spark.sql.types.DoubleType),
       org.apache.spark.sql.types.StructField("props",
         org.apache.spark.sql.types.StringType)))
-    val stream = spark.readStream.schema(schema).parquet(dupDir.toString)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
-      .withWatermark("ts", "1 hour")
-      .dropDuplicatesWithinWatermark(Seq("event_id"))
+    // the library surface under test: watermarked first-delivery-wins
+    // dedup (EventKpis.streamDedup); replayed rows disappear either as
+    // in-watermark duplicates or as late data — both are the dedup
+    // contract
+    val stream = EventKpis.streamDedup(
+      spark.readStream.schema(schema).parquet(dupDir.toString)
+        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
     val q = stream.writeStream.format("memory").queryName("dedup_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
