@@ -87,79 +87,88 @@ object CurationQueries {
   // q12h — repetition quality signals (Gopher-style)
   // ---------------------------------------------------------------
 
+  /** Repetition transform over any (doc_id, text) frame — reused by
+    * q12h and the q12k curation pipeline. Two-level hash aggregation:
+    * (doc, gram) counts, then per-doc max/sum — no windows, no
+    * sorts; 2-grams come from the same native codegen n-gram
+    * expression as the shingle path.
+    */
+  def repetitionStats(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    import org.apache.spark.sql.GraftColumnBridge
+    val ws = docs.select($"doc_id",
+      split(trim($"text"), "\\s+").as("ws"))
+    val tokStats = ws
+      .select($"doc_id", explode($"ws").as("tok"))
+      .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_tokens"), max($"c").as("max_tok"))
+    val bgStats = ws
+      .select($"doc_id", explode(GraftColumnBridge.column(
+        graft.functions.WordNGrams(
+          GraftColumnBridge.expression($"ws"), 2))).as("bg"))
+      .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+      .groupBy($"doc_id")
+      .agg(sum($"c").as("n_2grams"), max($"c").as("max_bg"),
+        sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_mass"))
+      .withColumnRenamed("doc_id", "bdoc")
+    val top2 = coalesce($"max_bg".cast("double") / $"n_2grams", lit(0.0))
+    val dup2 = coalesce($"dup_mass".cast("double") / $"n_2grams", lit(0.0))
+    tokStats.join(bgStats, $"doc_id" === $"bdoc", "left")
+      .select($"doc_id",
+        $"n_tokens",
+        ($"max_tok".cast("double") / $"n_tokens").as("top_token_frac"),
+        coalesce($"n_2grams", lit(0L)).as("n_2grams"),
+        top2.as("top_2gram_frac"),
+        dup2.as("dup_2gram_frac"),
+        (top2 > 0.18 || dup2 > 0.6).as("repetitive"))
+  }
+
+  /** SQL twin of [[repetitionStats]] over source relation `src`. */
+  def repetitionSql(src: String): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM $src),
+       |tok AS (
+       |  SELECT doc_id, unnest(ws) AS tok FROM ws),
+       |tokc AS (
+       |  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
+       |toks AS (
+       |  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS max_tok
+       |  FROM tokc GROUP BY 1),
+       |bg AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(ws), 1)),
+       |           i -> ws[i] || ' ' || ws[i+1])) AS bg
+       |  FROM ws),
+       |bgc AS (
+       |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
+       |bgs AS (
+       |  SELECT doc_id, SUM(c) AS n_2grams, MAX(c) AS max_bg,
+       |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_mass
+       |  FROM bgc GROUP BY 1)
+       |SELECT t.doc_id,
+       |       CAST(t.n_tokens AS BIGINT) AS n_tokens,
+       |       CAST(t.max_tok AS DOUBLE) / t.n_tokens AS top_token_frac,
+       |       CAST(coalesce(b.n_2grams, 0) AS BIGINT) AS n_2grams,
+       |       coalesce(CAST(b.max_bg AS DOUBLE) / b.n_2grams, 0.0)
+       |         AS top_2gram_frac,
+       |       coalesce(CAST(b.dup_mass AS DOUBLE) / b.n_2grams, 0.0)
+       |         AS dup_2gram_frac,
+       |       coalesce(CAST(b.max_bg AS DOUBLE) / b.n_2grams, 0.0) > 0.18
+       |         OR coalesce(CAST(b.dup_mass AS DOUBLE) / b.n_2grams, 0.0) > 0.6
+       |         AS repetitive
+       |FROM toks t LEFT JOIN bgs b ON t.doc_id = b.doc_id""".stripMargin
+
   /** q12h — repetition signals: top-token fraction, top-2-gram
     * fraction, and duplicate-2-gram mass fraction (the share of
     * 2-gram occurrences whose 2-gram appears more than once in the
     * doc) — the Gopher-rule family for catching degenerate/looped
-    * generations. Two-level hash aggregation: (doc, gram) counts,
-    * then per-doc max/sum — no windows, no sorts; 2-grams come from
-    * the same native codegen n-gram expression as the shingle path.
+    * generations.
     */
   val q12hRepetitionStats: GraftQuery = GraftQuery(
-    "q12h_repetition_stats",
-    """WITH ws AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-      |  FROM documents),
-      |tok AS (
-      |  SELECT doc_id, unnest(ws) AS tok FROM ws),
-      |tokc AS (
-      |  SELECT doc_id, tok, COUNT(*) AS c FROM tok GROUP BY 1, 2),
-      |toks AS (
-      |  SELECT doc_id, SUM(c) AS n_tokens, MAX(c) AS max_tok
-      |  FROM tokc GROUP BY 1),
-      |bg AS (
-      |  SELECT doc_id,
-      |         unnest(list_transform(range(1, greatest(len(ws), 1)),
-      |           i -> ws[i] || ' ' || ws[i+1])) AS bg
-      |  FROM ws),
-      |bgc AS (
-      |  SELECT doc_id, bg, COUNT(*) AS c FROM bg GROUP BY 1, 2),
-      |bgs AS (
-      |  SELECT doc_id, SUM(c) AS n_2grams, MAX(c) AS max_bg,
-      |         SUM(CASE WHEN c > 1 THEN c ELSE 0 END) AS dup_mass
-      |  FROM bgc GROUP BY 1)
-      |SELECT t.doc_id,
-      |       CAST(t.n_tokens AS BIGINT) AS n_tokens,
-      |       CAST(t.max_tok AS DOUBLE) / t.n_tokens AS top_token_frac,
-      |       CAST(coalesce(b.n_2grams, 0) AS BIGINT) AS n_2grams,
-      |       coalesce(CAST(b.max_bg AS DOUBLE) / b.n_2grams, 0.0)
-      |         AS top_2gram_frac,
-      |       coalesce(CAST(b.dup_mass AS DOUBLE) / b.n_2grams, 0.0)
-      |         AS dup_2gram_frac,
-      |       coalesce(CAST(b.max_bg AS DOUBLE) / b.n_2grams, 0.0) > 0.18
-      |         OR coalesce(CAST(b.dup_mass AS DOUBLE) / b.n_2grams, 0.0) > 0.6
-      |         AS repetitive
-      |FROM toks t LEFT JOIN bgs b ON t.doc_id = b.doc_id""".stripMargin) {
-    (spark, dir) =>
-      import spark.implicits._
-      import org.apache.spark.sql.GraftColumnBridge
-      val docs = Tables(spark, dir).documents
-      val ws = docs.select($"doc_id",
-        split(trim($"text"), "\\s+").as("ws"))
-      val tokStats = ws
-        .select($"doc_id", explode($"ws").as("tok"))
-        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum($"c").as("n_tokens"), max($"c").as("max_tok"))
-      val bgStats = ws
-        .select($"doc_id", explode(GraftColumnBridge.column(
-          graft.functions.WordNGrams(
-            GraftColumnBridge.expression($"ws"), 2))).as("bg"))
-        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
-        .groupBy($"doc_id")
-        .agg(sum($"c").as("n_2grams"), max($"c").as("max_bg"),
-          sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_mass"))
-        .withColumnRenamed("doc_id", "bdoc")
-      val top2 = coalesce($"max_bg".cast("double") / $"n_2grams", lit(0.0))
-      val dup2 = coalesce($"dup_mass".cast("double") / $"n_2grams", lit(0.0))
-      tokStats.join(bgStats, $"doc_id" === $"bdoc", "left")
-        .select($"doc_id",
-          $"n_tokens",
-          ($"max_tok".cast("double") / $"n_tokens").as("top_token_frac"),
-          coalesce($"n_2grams", lit(0L)).as("n_2grams"),
-          top2.as("top_2gram_frac"),
-          dup2.as("dup_2gram_frac"),
-          (top2 > 0.18 || dup2 > 0.6).as("repetitive"))
+    "q12h_repetition_stats", repetitionSql("documents")) { (spark, dir) =>
+    repetitionStats(Tables(spark, dir).documents)
   }
 
   // ---------------------------------------------------------------
@@ -176,30 +185,14 @@ object CurationQueries {
     * docs BEFORE the n-gram explode (partition-prunable scan), so
     * the corpus-side mass is shingled exactly once.
     */
-  val q13gContamination: GraftQuery = GraftQuery(
-    "q13g_contamination",
-    """WITH ws AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
-      |  FROM documents),
-      |sh AS (
-      |  SELECT DISTINCT doc_id,
-      |         unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
-      |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      |  FROM ws),
-      |hold AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
-      |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
-      |agg AS (
-      |  SELECT c.doc_id, COUNT(*) AS n_shingles,
-      |         CAST(SUM(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END)
-      |              AS BIGINT) AS n_overlap
-      |  FROM corp c LEFT JOIN hold h ON c.sh = h.sh
-      |  GROUP BY 1)
-      |SELECT doc_id, n_shingles, n_overlap,
-      |       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_frac,
-      |       CAST(n_overlap AS DOUBLE) / n_shingles >= 0.3 AS contaminated
-      |FROM agg""".stripMargin) { (spark, dir) =>
+  /** Contamination transform over any (doc_id, text) frame — reused
+    * by q13g and the q12k pipeline. Docs with doc_id % 97 == 0 play
+    * the holdout; output covers non-holdout docs that have at least
+    * one shingle.
+    */
+  def contaminationFlags(spark: org.apache.spark.sql.SparkSession,
+      docs: DataFrame): DataFrame = {
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
     val hold = TextQueries.shingles(spark, docs.filter($"doc_id" % 97 === 0))
       .select($"sh").distinct()
       .withColumn("hit", lit(1))
@@ -212,6 +205,34 @@ object CurationQueries {
         sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_overlap"))
       .select($"doc_id", $"n_shingles", $"n_overlap",
         frac.as("overlap_frac"), (frac >= 0.3).as("contaminated"))
+  }
+
+  /** SQL twin of [[contaminationFlags]] over source relation `src`. */
+  def contaminationSql(src: String): String =
+    s"""WITH ws AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  FROM $src),
+       |sh AS (
+       |  SELECT DISTINCT doc_id,
+       |         unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
+       |           i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
+       |  FROM ws),
+       |hold AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 97 = 0),
+       |corp AS (SELECT * FROM sh WHERE doc_id % 97 <> 0),
+       |agg AS (
+       |  SELECT c.doc_id, COUNT(*) AS n_shingles,
+       |         CAST(SUM(CASE WHEN h.sh IS NOT NULL THEN 1 ELSE 0 END)
+       |              AS BIGINT) AS n_overlap
+       |  FROM corp c LEFT JOIN hold h ON c.sh = h.sh
+       |  GROUP BY 1)
+       |SELECT doc_id, n_shingles, n_overlap,
+       |       CAST(n_overlap AS DOUBLE) / n_shingles AS overlap_frac,
+       |       CAST(n_overlap AS DOUBLE) / n_shingles >= 0.3 AS contaminated
+       |FROM agg""".stripMargin
+
+  val q13gContamination: GraftQuery = GraftQuery(
+    "q13g_contamination", contaminationSql("documents")) { (spark, dir) =>
+    contaminationFlags(spark, Tables(spark, dir).documents)
   }
 
   // ---------------------------------------------------------------
@@ -306,7 +327,96 @@ object CurationQueries {
             / count(lit(1))).as("type_token_ratio"))
     }
 
+  // ---------------------------------------------------------------
+  // q12k — the full curation pipeline as ONE declarative plan
+  // ---------------------------------------------------------------
+
+  /** q12k — end-to-end training-data prep recipe: planted corpus →
+    * exact dedup (keep-min per content hash) → quality + repetition
+    * gate → holdout-contamination gate → language rebalance →
+    * deterministic global shuffle + shard. Every stage is one of the
+    * library's reusable transforms composed into a SINGLE Catalyst
+    * plan — Catalyst sees the whole dataflow (column pruning reaches
+    * the scan, filters fuse, AQE sizes every exchange), which is the
+    * point of declaring a pipeline instead of materializing between
+    * steps. The oracle composes the stages' SQL twins the same way,
+    * so the hash gate covers the COMPOSITION, not just the pieces.
+    */
+  val q12kCurationPipeline: GraftQuery = {
+    val plantSql =
+      """SELECT doc_id, text, lang, n_chars FROM documents
+        |UNION ALL
+        |SELECT doc_id + 1000000, text, lang, n_chars
+        |FROM documents WHERE doc_id % 7 = 0""".stripMargin
+    GraftQuery(
+      "q12k_curation_pipeline",
+      s"""WITH plant AS ($plantSql),
+         |keepmin AS (
+         |  SELECT md5(text) AS h, MIN(doc_id) AS doc_id
+         |  FROM plant GROUP BY 1),
+         |d1 AS (
+         |  SELECT p.* FROM plant p
+         |  JOIN keepmin k ON md5(p.text) = k.h AND p.doc_id = k.doc_id),
+         |q AS (SELECT doc_id, quality FROM (${TextQueries.qualitySql("d1")})),
+         |rep AS (SELECT doc_id, repetitive FROM (${repetitionSql("d1")})),
+         |cont AS (SELECT doc_id, contaminated FROM (${contaminationSql("d1")})),
+         |kept AS (
+         |  SELECT doc_id, lang, quality
+         |  FROM d1
+         |  JOIN q USING (doc_id)
+         |  JOIN rep USING (doc_id)
+         |  LEFT JOIN cont USING (doc_id)
+         |  WHERE doc_id % 97 <> 0
+         |    AND quality >= 0.45
+         |    AND NOT repetitive
+         |    AND coalesce(contaminated, false) = false
+         |    AND ${TextQueries.rebalanceCondSql})
+         |SELECT doc_id, lang, quality,
+         |       CAST(ROW_NUMBER() OVER
+         |         (ORDER BY md5(CAST(doc_id AS VARCHAR) || '|shuffle'), doc_id)
+         |         AS INTEGER) AS shuffle_pos,
+         |       CAST(NTILE(16) OVER
+         |         (ORDER BY md5(CAST(doc_id AS VARCHAR) || '|shuffle'), doc_id)
+         |         AS INTEGER) AS shard
+         |FROM kept""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+      val plant = docs.select($"doc_id", $"text", $"lang", $"n_chars")
+        .unionByName(docs.filter($"doc_id" % 7 === 0)
+          .select(($"doc_id" + 1000000).as("doc_id"),
+            $"text", $"lang", $"n_chars"))
+      val keepMin = plant
+        .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+      val d1 = plant.withColumn("h", md5($"text"))
+        .join(keepMin, Seq("h", "doc_id")).drop("h")
+      val q = TextQueries.qualityScores(d1).select($"doc_id", $"quality")
+      val rep = repetitionStats(d1)
+        .select($"doc_id".as("rdoc"), $"repetitive")
+      val cont = contaminationFlags(spark, d1)
+        .select($"doc_id".as("cdoc"), $"contaminated")
+      val kept = d1.filter($"doc_id" % 97 =!= 0)
+        .join(q, "doc_id")
+        .join(rep, $"doc_id" === $"rdoc")
+        .join(cont, $"doc_id" === $"cdoc", "left")
+        .filter($"quality" >= 0.45 && !$"repetitive" &&
+          coalesce($"contaminated", lit(false)) === lit(false))
+      val balanced = TextQueries.rebalanceKeep(kept)
+        .select($"doc_id", $"lang", $"quality",
+          md5(concat($"doc_id".cast("string"), lit("|shuffle")))
+            .as("shuffle_key"))
+      graft.operators.DistributedRank.rankNtile(
+        balanced,
+        groupCols = Seq.empty,
+        orderCols = Seq($"shuffle_key", $"doc_id"),
+        ntiles = 16,
+        rankName = "shuffle_pos",
+        ntileName = "shard")
+        .select($"doc_id", $"lang", $"quality", $"shuffle_pos", $"shard")
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q12gPiiScrub, q12hRepetitionStats, q12iShuffleOrder,
-    q12jVocabStats, q12jVocabApprox, q13gContamination)
+    q12jVocabStats, q12jVocabApprox, q12kCurationPipeline,
+    q13gContamination)
 }

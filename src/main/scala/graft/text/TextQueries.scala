@@ -116,51 +116,75 @@ object TextQueries {
     * partitionings and cluster sizes — the property an auditable data
     * recipe needs. Map-side only: no shuffle, no state, linear scan.
     */
-  val q12fCorpusRebalance: GraftQuery = {
+  /** Keep-filter of the rebalance rule over any (doc_id, lang) frame —
+    * reused by q12f and the q12k curation pipeline. Map-side only.
+    */
+  def rebalanceKeep(df: DataFrame): DataFrame = {
+    import df.sparkSession.implicits._
+    val byte0 = conv(
+      substr(md5(concat($"doc_id".cast("string"), lit("|rebalance"))),
+        lit(1), lit(2)), 16, 10).cast("int")
+    val threshold = rebalanceRates
+      .foldLeft(when(lit(false), 0)) { case (c, (l, r)) =>
+        c.when($"lang" === l, r)
+      }.otherwise(0)
+    df.filter(byte0 < threshold)
+  }
+
+  /** SQL predicate twin of [[rebalanceKeep]] (over doc_id, lang). */
+  val rebalanceCondSql: String = {
     val caseSql = rebalanceRates
       .map { case (l, r) => s"WHEN '$l' THEN $r" }.mkString(" ")
-    GraftQuery(
-      "q12f_corpus_rebalance",
-      s"""WITH u AS (
-         |  SELECT doc_id, lang,
-         |         (strpos('0123456789abcdef',
-         |            substr(md5(CAST(doc_id AS VARCHAR) || '|rebalance'), 1, 1)) - 1) * 16
-         |         + (strpos('0123456789abcdef',
-         |            substr(md5(CAST(doc_id AS VARCHAR) || '|rebalance'), 2, 1)) - 1)
-         |           AS byte0
-         |  FROM documents)
-         |SELECT doc_id, lang
-         |FROM u
-         |WHERE byte0 < CASE lang $caseSql ELSE 0 END""".stripMargin) {
-      (spark, dir) =>
-        import spark.implicits._
-        val byte0 = conv(
-          substr(md5(concat($"doc_id".cast("string"), lit("|rebalance"))),
-            lit(1), lit(2)), 16, 10).cast("int")
-        val threshold = rebalanceRates
-          .foldLeft(when(lit(false), 0)) { case (c, (l, r)) =>
-            c.when($"lang" === l, r)
-          }.otherwise(0)
-        Tables(spark, dir).documents
-          .select($"doc_id", $"lang", byte0.as("byte0"),
-            threshold.as("thr"))
-          .filter($"byte0" < $"thr")
-          .select($"doc_id", $"lang")
-    }
+    s"""((strpos('0123456789abcdef',
+       |    substr(md5(CAST(doc_id AS VARCHAR) || '|rebalance'), 1, 1)) - 1) * 16
+       |  + (strpos('0123456789abcdef',
+       |    substr(md5(CAST(doc_id AS VARCHAR) || '|rebalance'), 2, 1)) - 1))
+       |  < CASE lang $caseSql ELSE 0 END""".stripMargin
+  }
+
+  val q12fCorpusRebalance: GraftQuery = GraftQuery(
+    "q12f_corpus_rebalance",
+    s"""SELECT doc_id, lang FROM documents
+       |WHERE $rebalanceCondSql""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    rebalanceKeep(Tables(spark, dir).documents)
+      .select($"doc_id", $"lang")
   }
 
   /** English-ish stopwords present in the corpus vocabulary. */
   private val stopEn = Seq("the", "a", "and", "of", "to", "is")
 
-  /** q12b — quality scoring: length score, stopword ratio, digit
-    * ratio, short-token ratio → composite quality (ref-style
-    * heuristics: length/punct/stopword ratios).
+  /** Quality transform over any (doc_id, text, n_chars) frame —
+    * reused by q12b and the q12k curation pipeline. One token
+    * explode + hash agg + doc join.
     */
-  val q12bQualityScore: GraftQuery = GraftQuery(
-    "q12b_quality_score",
+  def qualityScores(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    val f = tokens(docs).groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tokens"),
+        sum(when($"tok".isin(stopEn: _*), 1).otherwise(0)).as("n_stop"),
+        sum(when(length($"tok") <= 2, 1).otherwise(0)).as("n_short"),
+        sum(when($"tok".rlike("^[0-9]+$"), 1).otherwise(0)).as("n_digit"))
+    val lenScore   = least(docs("n_chars").cast("double") / 200.0, lit(1.0))
+    val shortRatio = $"n_short".cast("double") / $"n_tokens"
+    val digitRatio = $"n_digit".cast("double") / $"n_tokens"
+    docs.join(f, "doc_id")
+      .select($"doc_id",
+        lenScore.as("len_score"),
+        ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
+        shortRatio.as("short_ratio"),
+        digitRatio.as("digit_ratio"),
+        (lenScore * 0.5 + (lit(1.0) - shortRatio) * 0.3
+          + (lit(1.0) - digitRatio) * 0.2).as("quality"))
+  }
+
+  /** SQL twin of [[qualityScores]] over source relation `src`
+    * (must expose doc_id, text, n_chars).
+    */
+  def qualitySql(src: String): String =
     s"""WITH toks AS (
        |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
-       |  FROM documents),
+       |  FROM $src),
        |f AS (
        |  SELECT doc_id, COUNT(*) AS n_tokens,
        |         SUM(CASE WHEN tok IN (${stopEn.map("'" + _ + "'").mkString(",")})
@@ -177,26 +201,15 @@ object TextQueries {
        |         + 0.3 * (1.0 - CAST(f.n_short AS DOUBLE) / f.n_tokens)
        |         + 0.2 * (1.0 - CAST(f.n_digit AS DOUBLE) / f.n_tokens)
        |         AS quality
-       |FROM documents d JOIN f ON d.doc_id = f.doc_id""".stripMargin) {
-    (spark, dir) =>
-      import spark.implicits._
-      val docs = Tables(spark, dir).documents
-      val f = tokens(docs).groupBy($"doc_id")
-        .agg(count(lit(1)).as("n_tokens"),
-          sum(when($"tok".isin(stopEn: _*), 1).otherwise(0)).as("n_stop"),
-          sum(when(length($"tok") <= 2, 1).otherwise(0)).as("n_short"),
-          sum(when($"tok".rlike("^[0-9]+$"), 1).otherwise(0)).as("n_digit"))
-      val lenScore   = least(docs("n_chars").cast("double") / 200.0, lit(1.0))
-      val shortRatio = $"n_short".cast("double") / $"n_tokens"
-      val digitRatio = $"n_digit".cast("double") / $"n_tokens"
-      docs.join(f, "doc_id")
-        .select($"doc_id",
-          lenScore.as("len_score"),
-          ($"n_stop".cast("double") / $"n_tokens").as("stop_ratio"),
-          shortRatio.as("short_ratio"),
-          digitRatio.as("digit_ratio"),
-          (lenScore * 0.5 + (lit(1.0) - shortRatio) * 0.3
-            + (lit(1.0) - digitRatio) * 0.2).as("quality"))
+       |FROM $src d JOIN f ON d.doc_id = f.doc_id""".stripMargin
+
+  /** q12b — quality scoring: length score, stopword ratio, digit
+    * ratio, short-token ratio → composite quality (ref-style
+    * heuristics: length/punct/stopword ratios).
+    */
+  val q12bQualityScore: GraftQuery = GraftQuery(
+    "q12b_quality_score", qualitySql("documents")) { (spark, dir) =>
+    qualityScores(Tables(spark, dir).documents)
   }
 
   /** Stopword-evidence table: (lang, word). The synthetic corpus

@@ -87,6 +87,33 @@ class CurationSpec extends SparkTestBase {
     assert(off.count() == 0, off.collect().mkString(", "))
   }
 
+  test("q12k pipeline output respects every stage's contract") {
+    import spark.implicits._
+    val out = CurationQueries.q12kCurationPipeline.fn(spark, sfDir).cache()
+    try {
+      val n = out.count()
+      assert(n > 0)
+      // planted duplicates (shifted ids) must not survive exact dedup
+      assert(out.filter($"doc_id" >= 1000000L).count() == 0)
+      // holdout docs never reach the training set
+      assert(out.filter($"doc_id" % 97 === 0).count() == 0)
+      // quality gate held
+      assert(out.filter($"quality" < 0.45).count() == 0)
+      // every survivor passes the rebalance keep rule (recompute)
+      val byte0 = conv(substr(md5(concat($"doc_id".cast("string"),
+        lit("|rebalance"))), lit(1), lit(2)), 16, 10).cast("int")
+      val rates = Map("en" -> 128, "es" -> 192, "de" -> 192,
+        "fr" -> 256, "zh" -> 96)
+      val thr = rates.foldLeft(when(lit(false), 0)) {
+        case (c, (l, r)) => c.when($"lang" === l, r) }.otherwise(0)
+      assert(out.filter(byte0 >= thr).count() == 0)
+      // shuffle positions are exactly 1..N
+      assert(out.select($"shuffle_pos").distinct().count() == n)
+      val mm = out.agg(min($"shuffle_pos"), max($"shuffle_pos")).first()
+      assert(mm.getInt(0) == 1 && mm.getInt(1) == n)
+    } finally out.unpersist()
+  }
+
   test("q13g holdout docs are excluded and fractions bounded") {
     import spark.implicits._
     val out = CurationQueries.q13gContamination.fn(spark, sfDir).cache()
