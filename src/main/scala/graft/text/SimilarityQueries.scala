@@ -286,6 +286,50 @@ object SimilarityQueries {
           .as("mean_abs_err"))
   }
 
+  /** q14e — SemDeDup-style semantic dedup: cluster embeddings
+    * (KMeans, fixed seed), then WITHIN each cell drop every vector
+    * that has a smaller-id neighbor with cosine ≥ 0.4 (min-id is the
+    * deterministic keep rule; the threshold matches q13e's near-dup
+    * bar). The cell join bounds the pairwise work to cell size — the
+    * SemDeDup recipe — and at corpus scale k grows with N so cells
+    * stay bounded; the cell id doubles as a write-time partition
+    * key. Exact-duplicate vectors are planted (vec_id % 11 re-added
+    * at +1e6) so the operator always has known positives. KMeans is
+    * statistical → rows-only gate; TextDedupSpec asserts the planted
+    * drops, the partition property, and that every drop has an
+    * in-cell justifying neighbor.
+    */
+  val q14eSemanticDedup: GraftQuery =
+    GraftQuery.noOracle("q14e_semantic_dedup") { (spark, dir) =>
+      import spark.implicits._
+      import org.apache.spark.ml.functions.array_to_vector
+      val emb = Tables(spark, dir).embeddings
+      val planted = emb.select($"vec_id", $"embedding")
+        .unionByName(emb.filter($"vec_id" % 11 === 0)
+          .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
+      val v = planted.select($"vec_id", $"embedding",
+        VectorOps.norm2($"embedding").as("n2"),
+        array_to_vector(transform($"embedding", _.cast("double")))
+          .as("features"))
+      val model = new org.apache.spark.ml.clustering.KMeans()
+        .setK(16).setSeed(42L).setFeaturesCol("features")
+        .fit(v)
+      val assigned = model.transform(v)
+        .select($"vec_id", $"embedding", $"n2", $"prediction".as("cell"))
+      val a = assigned.toDF("vec_a", "emb_a", "n2_a", "cell")
+      val b = assigned.toDF("vec_b", "emb_b", "n2_b", "cell")
+      val dropped = a.join(b, Seq("cell"))
+        .filter($"vec_a" < $"vec_b")
+        .filter(VectorOps.cosineFrom(VectorOps.dot($"emb_a", $"emb_b"),
+          $"n2_a", $"n2_b") >= 0.4)
+        .select($"vec_b".as("vec_id")).distinct()
+        .withColumn("is_dup", lit(true))
+      assigned.join(dropped, Seq("vec_id"), "left")
+        .select($"vec_id", $"cell",
+          coalesce($"is_dup", lit(false)).as("dropped"))
+    }
+
   val all: Seq[GraftQuery] =
-    Seq(q14aAnnBruteTopk, q14bAnnLsh, q14cAnnIvf, q14dEmbedQuantize)
+    Seq(q14aAnnBruteTopk, q14bAnnLsh, q14cAnnIvf, q14dEmbedQuantize,
+      q14eSemanticDedup)
 }

@@ -246,4 +246,38 @@ class TextDedupSpec extends SparkTestBase {
       .filter($"n" > 1)
     assert(conflicting.count() == 0)
   }
+
+  test("q14e semantic dedup drops planted exact duplicates, keeps a partition") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val out = SimilarityQueries.q14eSemanticDedup.fn(spark, sfDir).cache()
+    try {
+      val emb = Tables(spark, sfDir).embeddings
+      val total = emb.count() + emb.filter($"vec_id" % 11 === 0).count()
+      // output covers every (planted) vector exactly once
+      assert(out.count() == total)
+      assert(out.select($"vec_id").distinct().count() == total)
+      // a planted copy is the same point as its original (cosine 1,
+      // same cell) with a LARGER id -> must always be dropped
+      assert(out.filter($"vec_id" >= 1000000L && !$"dropped").count() == 0)
+      // every drop is justified: a smaller-id same-cell neighbor with
+      // cosine >= 0.4 (recomputed independently over the cell join)
+      val v = out.join(
+        emb.select($"vec_id", $"embedding")
+          .unionByName(emb.filter($"vec_id" % 11 === 0)
+            .select(($"vec_id" + 1000000).as("vec_id"), $"embedding")),
+        Seq("vec_id"))
+        .select($"vec_id", $"cell", $"dropped", $"embedding",
+          VectorOps.norm2($"embedding").as("n2"))
+      val justified = v.filter($"dropped")
+        .toDF("vec_b", "cell", "d_b", "emb_b", "n2_b")
+        .join(v.toDF("vec_a", "cell", "d_a", "emb_a", "n2_a"), Seq("cell"))
+        .filter($"vec_a" < $"vec_b" &&
+          VectorOps.cosineFrom(VectorOps.dot($"emb_a", $"emb_b"),
+            $"n2_a", $"n2_b") >= 0.4)
+        .select($"vec_b").distinct().count()
+      assert(justified == out.filter($"dropped").count(),
+        "some dropped vector has no justifying in-cell neighbor")
+    } finally out.unpersist()
+  }
 }
