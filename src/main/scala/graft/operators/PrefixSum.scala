@@ -1,0 +1,83 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.types.{LongType, StructType}
+
+/** Distributed EXCLUSIVE prefix sum — the scale path for global
+  * running totals (sequence packing, byte offsets, cumulative
+  * quotas). The window form `sum(x) OVER (ORDER BY k ROWS UNBOUNDED
+  * PRECEDING)` has an EMPTY partition spec: Spark funnels the entire
+  * input through ONE task. This operator instead:
+  *
+  *  1. `repartitionByRange(orderCols)` — global order across
+  *     partitions, each task sorts only its slice.
+  *  2. Pass 1 (tiny): per-partition sums, collected and turned into
+  *     exclusive per-partition offsets on the driver (O(partitions)).
+  *  3. Pass 2: running sum within each partition + its offset. The
+  *     range shuffle's map output is reused across both passes (same
+  *     RDD lineage → skipped stages), so the input shuffles once.
+  *
+  * Same two-pass skeleton as [[DistributedRank]]; mapPartitions is
+  * justified for the same reason — the cross-partition offset handoff
+  * is per-partition imperative state no built-in expresses without
+  * the single-task global window.
+  *
+  * `orderCols` must be a total order (tie-broken) for a deterministic
+  * result; `valueCol` must be non-null (cast to LONG).
+  */
+object PrefixSum {
+
+  /** Appends `outName` (LONG): sum of `valueCol` over all rows
+    * STRICTLY BEFORE this row in `orderCols` order (exclusive —
+    * first row gets 0).
+    */
+  def exclusivePrefixSum(
+      df: DataFrame,
+      orderCols: Seq[Column],
+      valueCol: Column,
+      outName: String,
+      numPartitions: Int = 0): DataFrame = {
+    val spark = df.sparkSession
+    val parts =
+      if (numPartitions > 0) numPartitions
+      else spark.sessionState.conf.numShufflePartitions
+    val withVal = df.withColumn("__psum_v", valueCol.cast(LongType))
+    val parted = withVal
+      .repartitionByRange(parts, orderCols: _*)
+      .sortWithinPartitions(orderCols: _*)
+    val vIdx = parted.schema.fieldIndex("__psum_v")
+
+    val rdd = parted.rdd
+
+    val perPartition: Array[(Int, Long)] =
+      rdd.mapPartitionsWithIndex { (pid, it) =>
+        var s = 0L
+        it.foreach(r => s += r.getLong(vIdx))
+        Iterator.single((pid, s))
+      }.collect()
+
+    val offsets: Map[Int, Long] = {
+      var acc = 0L
+      perPartition.sortBy(_._1).map { case (pid, s) =>
+        val e = pid -> acc
+        acc += s
+        e
+      }.toMap
+    }
+    val bcOffsets = spark.sparkContext.broadcast(offsets)
+
+    val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
+      var run = bcOffsets.value(pid)
+      it.map { row =>
+        val out = Row.fromSeq(
+          row.toSeq.dropRight(1) :+ run) // drop __psum_v, append prefix
+        run += row.getLong(vIdx)
+        out
+      }
+    }
+    val outSchema = StructType(
+      parted.schema.fields.dropRight(1))
+      .add(outName, LongType, nullable = false)
+    spark.createDataFrame(summed, outSchema)
+  }
+}

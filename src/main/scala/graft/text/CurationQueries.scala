@@ -415,8 +415,59 @@ object CurationQueries {
     }
   }
 
+  // ---------------------------------------------------------------
+  // q12l — concat-and-chunk sequence packing offsets
+  // ---------------------------------------------------------------
+
+  /** q12l — GPT-style packing: docs are concatenated in the
+    * deterministic shuffle order and chunked into 2048-token training
+    * sequences; each doc reports its global token offset and the
+    * chunk span it lands in. The offset is a GLOBAL running total —
+    * the window form (`SUM OVER (ORDER BY …)` with no partition) is a
+    * one-task funnel at corpus scale, so the offsets come from
+    * [[graft.operators.PrefixSum]] (range repartition + per-partition
+    * sums + offset handoff, input shuffled once). The oracle IS that
+    * window form, so the gate proves the two-pass operator exactly
+    * reproduces the single-task semantics.
+    */
+  val q12lPackChunks: GraftQuery = GraftQuery(
+    "q12l_pack_chunks",
+    """WITH toks AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents) GROUP BY 1),
+      |keyed AS (
+      |  SELECT doc_id, n_tokens,
+      |         md5(CAST(doc_id AS VARCHAR) || '|shuffle') AS k
+      |  FROM toks),
+      |pre AS (
+      |  SELECT doc_id, n_tokens,
+      |         CAST(coalesce(SUM(n_tokens) OVER (ORDER BY k, doc_id
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS start_offset
+      |  FROM keyed)
+      |SELECT doc_id, n_tokens, start_offset,
+      |       CAST(start_offset // 2048 AS BIGINT) AS first_chunk,
+      |       CAST((start_offset + n_tokens - 1) // 2048 AS BIGINT)
+      |         AS last_chunk
+      |FROM pre""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val toks = docs
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+    val keyed = toks.withColumn("k",
+      md5(concat($"doc_id".cast("string"), lit("|shuffle"))))
+    graft.operators.PrefixSum.exclusivePrefixSum(
+      keyed, Seq($"k", $"doc_id"), $"n_tokens", "start_offset")
+      .select($"doc_id", $"n_tokens", $"start_offset",
+        expr("start_offset div 2048").as("first_chunk"),
+        expr("(start_offset + n_tokens - 1) div 2048").as("last_chunk"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q12gPiiScrub, q12hRepetitionStats, q12iShuffleOrder,
     q12jVocabStats, q12jVocabApprox, q12kCurationPipeline,
-    q13gContamination)
+    q12lPackChunks, q13gContamination)
 }
