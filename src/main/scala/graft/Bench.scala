@@ -99,12 +99,20 @@ object Bench {
     val headlineMin = minPerQuery(headlineRuns)
     val extMin = minPerQuery(extRuns)
     val failed = failures(headlineRuns) ++ failures(extRuns)
-    // iteration totals sum successful measurements only — time-to-crash
-    // is not a throughput number; failures are flagged via "failed"
-    def totals(runs: Seq[Map[String, (Double, Boolean)]]): Seq[Double] =
-      runs.map(_.values.collect { case (t, true) => t }.sum)
-    val totalsPerIter = totals(headlineRuns)
-    val extTotalsPerIter = totals(extRuns)
+    // an iteration with ANY failure has incomplete query coverage, so
+    // its total would compare a smaller workload against full ones and
+    // could win the min — only CLEAN iterations produce totals; if no
+    // iteration is clean, fall back to the sum of per-query successful
+    // mins (comparable coverage-wise, biased fast — flagged by
+    // "failed" being non-empty either way)
+    def totals(runs: Seq[Map[String, (Double, Boolean)]],
+        mins: Map[String, Double]): Seq[Double] = {
+      val clean = runs.filter(_.values.forall(_._2))
+        .map(_.values.map(_._1).sum)
+      if (clean.nonEmpty) clean else Seq(mins.values.filter(_ >= 0).sum)
+    }
+    val totalsPerIter = totals(headlineRuns, headlineMin)
+    val extTotalsPerIter = totals(extRuns, extMin)
 
     def js(m: Map[String, Double]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")

@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{Column, DataFrame, Row}
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructType}
+import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
 /** Distributed RANK + NTILE — the scale path for per-group ranking
   * (reference query 3A, `Database/TASK 2A SQL Analytical
@@ -38,10 +38,12 @@ import org.apache.spark.sql.types.{IntegerType, StructType}
   */
 object DistributedRank {
 
-  /** Appends `rankName` and `ntileName` (both INT, matching the
-    * reference's CAST) to `df`, ranking within `groupCols` by
-    * `orderCols`. `numPartitions` <= 0 uses the session's shuffle
-    * partitions.
+  /** Appends `rankName` (LONG — a global rank on this operator's own
+    * scale path can exceed 2³¹, so Int would silently wrap; callers
+    * with reference-mandated INT output cast at their boundary) and
+    * `ntileName` (INT — bounded by the `ntiles` argument) to `df`,
+    * ranking within `groupCols` by `orderCols`. `numPartitions` <= 0
+    * uses the session's shuffle partitions.
     */
   def rankNtile(
       df: DataFrame,
@@ -120,11 +122,11 @@ object DistributedRank {
         val tile =
           if (i < r * (q + 1)) i / (q + 1) + 1
           else r + (i - r * (q + 1)) / q + 1
-        Row.fromSeq(row.toSeq :+ (i + 1).toInt :+ tile.toInt)
+        Row.fromSeq(row.toSeq :+ (i + 1) :+ tile.toInt)
       }
     }
     val outSchema = StructType(schema.fields)
-      .add(rankName, IntegerType, nullable = false)
+      .add(rankName, LongType, nullable = false)
       .add(ntileName, IntegerType, nullable = false)
     spark.createDataFrame(ranked, outSchema)
   }

@@ -41,6 +41,12 @@ object PrefixSum {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
+    // the temp column is appended and later stripped positionally —
+    // a name collision would silently drop/mislabel caller columns
+    require(!df.columns.contains("__psum_v"),
+      "input must not contain a column named __psum_v")
+    require(!df.columns.contains(outName),
+      s"input already contains output column '$outName'")
     val withVal = df.withColumn("__psum_v", valueCol.cast(LongType))
     val parted = withVal
       .repartitionByRange(parts, orderCols: _*)

@@ -261,6 +261,9 @@ object AnalyticalQueries {
       ntiles = 100,
       rankName = "rev_rank",
       ntileName = "percentile_band")
+      // per-nation ranks are Int-bounded; the reference CASTs to
+      // INTEGER, so narrow the operator's Long at the output boundary
+      .withColumn("rev_rank", $"rev_rank".cast("int"))
   }
 
   /** 3B — daily revenue, 7-day trailing moving average, YTD cumulative

@@ -259,8 +259,8 @@ object CurationQueries {
       |         md5(CAST(doc_id AS VARCHAR) || '|shuffle') AS shuffle_key
       |  FROM documents)
       |SELECT doc_id, shuffle_key,
-      |       CAST(ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)
-      |            AS INTEGER) AS shuffle_pos,
+      |       ROW_NUMBER() OVER (ORDER BY shuffle_key, doc_id)
+      |         AS shuffle_pos,
       |       CAST(NTILE(16) OVER (ORDER BY shuffle_key, doc_id)
       |            AS INTEGER) AS shard
       |FROM keyed""".stripMargin) { (spark, dir) =>
@@ -372,9 +372,9 @@ object CurationQueries {
          |    AND coalesce(contaminated, false) = false
          |    AND ${TextQueries.rebalanceCondSql})
          |SELECT doc_id, lang, quality,
-         |       CAST(ROW_NUMBER() OVER
+         |       ROW_NUMBER() OVER
          |         (ORDER BY md5(CAST(doc_id AS VARCHAR) || '|shuffle'), doc_id)
-         |         AS INTEGER) AS shuffle_pos,
+         |         AS shuffle_pos,
          |       CAST(NTILE(16) OVER
          |         (ORDER BY md5(CAST(doc_id AS VARCHAR) || '|shuffle'), doc_id)
          |         AS INTEGER) AS shard
@@ -387,8 +387,15 @@ object CurationQueries {
             $"text", $"lang", $"n_chars"))
       val keepMin = plant
         .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+      // d1 fans out to FOUR independent consumers (quality,
+      // repetition, contamination ×2 sides, final kept join) — left
+      // as pure lineage the dedup join and everything above it would
+      // re-execute per consumer. Materialize once; a production
+      // pipeline at corpus scale stages this boundary to parquet
+      // (disk-backed, partitioned), which cache() stands in for here.
       val d1 = plant.withColumn("h", md5($"text"))
         .join(keepMin, Seq("h", "doc_id")).drop("h")
+        .cache()
       val q = TextQueries.qualityScores(d1).select($"doc_id", $"quality")
       val rep = repetitionStats(d1)
         .select($"doc_id".as("rdoc"), $"repetitive")

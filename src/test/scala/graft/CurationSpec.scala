@@ -61,7 +61,7 @@ class CurationSpec extends SparkTestBase {
       // positions are exactly 1..N, each once
       assert(a.select($"shuffle_pos").distinct().count() == n)
       assert(a.agg(min($"shuffle_pos"), max($"shuffle_pos")).first()
-        match { case r => r.getInt(0) == 1 && r.getInt(1) == n })
+        match { case r => r.getLong(0) == 1L && r.getLong(1) == n })
       // shard sizes differ by at most one (NTILE contract)
       val sizes = a.groupBy($"shard").count()
         .agg(min($"count"), max($"count")).first()
@@ -110,7 +110,7 @@ class CurationSpec extends SparkTestBase {
       // shuffle positions are exactly 1..N
       assert(out.select($"shuffle_pos").distinct().count() == n)
       val mm = out.agg(min($"shuffle_pos"), max($"shuffle_pos")).first()
-      assert(mm.getInt(0) == 1 && mm.getInt(1) == n)
+      assert(mm.getLong(0) == 1L && mm.getLong(1) == n)
     } finally out.unpersist()
   }
 

@@ -23,7 +23,7 @@ class DistributedRankSpec extends SparkTestBase {
     import spark.implicits._
     val w = Window.partitionBy($"grp").orderBy($"score".desc, $"id")
     val expected = skewed
-      .withColumn("rnk", rank().over(w))
+      .withColumn("rnk", rank().over(w).cast("long"))
       .withColumn("band", ntile(7).over(w))
     val got = DistributedRank.rankNtile(
       skewed, Seq("grp"), Seq($"score".desc, $"id"),

@@ -96,12 +96,14 @@ class StreamingSpec extends SparkTestBase {
       org.apache.spark.sql.types.StructField("props",
         org.apache.spark.sql.types.StringType)))
     // the library surface under test: watermarked first-delivery-wins
-    // dedup (EventKpis.streamDedup); replayed rows disappear either as
-    // in-watermark duplicates or as late data — both are the dedup
-    // contract
-    val stream = EventKpis.streamDedup(
+    // dedup (EventKpis.streamDedup) fed BOTH duplicate shapes — the
+    // file replay (same-timestamp redelivery) and the q15g oracle's
+    // plantedRedelivery (5-minute-late redelivery of every 13th
+    // event). Replayed/late rows disappear either as in-watermark
+    // duplicates or as late data — both are the dedup contract
+    val stream = EventKpis.streamDedup(EventKpis.plantedRedelivery(
       spark.readStream.schema(schema).parquet(dupDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000"))))
+        .withColumn("ts", timestamp_micros(expr("ts div 1000")))))
     val q = stream.writeStream.format("memory").queryName("dedup_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
