@@ -50,7 +50,9 @@ object Bench {
       "q15a_event_kpis_tumbling", "q15c_sessionization",
       "q15f_asof_join", "q15g_stream_dedup",
       // the W2/W3 scale path, tracked against q3a's window form
-      "q3a_rank_ntile_dist")
+      "q3a_rank_ntile_dist",
+      // the bounded-heap top-k vs q5a/q3a's sort-based forms
+      "q21_topk_per_nation")
     // q13f (components) stays out: its dominant cost is recomputing the
     // q13b pair graph, which is already tracked above.
 

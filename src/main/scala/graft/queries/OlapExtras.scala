@@ -140,6 +140,52 @@ object OlapExtras {
     }
   }
 
+  /** q21 — top-3 customers by revenue per nation through the
+    * [[graft.functions.TopK.TopKAggregator]] (§2.12's typed custom
+    * aggregate): a single-pass mergeable bounded heap — O(k) state
+    * per partial, map-side combine — where the window form sorts each
+    * nation's full customer list to keep 3 rows. The oracle IS that
+    * window form, so the hash gate proves the heap reproduces exact
+    * top-k (ties break on customer id ascending in both). Revenue
+    * enters the heap as the SAME string-roundtripped double the
+    * output carries, so ordering and values agree bit-for-bit.
+    */
+  val q21TopkPerNation: GraftQuery = GraftQuery(
+    "q21_topk_per_nation",
+    s"""WITH rev AS (
+       |  SELECT n_name, c_custkey,
+       |         CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, c_custkey, revenue, rk FROM (
+       |  SELECT n_name, c_custkey, revenue,
+       |         CAST(ROW_NUMBER() OVER (PARTITION BY n_name
+       |           ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rk
+       |  FROM rev)
+       |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val rev = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"c_custkey")
+      .agg(Exact.dsum(
+        ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
+          .cast(DecimalType(38, 6))).as("revenue"))
+    val top3 = udaf(graft.functions.TopK.TopKAggregator(3),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    rev
+      .groupBy($"n_name")
+      .agg(top3($"revenue", $"c_custkey").as("top"))
+      .select($"n_name", posexplode($"top").as(Seq("pos", "e")))
+      .select($"n_name", $"e._2".as("c_custkey"),
+        $"e._1".as("revenue"), ($"pos" + 1).cast(IntegerType).as("rk"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot)
+    Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot, q21TopkPerNation)
 }
