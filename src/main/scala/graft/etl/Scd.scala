@@ -67,6 +67,42 @@ object Scd {
       .drop("__prio", "__rn")
   }
 
+  /** MERGE-semantics CDC apply: an ordered op log (op/seq + key +
+    * payload) collapses to its LATEST op per key, which then merges
+    * with the base snapshot — D removes the row, U/I carry the op's
+    * payload, keys without ops carry the base payload forward. This
+    * is what Delta/Iceberg `MERGE INTO` executes under a CDC feed
+    * (their jars are absent in this environment — SURVEY ledger),
+    * expressed format-independently: ONE keyed window over the op log
+    * (ops shuffle on the key; the log is change-sized, not
+    * table-sized) + ONE full-outer key join against the base. A
+    * resurrection (U after D) works because only the latest op
+    * matters — standard CDC-compaction semantics.
+    *
+    * `ops` must carry `base`'s key + payload columns plus `opCol`
+    * ('I'/'U'/'D'; payload ignored for D) and `seqCol` (total order
+    * per key). Output: key + payload + `last_op` ('B' = untouched
+    * base row).
+    */
+  def applyCdc(base: DataFrame, ops: DataFrame, naturalKey: Seq[String],
+               opCol: String, seqCol: String): DataFrame = {
+    val payload = base.columns.filterNot(naturalKey.contains)
+    val w = Window.partitionBy(naturalKey.map(col): _*)
+      .orderBy(col(seqCol).desc)
+    val latest = ops
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(naturalKey.map(col) ++
+        payload.map(c => col(c).as(s"__op_$c")) :+ col(opCol).as("__op") : _*)
+    base.join(latest, naturalKey, "full_outer")
+      .filter(col("__op").isNull || col("__op") =!= "D")
+      .select(naturalKey.map(col) ++
+        payload.map(c =>
+          when(col("__op").isNull, col(c))
+            .otherwise(col(s"__op_$c")).as(c)) :+
+        coalesce(col("__op"), lit("B")).as("last_op") : _*)
+  }
+
   // ---- oracle-checked queries over synthetic customer snapshots ----
 
   /** Deterministic three-snapshot history over `customer`:
@@ -194,6 +230,60 @@ object Scd {
       .select($"probe_date", $"c_custkey", $"bal", $"version")
   }
 
+  /** q8d — [[applyCdc]] over a deterministic op log on customer:
+    * seq 1 updates %5 keys, seq 2 deletes %7 keys, seq 3 inserts new
+    * %11-derived keys, seq 4 updates %10 keys. The overlaps exercise
+    * the semantics: %35 keys end deleted (D after U), %70 keys end
+    * updated (U after D — resurrection), inserts land beside
+    * untouched base rows.
+    */
+  val q8dCdcApply: GraftQuery = GraftQuery(
+    "q8d_cdc_apply",
+    """WITH base AS (
+      |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+      |ops AS (
+      |  SELECT c_custkey, CAST(c_acctbal + 500.0 AS DOUBLE) AS bal,
+      |         'U' AS op, 1 AS op_seq FROM customer WHERE c_custkey % 5 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, CAST(NULL AS DOUBLE), 'D', 2
+      |  FROM customer WHERE c_custkey % 7 = 0
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, CAST(c_custkey AS DOUBLE), 'I', 3
+      |  FROM customer WHERE c_custkey % 11 = 0
+      |  UNION ALL
+      |  SELECT c_custkey, CAST(c_acctbal + 1000.0 AS DOUBLE), 'U', 4
+      |  FROM customer WHERE c_custkey % 10 = 0),
+      |latest AS (
+      |  SELECT * FROM (
+      |    SELECT c_custkey, bal, op,
+      |           row_number() OVER (PARTITION BY c_custkey
+      |             ORDER BY op_seq DESC) AS rn
+      |    FROM ops) WHERE rn = 1)
+      |SELECT coalesce(l.c_custkey, b.c_custkey) AS c_custkey,
+      |       CASE WHEN l.op IS NULL THEN b.bal ELSE l.bal END AS bal,
+      |       coalesce(l.op, 'B') AS last_op
+      |FROM base b FULL OUTER JOIN latest l ON b.c_custkey = l.c_custkey
+      |WHERE l.op IS NULL OR l.op <> 'D'""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables(spark, dir).customer
+    val base = c.select($"c_custkey", $"c_acctbal".cast("double").as("bal"))
+    val ops = c.filter($"c_custkey" % 5 === 0)
+      .select($"c_custkey", ($"c_acctbal" + 500.0).cast("double").as("bal"),
+        lit("U").as("op"), lit(1).as("op_seq"))
+      .unionByName(c.filter($"c_custkey" % 7 === 0)
+        .select($"c_custkey", lit(null).cast("double").as("bal"),
+          lit("D").as("op"), lit(2).as("op_seq")))
+      .unionByName(c.filter($"c_custkey" % 11 === 0)
+        .select(($"c_custkey" + 1000000).as("c_custkey"),
+          $"c_custkey".cast("double").as("bal"),
+          lit("I").as("op"), lit(3).as("op_seq")))
+      .unionByName(c.filter($"c_custkey" % 10 === 0)
+        .select($"c_custkey", ($"c_acctbal" + 1000.0).cast("double").as("bal"),
+          lit("U").as("op"), lit(4).as("op_seq")))
+    applyCdc(base, ops, naturalKey = Seq("c_custkey"),
+      opCol = "op", seqCol = "op_seq")
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q8aScd2Rebuild, q8bScd1Upsert, q8cScd2PointInTime)
+    Seq(q8aScd2Rebuild, q8bScd1Upsert, q8cScd2PointInTime, q8dCdcApply)
 }

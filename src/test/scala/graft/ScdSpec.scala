@@ -68,4 +68,22 @@ class ScdSpec extends SparkTestBase {
     assert(out.toSeq == Seq((1, 10.0, false), (2, 99.0, true),
       (3, 30.0, false), (9, 1.0, true)))
   }
+
+  test("applyCdc: delete, update, insert, resurrection, carry-forward") {
+    import spark.implicits._
+    val base = Seq((1, 10.0), (2, 20.0), (3, 30.0), (4, 40.0))
+      .toDF("k", "bal")
+    val ops = Seq(
+      (1, 0.0, "D", 1),           // plain delete
+      (2, 21.0, "U", 1),          // update
+      (3, 0.0, "D", 1), (3, 33.0, "U", 2), // resurrection: U after D
+      (5, 50.0, "I", 1),          // insert of a new key
+      (2, 22.0, "U", 2)           // later update wins
+    ).toDF("k", "bal", "op", "seq")
+    val out = Scd.applyCdc(base, ops, Seq("k"), "op", "seq")
+      .orderBy($"k").collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getString(2)))
+    assert(out.toSeq == Seq((2, 22.0, "U"), (3, 33.0, "U"),
+      (4, 40.0, "B"), (5, 50.0, "I")))
+  }
 }
