@@ -95,5 +95,74 @@ object Multimodal {
     (spark, dir) => decodeAll(spark, dir).toDF()
   }
 
-  val all: Seq[GraftQuery] = Seq(q16aMediaMeta, q16bDecodeStub)
+  /** q16c — resize planning (builder contract "resize"): target-fit
+    * dimensions for every image/video under a 32×32 bound, aspect
+    * preserved, never upscaled. The DIMENSION math is the real
+    * operator output (what a batch resizer needs per row) and is
+    * fully oracle-checked; the pixel transform itself would sit in
+    * the same mapPartitions batch shape as [[decodeStub]] and is
+    * stubbed for the same environment reason. Dims derive from the
+    * payload hash exactly as the decode stub derives them, so the
+    * chain decode → resize is consistent.
+    */
+  val q16cResizePlan: GraftQuery = GraftQuery(
+    "q16c_resize_plan",
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id,
+      |         CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
+      |              ELSE 'video' END AS kind,
+      |         1 + ((strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
+      |              + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1) % 64
+      |           AS w,
+      |         1 + ((strpos('0123456789abcdef', substr(md5(text), 3, 1)) - 1) * 16
+      |              + strpos('0123456789abcdef', substr(md5(text), 4, 1)) - 1) % 64
+      |           AS h
+      |  FROM documents)
+      |SELECT media_id, kind, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
+      |       CAST(greatest(1, floor(w * least(32.0 / w, 32.0 / h, 1.0)))
+      |            AS INTEGER) AS out_w,
+      |       CAST(greatest(1, floor(h * least(32.0 / w, 32.0 / h, 1.0)))
+      |            AS INTEGER) AS out_h
+      |FROM dims
+      |WHERE kind <> 'audio'""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val m = mediaTable(spark, dir)
+    val byteAt = (p: Int) =>
+      conv(substr(md5($"text"), lit(p), lit(2)), 16, 10).cast("int")
+    val dims = m.select($"media_id", $"kind",
+      (byteAt(1) % 64 + 1).as("w"), (byteAt(3) % 64 + 1).as("h"))
+    val scale = least(lit(32.0) / $"w", lit(32.0) / $"h", lit(1.0))
+    dims.filter($"kind" =!= "audio")
+      .select($"media_id", $"kind", $"w", $"h",
+        greatest(lit(1), floor($"w" * scale)).cast("int").as("out_w"),
+        greatest(lit(1), floor($"h" * scale)).cast("int").as("out_h"))
+  }
+
+  /** q16d — frame sampling (builder contract "frame-sample"): every
+    * 24th frame index of each video, frame count derived
+    * deterministically from n_chars (stand-in for container
+    * metadata). The explode is the real dataflow — one row per
+    * sampled frame, the unit a downstream decode/embed stage
+    * consumes; at scale it is a map-side generator, no shuffle.
+    */
+  val q16dFrameSample: GraftQuery = GraftQuery(
+    "q16d_frame_sample",
+    """SELECT doc_id AS media_id,
+      |       CAST(24 + n_chars % 240 AS INTEGER) AS n_frames,
+      |       CAST(unnest(range(0, 24 + n_chars % 240, 24)) AS INTEGER)
+      |         AS frame_idx
+      |FROM documents
+      |WHERE doc_id % 3 = 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter($"doc_id" % 3 === 2)
+      .select($"doc_id".as("media_id"),
+        (lit(24) + $"n_chars" % 240).cast("int").as("n_frames"))
+      .select($"media_id", $"n_frames",
+        explode(sequence(lit(0), $"n_frames" - 1, lit(24))).as("fi"))
+      .select($"media_id", $"n_frames", $"fi".cast("int").as("frame_idx"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q16aMediaMeta, q16bDecodeStub, q16cResizePlan, q16dFrameSample)
 }
