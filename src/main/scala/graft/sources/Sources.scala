@@ -113,5 +113,36 @@ object Sources {
       csv(spark, out, schema).drop("_corrupt_record")
   }
 
-  val all: Seq[GraftQuery] = Seq(q17aJsonProps, q17bCsvRoundtrip)
+  /** q17c — JSONL round trip: the de-facto training-corpus exchange
+    * format (one JSON document per line — Spark's `json` source reads
+    * and writes exactly this). A deterministic documents slice writes
+    * to JSONL and reads back schema-declared in PERMISSIVE mode with
+    * corrupt-line capture — the same contract as the CSV source.
+    * Rows-only check (the oracle tables are parquet, not this file);
+    * SourcesSpec asserts value-level parity and corrupt-line capture.
+    */
+  val q17cJsonlRoundtrip: GraftQuery = GraftQuery.noOracle("q17c_jsonl_roundtrip") {
+    (spark, dir) =>
+      import spark.implicits._
+      val out = java.nio.file.Files
+        .createTempDirectory("graft-jsonl").toString
+      val slice = Tables(spark, dir).documents
+        .filter($"doc_id" % 10 === 0)
+        .select($"doc_id", $"text", $"lang", $"n_chars")
+      slice.write.mode("overwrite").json(out)
+      val schema = StructType(Seq(
+        StructField("doc_id", LongType),
+        StructField("text", StringType),
+        StructField("lang", StringType),
+        StructField("n_chars", LongType),
+        StructField("_corrupt_record", StringType)))
+      spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .drop("_corrupt_record")
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q17aJsonProps, q17bCsvRoundtrip, q17cJsonlRoundtrip)
 }

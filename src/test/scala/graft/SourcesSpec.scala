@@ -97,4 +97,37 @@ class SourcesSpec extends SparkTestBase {
       assert(joined.count() == Tables(spark, sfDir).lineitem.count())
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
+
+  test("jsonl roundtrip preserves values; corrupt lines are captured") {
+    import spark.implicits._
+    // value-level parity through the write→read cycle
+    val back = graft.sources.Sources.q17cJsonlRoundtrip.fn(spark, sfDir)
+    val orig = Tables(spark, sfDir).documents
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    assert(back.exceptAll(orig).count() == 0 &&
+      orig.exceptAll(back).count() == 0,
+      "jsonl roundtrip changed document values")
+    // corrupt-line capture: a malformed line lands in _corrupt_record
+    // with the data columns null, and valid lines still parse
+    val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad")
+    java.nio.file.Files.write(dir.resolve("part-0.json"),
+      "{\"doc_id\": 1, \"text\": \"ok\"}\nnot json at all\n"
+        .getBytes("UTF-8"))
+    val schema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("doc_id",
+        org.apache.spark.sql.types.LongType),
+      org.apache.spark.sql.types.StructField("text",
+        org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("_corrupt_record",
+        org.apache.spark.sql.types.StringType)))
+    val parsed = spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(dir.toString).cache()
+    try {
+      assert(parsed.filter($"_corrupt_record".isNotNull).count() == 1)
+      assert(parsed.filter($"doc_id" === 1 && $"text" === "ok").count() == 1)
+    } finally parsed.unpersist()
+  }
 }
