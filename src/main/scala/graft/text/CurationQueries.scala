@@ -473,8 +473,47 @@ object CurationQueries {
         expr("(start_offset + n_tokens - 1) div 2048").as("last_chunk"))
   }
 
+  // ---------------------------------------------------------------
+  // q12m — overlapping chunk windows (RAG/embedding prep)
+  // ---------------------------------------------------------------
+
+  /** q12m — sliding chunk windows: each doc splits into 64-token
+    * chunks at stride 48 (16-token overlap) — the retrieval/embedding
+    * prep shape (overlap keeps boundary context retrievable). One
+    * token-count aggregation + a map-side sequence explode per doc:
+    * no shuffle beyond the count, chunk rows stream out linearly.
+    * The final (possibly short) chunk starts at the last stride
+    * position before the doc ends, exactly like the range() twin.
+    */
+  val q12mChunkWindows: GraftQuery = GraftQuery(
+    "q12m_chunk_windows",
+    """WITH toks AS (
+      |  SELECT doc_id, COUNT(*) AS n_tokens
+      |  FROM (SELECT doc_id,
+      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |        FROM documents) GROUP BY 1)
+      |SELECT doc_id, n_tokens,
+      |       CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
+      |       CAST(start_tok AS BIGINT) AS start_tok,
+      |       CAST(least(64, n_tokens - start_tok) AS BIGINT) AS chunk_len
+      |FROM (SELECT doc_id, n_tokens,
+      |        unnest(range(0, n_tokens, 48)) AS start_tok
+      |      FROM toks)""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+      .select($"doc_id", $"n_tokens",
+        explode(sequence(lit(0L), $"n_tokens" - 1, lit(48L)))
+          .as("start_tok"))
+      .select($"doc_id", $"n_tokens",
+        expr("start_tok div 48").as("chunk_idx"),
+        $"start_tok",
+        least(lit(64L), $"n_tokens" - $"start_tok").as("chunk_len"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q12gPiiScrub, q12hRepetitionStats, q12iShuffleOrder,
     q12jVocabStats, q12jVocabApprox, q12kCurationPipeline,
-    q12lPackChunks, q13gContamination)
+    q12lPackChunks, q12mChunkWindows, q13gContamination)
 }
