@@ -66,6 +66,29 @@ object Sources {
       .parquet(path)
   }
 
+  /** Z-ordered write: range-partition by the Morton interleave of two
+    * normalized columns ([[graft.functions.ZOrder]]), one file per
+    * range — every file then covers a small RECTANGLE of the (a, b)
+    * space, so min/max skipping prunes files for predicates on EITHER
+    * column (a single-column sort leaves the other column full-range
+    * in every file; SourcesSpec asserts the comparison). The caller
+    * supplies each column's bounds, as table stats would at scale.
+    */
+  def writeZOrdered(df: DataFrame, path: String,
+                    colA: String, boundsA: (Double, Double),
+                    colB: String, boundsB: (Double, Double),
+                    files: Int): Unit = {
+    import graft.functions.ZOrder
+    val z = ZOrder.interleave(
+      ZOrder.normalize(col(colA), boundsA._1, boundsA._2),
+      ZOrder.normalize(col(colB), boundsB._1, boundsB._2))
+    df.withColumn("__z", z)
+      .repartitionByRange(files, col("__z"))
+      .sortWithinPartitions(col("__z"))
+      .drop("__z")
+      .write.mode("overwrite").parquet(path)
+  }
+
   /** q17a — semi-structured JSON column parse: events.props →
     * typed field + aggregation (get_json_object / from_json).
     */

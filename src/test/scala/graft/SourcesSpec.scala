@@ -98,6 +98,47 @@ class SourcesSpec extends SparkTestBase {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
   }
 
+  test("z-ordered write narrows per-file ranges on BOTH columns") {
+    import spark.implicits._
+    val df = Tables(spark, sfDir).lineitem
+      .select($"l_partkey", $"l_suppkey")
+    val Array(minP, maxP, minS, maxS) = df
+      .agg(min($"l_partkey").cast("double"), max($"l_partkey").cast("double"),
+        min($"l_suppkey").cast("double"), max($"l_suppkey").cast("double"))
+      .first().toSeq.map(_.asInstanceOf[Double]).toArray
+    val zDir = java.nio.file.Files.createTempDirectory("graft-z").toString
+    val aDir = java.nio.file.Files.createTempDirectory("graft-a").toString
+    graft.sources.Sources.writeZOrdered(df, zDir,
+      "l_partkey", (minP, maxP), "l_suppkey", (minS, maxS), files = 8)
+    // baseline: single-column sort layout
+    df.repartitionByRange(8, $"l_partkey")
+      .sortWithinPartitions($"l_partkey")
+      .write.mode("overwrite").parquet(aDir)
+
+    def avgFileRange(dir: String, c: String): Double = {
+      val files = new java.io.File(dir).listFiles()
+        .filter(_.getName.endsWith(".parquet")).map(_.getAbsolutePath)
+      assert(files.length > 1, s"expected multiple files in $dir")
+      files.map { f =>
+        val r = spark.read.parquet(f)
+          .agg(min(col(c)).cast("double"), max(col(c)).cast("double"))
+          .first()
+        r.getDouble(1) - r.getDouble(0)
+      }.sum / files.length
+    }
+    // z-order: files cover rectangles -> the SECOND column's per-file
+    // range shrinks well below the sort-by-A layout, where every file
+    // spans (nearly) the full suppkey range
+    val zB = avgFileRange(zDir, "l_suppkey")
+    val aB = avgFileRange(aDir, "l_suppkey")
+    assert(zB < 0.8 * aB,
+      s"z-order suppkey avg range $zB not below sort layout's $aB")
+    // and the FIRST column still prunes under z-order
+    val zA = avgFileRange(zDir, "l_partkey")
+    assert(zA < 0.6 * (maxP - minP),
+      s"z-order partkey avg range $zA vs global ${maxP - minP}")
+  }
+
   test("jsonl roundtrip preserves values; corrupt lines are captured") {
     import spark.implicits._
     // value-level parity through the write→read cycle
