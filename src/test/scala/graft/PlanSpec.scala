@@ -99,6 +99,34 @@ class PlanSpec extends SparkTestBase {
       s"expected exactly 2 shuffles (doc agg + window), got $exchanges:\n$plan")
   }
 
+  test("q12g pii scrub and q16d frame sampling plan with zero shuffles") {
+    for (q <- Seq(graft.text.CurationQueries.q12gPiiScrub,
+        graft.multimodal.Multimodal.q16dFrameSample)) {
+      val plan = executedPlan(q.fn(spark, sfDir))
+      assert(!plan.contains("Exchange"),
+        s"${q.name} claims map-side-only but shuffles:\n$plan")
+    }
+  }
+
+  test("q12m chunk windows shuffle exactly once (the token count)") {
+    val df = graft.text.CurationQueries.q12mChunkWindows.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly 1 shuffle (token count agg), got $exchanges:\n$plan")
+  }
+
+  test("q13g contamination probes the holdout via broadcast, never SMJ") {
+    val df = graft.text.CurationQueries.q13gContamination.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    assert(plan.contains("BroadcastHashJoin"),
+      s"holdout probe is not a broadcast join:\n$plan")
+    assert(!plan.contains("SortMergeJoin"),
+      s"corpus-side sort-merge crept into the holdout probe:\n$plan")
+  }
+
   test("q13c minhash candidate generation is join-free") {
     // candidates come from band-bucket posting lists (group + ordered
     // pair explode), carrying signatures along — NOT from a two-sided
