@@ -1,0 +1,93 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
+
+import graft.etl.Scd
+import graft.operators.{ConnectedComponents, PrefixSum}
+
+/** Randomized properties for the distributed operators, each checked
+  * against an independent driver-side reference implementation —
+  * the operators must agree with the obvious sequential algorithm on
+  * arbitrary inputs, not just on the fixtures they were built
+  * against.
+  */
+class OperatorPropertySpec extends SparkTestBase {
+
+  private def sample[A](g: Gen[A], n: Int): Seq[A] =
+    (1 to n).flatMap(i => g.apply(Gen.Parameters.default, Seed(i.toLong)))
+
+  test("connected components agree with driver-side union-find") {
+    import spark.implicits._
+    val edgeGen = Gen.listOfN(24,
+      Gen.zip(Gen.chooseNum(0L, 14L), Gen.chooseNum(0L, 14L)))
+    sample(edgeGen, 8).foreach { edges =>
+      val got = ConnectedComponents.components(edges.toDF("src", "dst"))
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+      // union-find reference
+      val parent = scala.collection.mutable.Map.empty[Long, Long]
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      edges.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
+      // component label = min vertex id in the component
+      val expected = verts.map { v =>
+        val root = find(v)
+        v -> verts.filter(find(_) == root).min
+      }.toMap
+      assert(got == expected, s"components mismatch on $edges")
+    }
+  }
+
+  test("prefix sum agrees with a driver-side scan") {
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.chooseNum(1, 40)
+      keys <- Gen.pick(n, 0 until 1000)
+      vals <- Gen.listOfN(n, Gen.chooseNum(-50L, 50L))
+    } yield keys.toSeq.zip(vals)
+    sample(rowsGen, 8).foreach { rows =>
+      val got = PrefixSum.exclusivePrefixSum(
+        rows.toDF("k", "v"), Seq($"k"), $"v", "pre", numPartitions = 3)
+        .collect().map(r => r.getInt(0) -> r.getLong(2)).toMap
+      val expected = rows.sortBy(_._1)
+        .scanLeft((Int.MinValue, 0L)) { case ((_, acc), (k, v)) => (k, acc + v) }
+        .sliding(2).map { case Seq((_, acc), (k, _)) => k -> acc }.toMap
+      assert(got == expected, s"prefix sums mismatch on $rows")
+    }
+  }
+
+  test("applyCdc agrees with a driver-side sequential apply") {
+    import spark.implicits._
+    val baseGen = Gen.mapOf(Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0.0, 99.0)))
+    val opsGen = Gen.listOfN(12, for {
+      k <- Gen.chooseNum(0, 12)
+      bal <- Gen.chooseNum(0.0, 99.0)
+      op <- Gen.oneOf("I", "U", "D")
+    } yield (k, bal, op))
+    sample(Gen.zip(baseGen, opsGen), 8).foreach { case (base, ops) =>
+      val opsDf = ops.zipWithIndex
+        .map { case ((k, bal, op), i) => (k, bal, op, i) }
+        .toDF("k", "bal", "op", "seq")
+      val baseDf = base.toSeq.toDF("k", "bal")
+      val got = Scd.applyCdc(baseDf, opsDf, Seq("k"), "op", "seq")
+        .collect().map(r => r.getInt(0) -> (r.getDouble(1), r.getString(2)))
+        .toMap
+      // sequential reference: apply ops in seq order over the base
+      val state = scala.collection.mutable.Map[Int, (Double, String)]()
+      base.foreach { case (k, b) => state(k) = (b, "B") }
+      ops.foreach {
+        case (k, _, "D")   => state.remove(k); state(k) = (Double.NaN, "D")
+        case (k, bal, op)  => state(k) = (bal, op)
+      }
+      val expected = state.toMap.filter(_._2._2 != "D")
+      assert(got == expected, s"cdc mismatch: base=$base ops=$ops")
+    }
+  }
+}
