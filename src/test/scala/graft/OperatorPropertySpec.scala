@@ -63,6 +63,27 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("distributed rank/ntile agree with the window form on random groups") {
+    import spark.implicits._
+    val rowsGen = for {
+      n <- Gen.chooseNum(2, 60)
+      grps <- Gen.listOfN(n, Gen.oneOf("a", "b", "c"))
+      scores <- Gen.pick(n, 0 until 10000) // distinct -> total order
+    } yield grps.zip(scores.toSeq)
+    sample(rowsGen, 6).foreach { rows =>
+      val df = rows.toDF("g", "s")
+      val got = graft.operators.DistributedRank.rankNtile(
+        df, Seq("g"), Seq($"s".desc), ntiles = 4,
+        rankName = "r", ntileName = "t", numPartitions = 3)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy($"g").orderBy($"s".desc)
+      val exp = df.withColumn("r", rank().over(w).cast("long"))
+        .withColumn("t", ntile(4).over(w))
+      assert(got.exceptAll(exp).count() == 0 &&
+        exp.exceptAll(got).count() == 0, s"rank mismatch on $rows")
+    }
+  }
+
   test("applyCdc agrees with a driver-side sequential apply") {
     import spark.implicits._
     val baseGen = Gen.mapOf(Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0.0, 99.0)))

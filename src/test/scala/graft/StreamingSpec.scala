@@ -113,6 +113,31 @@ class StreamingSpec extends SparkTestBase {
       s"dedup kept $n rows, expected $expected (duplicated input)")
   }
 
+  test("stream-static dim enrichment matches the batch join") {
+    import spark.implicits._
+    // the classic ingest shape: a stream enriched against a static
+    // dimension snapshot — stateless per micro-batch, re-planned with
+    // the dim's current data each batch (no watermark/state needed)
+    val dim = Tables(spark, sfDir).customer
+      .select($"c_custkey", $"c_mktsegment")
+    val q = streamingEvents()
+      .join(dim, $"user_id" === $"c_custkey", "left")
+      .groupBy(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"))
+      .writeStream.format("memory").queryName("dim_enrich_test")
+      .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("dim_enrich_test")
+    val batch = Tables(spark, sfDir).events
+      .join(dim, $"user_id" === $"c_custkey", "left")
+      .groupBy(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n"))
+    assert(streamed.count() > 0)
+    assert(streamed.exceptAll(batch).count() == 0 &&
+      batch.exceptAll(streamed).count() == 0,
+      "stream-static enrichment differs from the batch join")
+  }
+
   test("late in-watermark event beyond the gap opens its own session") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
