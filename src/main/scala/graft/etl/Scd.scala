@@ -103,6 +103,36 @@ object Scd {
         coalesce(col("__op"), lit("B")).as("last_op") : _*)
   }
 
+  /** CDC EXTRACTION — the inverse of [[applyCdc]]: diff two snapshots
+    * of a table into the minimal I/U/D op log that transforms `old`
+    * into `next` (`applyCdc(old, extractCdc(old, next), …) ≡ next`,
+    * property-tested). One full-outer key join, change detection is
+    * null-safe per payload column; unchanged rows emit NO op, so the
+    * log is change-sized — what a snapshot-based ingest publishes
+    * downstream instead of shipping the whole table.
+    */
+  def extractCdc(old: DataFrame, next: DataFrame,
+                 naturalKey: Seq[String]): DataFrame = {
+    val payload = old.columns.filterNot(naturalKey.contains)
+    val o = old.select(naturalKey.map(col) ++
+      payload.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__in_o") : _*)
+    val n = next.select(naturalKey.map(col) ++
+      payload.map(c => col(c).as(s"__n_$c")) :+ lit(true).as("__in_n") : _*)
+    val changed = payload
+      .map(c => !(col(s"__o_$c") <=> col(s"__n_$c")))
+      .reduceOption(_ || _).getOrElse(lit(false))
+    o.join(n, naturalKey, "full_outer")
+      .withColumn("op",
+        when(col("__in_o").isNull, "I")
+          .when(col("__in_n").isNull, "D")
+          .when(changed, "U"))
+      .filter(col("op").isNotNull)
+      .select(naturalKey.map(col) ++
+        payload.map(c =>
+          when(col("op") === "D", col(s"__o_$c"))
+            .otherwise(col(s"__n_$c")).as(c)) :+ col("op") : _*)
+  }
+
   // ---- oracle-checked queries over synthetic customer snapshots ----
 
   /** Deterministic three-snapshot history over `customer`:
@@ -284,6 +314,47 @@ object Scd {
       opCol = "op", seqCol = "op_seq")
   }
 
+  /** q8e — [[extractCdc]] between two deterministic customer
+    * snapshots: %4 keys change balance (U), %9 keys disappear (D —
+    * and D wins over U for %36 keys, since the row is gone), %13 keys
+    * gain a shifted-id twin (I). Everything else emits NO op — the
+    * log is change-sized.
+    */
+  val q8eCdcExtract: GraftQuery = GraftQuery(
+    "q8e_cdc_extract",
+    """WITH s1 AS (
+      |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal FROM customer),
+      |s2 AS (
+      |  SELECT c_custkey,
+      |         CAST(CASE WHEN c_custkey % 4 = 0 THEN c_acctbal + 50.0
+      |                   ELSE c_acctbal END AS DOUBLE) AS bal
+      |  FROM customer WHERE c_custkey % 9 <> 0
+      |  UNION ALL
+      |  SELECT c_custkey + 2000000, CAST(c_custkey AS DOUBLE)
+      |  FROM customer WHERE c_custkey % 13 = 0)
+      |SELECT * FROM (
+      |  SELECT coalesce(s1.c_custkey, s2.c_custkey) AS c_custkey,
+      |         CASE WHEN s2.c_custkey IS NULL THEN s1.bal
+      |              ELSE s2.bal END AS bal,
+      |         CASE WHEN s1.c_custkey IS NULL THEN 'I'
+      |              WHEN s2.c_custkey IS NULL THEN 'D'
+      |              WHEN s1.bal IS DISTINCT FROM s2.bal THEN 'U' END AS op
+      |  FROM s1 FULL JOIN s2 ON s1.c_custkey = s2.c_custkey)
+      |WHERE op IS NOT NULL""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables(spark, dir).customer
+    val s1 = c.select($"c_custkey", $"c_acctbal".cast("double").as("bal"))
+    val s2 = c.filter($"c_custkey" % 9 =!= 0)
+      .select($"c_custkey",
+        when($"c_custkey" % 4 === 0, $"c_acctbal" + 50.0)
+          .otherwise($"c_acctbal").cast("double").as("bal"))
+      .unionByName(c.filter($"c_custkey" % 13 === 0)
+        .select(($"c_custkey" + 2000000).as("c_custkey"),
+          $"c_custkey".cast("double").as("bal")))
+    extractCdc(s1, s2, naturalKey = Seq("c_custkey"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q8aScd2Rebuild, q8bScd1Upsert, q8cScd2PointInTime, q8dCdcApply)
+    Seq(q8aScd2Rebuild, q8bScd1Upsert, q8cScd2PointInTime, q8dCdcApply,
+      q8eCdcExtract)
 }

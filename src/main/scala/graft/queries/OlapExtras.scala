@@ -186,6 +186,42 @@ object OlapExtras {
         $"e._1".as("revenue"), ($"pos" + 1).cast(IntegerType).as("rk"))
   }
 
+  /** q22 — incremental aggregate maintenance: the historical
+    * partition's aggregate STATE (tiny — one row per group, carrying
+    * count + exact decimal sum) merges with the fresh partition's
+    * delta aggregate by re-aggregating their union. History is never
+    * rescanned — the daily cost is one pass over the NEW data plus a
+    * group-count-sized merge, the only sane shape for a rolling
+    * 100 TB fact. Count and decimal-sum partials merge associatively
+    * (that is WHY the state carries sums, not averages); the final
+    * double conversion happens once, after the merge, through the
+    * exact string path. The oracle is the full recompute over all
+    * data, so the gate proves merge(state, delta) ≡ recompute.
+    */
+  val q22IncrementalAgg: GraftQuery = GraftQuery(
+    "q22_incremental_agg",
+    """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
+      |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+      |            AS DOUBLE) AS total
+      |FROM orders GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val orders = Tables(spark, dir).orders
+    val cutoff = "1997-01-01"
+    def partial(df: org.apache.spark.sql.DataFrame) = df
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(count(lit(1)).as("n_orders"),
+        sum($"o_totalprice".cast(DecimalType(38, 6))).as("part"))
+    // state: would be READ from the stored agg table in production —
+    // aggregated here from the historical slice for the self-check
+    val state = partial(orders.filter($"o_orderdate" < cutoff))
+    val delta = partial(orders.filter($"o_orderdate" >= cutoff))
+    state.unionByName(delta)
+      .groupBy($"o_orderstatus", $"o_orderpriority")
+      .agg(sum($"n_orders").as("n_orders"),
+        Exact.toDouble(sum($"part")).as("total"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot, q21TopkPerNation)
+    Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot, q21TopkPerNation,
+      q22IncrementalAgg)
 }

@@ -84,6 +84,26 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("applyCdc ∘ extractCdc reconstructs the target snapshot") {
+    import spark.implicits._
+    val snapGen = Gen.mapOf(Gen.zip(Gen.chooseNum(0, 12), Gen.chooseNum(0.0, 99.0)))
+    sample(Gen.zip(snapGen, snapGen), 8).foreach { case (oldM, nextM) =>
+      val oldDf = oldM.toSeq.toDF("k", "bal")
+      val nextDf = nextM.toSeq.toDF("k", "bal")
+      val ops = Scd.extractCdc(oldDf, nextDf, Seq("k"))
+        .withColumn("seq", lit(1))
+      val rebuilt = Scd.applyCdc(oldDf, ops, Seq("k"), "op", "seq")
+        .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
+      assert(rebuilt == nextM, s"old=$oldM next=$nextM rebuilt=$rebuilt")
+      // and the log is minimal: no op for unchanged keys
+      val opCount = ops.count()
+      val expectedOps = (oldM.keySet ++ nextM.keySet).count { k =>
+        oldM.get(k) != nextM.get(k)
+      }
+      assert(opCount == expectedOps, s"log not change-sized on $oldM -> $nextM")
+    }
+  }
+
   test("applyCdc agrees with a driver-side sequential apply") {
     import spark.implicits._
     val baseGen = Gen.mapOf(Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0.0, 99.0)))
