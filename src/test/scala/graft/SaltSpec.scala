@@ -43,4 +43,37 @@ class SaltSpec extends SparkTestBase {
     assert(plain.exceptAll(salted).count() == 0 &&
       salted.exceptAll(plain).count() == 0)
   }
+
+  test("AQE splits a skewed sort-merge join before salting is needed") {
+    import spark.implicits._
+    // salting (above) is the MANUAL fallback; the engine's first-line
+    // answer to join skew is AQE's skew-join split. Build a hot key
+    // carrying ~90% of the left side, force a sort-merge join with
+    // thresholds low enough that local data trips the detector, and
+    // assert the finalized plan marked the join skew=true.
+    val left = spark.range(0, 200000)
+      .select(when($"id" % 10 =!= 0, 0L).otherwise($"id").as("k"),
+        $"id".as("payload"))
+    val right = spark.range(0, 2000).select($"id".as("k"),
+      ($"id" * 2).as("w"))
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = left.join(right, Seq("k"))
+      joined.collect() // materialize THIS plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+  }
 }
