@@ -105,11 +105,14 @@ object Scd {
 
   /** CDC EXTRACTION — the inverse of [[applyCdc]]: diff two snapshots
     * of a table into the minimal I/U/D op log that transforms `old`
-    * into `next` (`applyCdc(old, extractCdc(old, next), …) ≡ next`,
-    * property-tested). One full-outer key join, change detection is
-    * null-safe per payload column; unchanged rows emit NO op, so the
-    * log is change-sized — what a snapshot-based ingest publishes
-    * downstream instead of shipping the whole table.
+    * into `next` — `applyCdc(old, extractCdc(old, next), key, "op",
+    * "op_seq") ≡ next`, property-tested, and the emitted constant
+    * `op_seq` makes that composition work directly (a snapshot diff
+    * has at most one op per key, so the sequence is trivially total).
+    * One full-outer key join, change detection is null-safe per
+    * payload column; unchanged rows emit NO op, so the log is
+    * change-sized — what a snapshot-based ingest publishes downstream
+    * instead of shipping the whole table.
     */
   def extractCdc(old: DataFrame, next: DataFrame,
                  naturalKey: Seq[String]): DataFrame = {
@@ -130,7 +133,8 @@ object Scd {
       .select(naturalKey.map(col) ++
         payload.map(c =>
           when(col("op") === "D", col(s"__o_$c"))
-            .otherwise(col(s"__n_$c")).as(c)) :+ col("op") : _*)
+            .otherwise(col(s"__n_$c")).as(c)) :+
+        col("op") :+ lit(1).as("op_seq") : _*)
   }
 
   // ---- oracle-checked queries over synthetic customer snapshots ----
@@ -338,7 +342,8 @@ object Scd {
       |              ELSE s2.bal END AS bal,
       |         CASE WHEN s1.c_custkey IS NULL THEN 'I'
       |              WHEN s2.c_custkey IS NULL THEN 'D'
-      |              WHEN s1.bal IS DISTINCT FROM s2.bal THEN 'U' END AS op
+      |              WHEN s1.bal IS DISTINCT FROM s2.bal THEN 'U' END AS op,
+      |         CAST(1 AS INTEGER) AS op_seq
       |  FROM s1 FULL JOIN s2 ON s1.c_custkey = s2.c_custkey)
       |WHERE op IS NOT NULL""".stripMargin) { (spark, dir) =>
     import spark.implicits._

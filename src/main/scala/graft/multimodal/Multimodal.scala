@@ -103,7 +103,12 @@ object Multimodal {
     * the same mapPartitions batch shape as [[decodeStub]] and is
     * stubbed for the same environment reason. Dims derive from the
     * payload hash exactly as the decode stub derives them, so the
-    * chain decode → resize is consistent.
+    * chain decode → resize is consistent. The fit is INTEGER math —
+    * `dim * 32 div max(w, h)` — because the double form
+    * `floor(dim * (32.0 / maxDim))` loses the target on ~2% of
+    * (w, h) pairs (e.g. 49 * (32.0/49) = 31.999…996 → 31), so the
+    * bound-constrained dimension would miss 32 exactly where it
+    * should hit it.
     */
   val q16cResizePlan: GraftQuery = GraftQuery(
     "q16c_resize_plan",
@@ -119,9 +124,11 @@ object Multimodal {
       |           AS h
       |  FROM documents)
       |SELECT media_id, kind, CAST(w AS INTEGER) AS w, CAST(h AS INTEGER) AS h,
-      |       CAST(greatest(1, floor(w * least(32.0 / w, 32.0 / h, 1.0)))
+      |       CAST(CASE WHEN greatest(w, h) <= 32 THEN w
+      |                 ELSE greatest(1, w * 32 // greatest(w, h)) END
       |            AS INTEGER) AS out_w,
-      |       CAST(greatest(1, floor(h * least(32.0 / w, 32.0 / h, 1.0)))
+      |       CAST(CASE WHEN greatest(w, h) <= 32 THEN h
+      |                 ELSE greatest(1, h * 32 // greatest(w, h)) END
       |            AS INTEGER) AS out_h
       |FROM dims
       |WHERE kind <> 'audio'""".stripMargin) { (spark, dir) =>
@@ -131,11 +138,14 @@ object Multimodal {
       conv(substr(md5($"text"), lit(p), lit(2)), 16, 10).cast("int")
     val dims = m.select($"media_id", $"kind",
       (byteAt(1) % 64 + 1).as("w"), (byteAt(3) % 64 + 1).as("h"))
-    val scale = least(lit(32.0) / $"w", lit(32.0) / $"h", lit(1.0))
+    // `div` = integral division, the exact twin of DuckDB's `//`
+    def fit(dim: String) = expr(
+      s"""CASE WHEN greatest(w, h) <= 32 THEN $dim
+         |     ELSE greatest(1, ($dim * 32) div greatest(w, h)) END""".stripMargin)
+      .cast("int")
     dims.filter($"kind" =!= "audio")
       .select($"media_id", $"kind", $"w", $"h",
-        greatest(lit(1), floor($"w" * scale)).cast("int").as("out_w"),
-        greatest(lit(1), floor($"h" * scale)).cast("int").as("out_h"))
+        fit("w").as("out_w"), fit("h").as("out_h"))
   }
 
   /** q16d — frame sampling (builder contract "frame-sample"): every

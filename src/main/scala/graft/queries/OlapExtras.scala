@@ -173,9 +173,8 @@ object OlapExtras {
       .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"c_custkey")
-      .agg(Exact.dsum(
-        ($"l_extendedprice" * (lit(1.0) - $"l_discount"))
-          .cast(DecimalType(38, 6))).as("revenue"))
+      .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
+        .as("revenue"))
     val top3 = udaf(graft.functions.TopK.TopKAggregator(3),
       org.apache.spark.sql.Encoders.product[(Double, Long)])
     rev

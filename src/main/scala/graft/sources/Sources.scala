@@ -79,6 +79,10 @@ object Sources {
                     colB: String, boundsB: (Double, Double),
                     files: Int): Unit = {
     import graft.functions.ZOrder
+    // the temp column is appended then stripped — a collision would
+    // silently drop the caller's data from the written files
+    require(!df.columns.contains("__z"),
+      "input must not contain a column named __z")
     val z = ZOrder.interleave(
       ZOrder.normalize(col(colA), boundsA._1, boundsA._2),
       ZOrder.normalize(col(colB), boundsB._1, boundsB._2))

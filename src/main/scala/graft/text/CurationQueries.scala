@@ -426,6 +426,16 @@ object CurationQueries {
   // q12l — concat-and-chunk sequence packing offsets
   // ---------------------------------------------------------------
 
+  /** Whitespace token counts per doc — the shared first stage of the
+    * packing (q12l) and chunk-window (q12m) operators; one change to
+    * tokenization propagates to both.
+    */
+  private def tokenCounts(docs: DataFrame): DataFrame = {
+    import docs.sparkSession.implicits._
+    docs.select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+  }
+
   /** q12l — GPT-style packing: docs are concatenated in the
     * deterministic shuffle order and chunked into 2048-token training
     * sequences; each doc reports its global token offset and the
@@ -460,12 +470,9 @@ object CurationQueries {
       |         AS last_chunk
       |FROM pre""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val docs = Tables(spark, dir).documents
-    val toks = docs
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
-    val keyed = toks.withColumn("k",
-      md5(concat($"doc_id".cast("string"), lit("|shuffle"))))
+    val keyed = tokenCounts(Tables(spark, dir).documents)
+      .withColumn("k",
+        md5(concat($"doc_id".cast("string"), lit("|shuffle"))))
     graft.operators.PrefixSum.exclusivePrefixSum(
       keyed, Seq($"k", $"doc_id"), $"n_tokens", "start_offset")
       .select($"doc_id", $"n_tokens", $"start_offset",
@@ -500,9 +507,7 @@ object CurationQueries {
       |        unnest(range(0, n_tokens, 48)) AS start_tok
       |      FROM toks)""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    Tables(spark, dir).documents
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
-      .groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
+    tokenCounts(Tables(spark, dir).documents)
       .select($"doc_id", $"n_tokens",
         explode(sequence(lit(0L), $"n_tokens" - 1, lit(48L)))
           .as("start_tok"))

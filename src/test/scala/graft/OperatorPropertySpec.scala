@@ -36,11 +36,9 @@ class OperatorPropertySpec extends SparkTestBase {
         if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
       }
       val verts = edges.flatMap(e => Seq(e._1, e._2)).distinct
-      // component label = min vertex id in the component
-      val expected = verts.map { v =>
-        val root = find(v)
-        v -> verts.filter(find(_) == root).min
-      }.toMap
+      // the union rule parent(max) = min makes each root its
+      // component's minimum, so the root IS the expected label
+      val expected = verts.map(v => v -> find(v)).toMap
       assert(got == expected, s"components mismatch on $edges")
     }
   }
@@ -91,8 +89,7 @@ class OperatorPropertySpec extends SparkTestBase {
       val oldDf = oldM.toSeq.toDF("k", "bal")
       val nextDf = nextM.toSeq.toDF("k", "bal")
       val ops = Scd.extractCdc(oldDf, nextDf, Seq("k"))
-        .withColumn("seq", lit(1))
-      val rebuilt = Scd.applyCdc(oldDf, ops, Seq("k"), "op", "seq")
+      val rebuilt = Scd.applyCdc(oldDf, ops, Seq("k"), "op", "op_seq")
         .collect().map(r => r.getInt(0) -> r.getDouble(1)).toMap
       assert(rebuilt == nextM, s"old=$oldM next=$nextM rebuilt=$rebuilt")
       // and the log is minimal: no op for unchanged keys
