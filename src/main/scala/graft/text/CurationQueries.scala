@@ -481,6 +481,51 @@ object CurationQueries {
   }
 
   // ---------------------------------------------------------------
+  // q12n — deterministic train/val/test split assignment
+  // ---------------------------------------------------------------
+
+  /** q12n — split carving: every doc lands in train/val/test by the
+    * first byte of a seeded content-independent hash (248/4/4 out of
+    * 256 ≈ 97/1.5/1.5 %), so the split is reproducible across runs,
+    * engines and partitionings and NEVER leaks: a doc's assignment
+    * depends only on its id, not on ordering or sampling state.
+    * Map-side only. The per-language rates in the output audit the
+    * stratification (hash uniformity makes each language's split
+    * converge to the same fractions without explicit stratified
+    * bookkeeping).
+    */
+  val q12nSplitAssign: GraftQuery = GraftQuery(
+    "q12n_split_assign",
+    """WITH assigned AS (
+      |  SELECT doc_id, lang,
+      |         CASE WHEN b < 248 THEN 'train'
+      |              WHEN b < 252 THEN 'val' ELSE 'test' END AS split
+      |  FROM (SELECT doc_id, lang,
+      |          (strpos('0123456789abcdef',
+      |             substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 1, 1)) - 1) * 16
+      |          + (strpos('0123456789abcdef',
+      |             substr(md5(CAST(doc_id AS VARCHAR) || '|split'), 2, 1)) - 1)
+      |            AS b
+      |        FROM documents))
+      |SELECT lang, split, COUNT(*) AS n_docs,
+      |       CAST(MIN(doc_id) AS BIGINT) AS min_doc_id,
+      |       CAST(MAX(doc_id) AS BIGINT) AS max_doc_id
+      |FROM assigned GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val b = conv(
+      substr(md5(concat($"doc_id".cast("string"), lit("|split"))),
+        lit(1), lit(2)), 16, 10).cast("int")
+    Tables(spark, dir).documents
+      .select($"doc_id", $"lang",
+        when(b < 248, "train").when(b < 252, "val").otherwise("test")
+          .as("split"))
+      .groupBy($"lang", $"split")
+      .agg(count(lit(1)).as("n_docs"),
+        min($"doc_id").as("min_doc_id"),
+        max($"doc_id").as("max_doc_id"))
+  }
+
+  // ---------------------------------------------------------------
   // q12m — overlapping chunk windows (RAG/embedding prep)
   // ---------------------------------------------------------------
 
@@ -520,5 +565,6 @@ object CurationQueries {
   val all: Seq[GraftQuery] = Seq(
     q12gPiiScrub, q12hRepetitionStats, q12iShuffleOrder,
     q12jVocabStats, q12jVocabApprox, q12kCurationPipeline,
-    q12lPackChunks, q12mChunkWindows, q13gContamination)
+    q12lPackChunks, q12mChunkWindows, q12nSplitAssign,
+    q13gContamination)
 }
