@@ -101,6 +101,26 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("bounded collect-set agrees with a reference set under any cap") {
+    import spark.implicits._
+    val gen = for {
+      cap <- Gen.chooseNum(1, 6)
+      xs <- Gen.listOfN(30, Gen.chooseNum(0L, 9L))
+    } yield (cap, xs)
+    sample(gen, 10).foreach { case (cap, xs) =>
+      val bounded = udaf(
+        graft.functions.BoundedList.BoundedListAggregator(cap),
+        org.apache.spark.sql.Encoders.scalaLong)
+      val got = xs.toDF("x").repartition(3)
+        .agg(bounded($"x").as("s")).head.getAs[Seq[Long]]("s")
+      val distinct = xs.distinct.sorted
+      if (distinct.length > cap)
+        assert(got == null, s"cap $cap: expected dropped group for $xs")
+      else
+        assert(got == distinct, s"cap $cap: $got != $distinct for $xs")
+    }
+  }
+
   test("applyCdc agrees with a driver-side sequential apply") {
     import spark.implicits._
     val baseGen = Gen.mapOf(Gen.zip(Gen.chooseNum(0, 9), Gen.chooseNum(0.0, 99.0)))
