@@ -405,7 +405,7 @@ object AnalyticsQueries {
     val t = Tables(spark, dir)
     val byNation = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
@@ -454,7 +454,7 @@ object AnalyticsQueries {
       latOf($"l_suppkey"), lngOf($"l_suppkey"))
     t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name")
       .agg(count(lit(1)).as("n_lines"),
@@ -640,7 +640,7 @@ object AnalyticsQueries {
       delayDays.cast(DoubleType))
     val lines = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
       .select($"n_name", onTime.as("on_time"), delay.as("delay"))
     val rate = Exact.dsum($"on_time") / count($"on_time")
@@ -682,7 +682,7 @@ object AnalyticsQueries {
       latOf($"l_suppkey"), lngOf($"l_suppkey"))
     t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey", "left")
+      .join(t.customer, $"o_custkey" === $"c_custkey", "left")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey", "left")
       .groupBy($"o_orderkey", $"o_orderstatus", $"n_name".as("nation"))
       .agg(count(lit(1)).as("n_lines"),

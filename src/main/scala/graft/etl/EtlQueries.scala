@@ -59,10 +59,14 @@ object EtlQueries {
       val t = Tables(spark, dir)
       t.lineitem
         .join(t.orders, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(t.customer), $"o_custkey" === $"c_custkey", "left")
+        // nation is constant-cardinality (25 rows at any scale) →
+        // static broadcast hint; customer/part/supplier are
+        // member-scale (a hint is a driver OOM at 100 TB) → no hint,
+        // AQE broadcasts them at runtime when they actually fit
+        .join(t.customer, $"o_custkey" === $"c_custkey", "left")
         .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey", "left")
-        .join(broadcast(t.part), $"l_partkey" === $"p_partkey", "left")
-        .join(broadcast(t.supplier), $"l_suppkey" === $"s_suppkey", "left")
+        .join(t.part, $"l_partkey" === $"p_partkey", "left")
+        .join(t.supplier, $"l_suppkey" === $"s_suppkey", "left")
         .select(
           $"l_orderkey", $"l_linenumber",
           (datediff(to_date($"o_orderdate"), to_date(lit(epoch))) + 1)

@@ -33,6 +33,10 @@ object Scd {
     */
   def scd2Rebuild(snapshots: DataFrame, naturalKey: Seq[String],
                   tracked: Seq[String], snapCol: String): DataFrame = {
+    // reserved temp/output names (see applyCdc): fail fast on collision
+    for (c <- Seq("__keep", "version", "effective_from", "effective_to"))
+      require(!snapshots.columns.contains(c),
+        s"scd2Rebuild: snapshots must not contain reserved column '$c'")
     val keyCols = naturalKey.map(col)
     val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(snapCol))
     val changed: Column = tracked
@@ -56,6 +60,10 @@ object Scd {
   def scd1Upsert(current: DataFrame, incoming: DataFrame,
                  naturalKey: Seq[String]): DataFrame = {
     val cols = current.columns
+    // reserved temp/output names (see applyCdc): fail fast on collision
+    for (c <- Seq("__prio", "__rn", "was_updated"))
+      require(!cols.contains(c),
+        s"scd1Upsert: input must not contain reserved column '$c'")
     val tagged = current.select(cols.map(col): _*).withColumn("__prio", lit(1))
       .unionByName(incoming.select(cols.map(col): _*).withColumn("__prio", lit(2)))
     val w = Window.partitionBy(naturalKey.map(col): _*)
@@ -87,6 +95,16 @@ object Scd {
   def applyCdc(base: DataFrame, ops: DataFrame, naturalKey: Seq[String],
                opCol: String, seqCol: String): DataFrame = {
     val payload = base.columns.filterNot(naturalKey.contains)
+    // same reserved-name discipline as PrefixSum/writeZOrdered: a base
+    // table already carrying a temp/output name would silently yield
+    // duplicate or mislabeled columns instead of failing here
+    val reserved = Seq("__rn", "__op", "last_op") ++ payload.map("__op_" + _)
+    for (c <- reserved) {
+      require(!base.columns.contains(c),
+        s"applyCdc: base must not contain reserved column '$c'")
+      require(!ops.columns.contains(c),
+        s"applyCdc: ops must not contain reserved column '$c'")
+    }
     val w = Window.partitionBy(naturalKey.map(col): _*)
       .orderBy(col(seqCol).desc)
     val latest = ops
@@ -117,6 +135,12 @@ object Scd {
   def extractCdc(old: DataFrame, next: DataFrame,
                  naturalKey: Seq[String]): DataFrame = {
     val payload = old.columns.filterNot(naturalKey.contains)
+    // reserved temp/output names (see applyCdc): fail fast on collision
+    val reserved = Seq("__in_o", "__in_n", "op", "op_seq") ++
+      payload.flatMap(c => Seq(s"__o_$c", s"__n_$c"))
+    for (c <- reserved; df <- Seq(old -> "old", next -> "next"))
+      require(!df._1.columns.contains(c),
+        s"extractCdc: ${df._2} must not contain reserved column '$c'")
     val o = old.select(naturalKey.map(col) ++
       payload.map(c => col(c).as(s"__o_$c")) :+ lit(true).as("__in_o") : _*)
     val n = next.select(naturalKey.map(col) ++

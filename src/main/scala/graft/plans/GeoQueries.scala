@@ -31,7 +31,7 @@ object GeoQueries {
     val t = Tables(spark, dir)
     t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
       .filter(Geo.withinRadiusKm(
         Geo.demoLat($"o_custkey"), Geo.demoLng($"o_custkey"),

@@ -17,7 +17,12 @@ import graft.functions.Exact
   *
   * Scale notes (100 TB design): the only fact⋈fact join is
   * lineitem⋈orders on the shuffle key `orderkey` — co-partitioned,
-  * AQE-safe; every dim join is `broadcast()`. Aggregates use
+  * AQE-safe. Constant-cardinality dims (nation: 25 rows at ANY scale)
+  * keep a static `broadcast()` hint; member-scale dims
+  * (customer/part/supplier — 10⁸–10⁹ rows at 100 TB) carry NO hint:
+  * an unconditional hint there is a driver OOM at the 8 GB broadcast
+  * cap, and AQE already picks a broadcast join at runtime whenever
+  * the dim actually fits (PlanSpec asserts it does). Aggregates use
   * map-side-combining hash aggregation; windows partition on
   * low-skew keys (month/nation). Exact-decimal sums (Exact.dsum)
   * keep the oracle hash stable without changing the plan shape.
@@ -142,7 +147,7 @@ object AnalyticalQueries {
     // COUNT(DISTINCT), which is provably equal on this data model).
     val base = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .groupBy(
         year($"o_orderdate").as("o_year"),
         month($"o_orderdate").as("o_month"),
@@ -182,7 +187,7 @@ object AnalyticalQueries {
     import spark.implicits._
     val t = Tables(spark, dir)
     t.lineitem
-      .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+      .join(t.part, $"l_partkey" === $"p_partkey")
       .select($"p_brand", $"p_partkey",
         revenue(t.lineitem).cast(DecimalType(38, 6)).as("rev"))
       .rollup($"p_brand", $"p_partkey")
@@ -226,7 +231,7 @@ object AnalyticalQueries {
     val t = Tables(spark, dir)
     val rev = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"c_custkey")
       .agg(Exact.dsum(revenue(t.lineitem)).as("revenue"))
@@ -250,7 +255,7 @@ object AnalyticalQueries {
     val t = Tables(spark, dir)
     val rev = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"c_custkey")
       .agg(Exact.dsum(revenue(t.lineitem)).as("revenue"))
@@ -349,7 +354,7 @@ object AnalyticalQueries {
         .select($"l_partkey")
       val building = li
         .join(t.orders, $"l_orderkey" === $"o_orderkey")
-        .join(broadcast(t.customer.filter($"c_mktsegment" === "BUILDING")),
+        .join(t.customer.filter($"c_mktsegment" === "BUILDING"),
           $"o_custkey" === $"c_custkey")
         .select($"l_partkey").distinct()
       t.part
@@ -388,7 +393,7 @@ object AnalyticalQueries {
       // carry (decimal sum, count) so the brand (line-grain) average
       // reuses exact sums — no double→decimal re-cast of derived values
       val pp = t.lineitem
-        .join(broadcast(t.part), $"l_partkey" === $"p_partkey")
+        .join(t.part, $"l_partkey" === $"p_partkey")
         .groupBy($"p_partkey", $"p_brand")
         .agg(sum($"l_extendedprice".cast(DecimalType(38, 6))).as("price_dec"),
           count(lit(1)).as("n_lines"))
@@ -430,7 +435,7 @@ object AnalyticalQueries {
       .groupBy($"o_custkey", $"o_orderkey")
       .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev"))
     perOrder
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")
       .agg(
         Exact.toDouble(sum($"rev")).as("ltv_revenue"),

@@ -35,7 +35,7 @@ object OlapExtras {
     val t = Tables(spark, dir)
     t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .groupBy(year($"o_orderdate").as("o_year"))
       .pivot("c_mktsegment", segments)
       .agg(sum(Exact.revenueExpr($"l_extendedprice", $"l_discount")
@@ -170,7 +170,7 @@ object OlapExtras {
     val t = Tables(spark, dir)
     val rev = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(broadcast(t.customer), $"o_custkey" === $"c_custkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
       .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
       .groupBy($"n_name", $"c_custkey")
       .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))

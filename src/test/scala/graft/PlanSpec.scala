@@ -17,7 +17,12 @@ class PlanSpec extends SparkTestBase {
     df.queryExecution.executedPlan.toString
 
   test("star enrichment broadcasts every dimension join") {
-    val plan = executedPlan(EtlQueries.q7aStarEnrich.fn(spark, sfDir))
+    // member-scale dims (customer/part/supplier) carry NO static hint
+    // (driver OOM at 100 TB) — materialize so AQE, seeing their actual
+    // size at this SF, has converted the joins to broadcast
+    val df = EtlQueries.q7aStarEnrich.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df)
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(broadcasts >= 4,
       s"expected >=4 broadcast dim joins, got $broadcasts:\n$plan")
