@@ -19,7 +19,15 @@ object GraftConf {
     * collect_list over wide rows) in the same session should size
     * this themselves.
     */
-  def tune(spark: SparkSession): Unit =
+  def tune(spark: SparkSession): Unit = {
     spark.conf.set(
       "spark.sql.objectHashAggregate.sortBased.fallbackThreshold", "131072")
+    // Member-scale dims (customer/part/supplier) carry NO static
+    // broadcast hint — at 100 TB a hinted plan is a driver OOM — so
+    // correct dim-join planning DEPENDS on AQE seeing their runtime
+    // size and converting to broadcast. AQE defaults on since Spark
+    // 3.2, but a session that disabled it would silently shuffle
+    // every dim join; force it here (r6 ADVICE item 3).
+    spark.conf.set("spark.sql.adaptive.enabled", "true")
+  }
 }

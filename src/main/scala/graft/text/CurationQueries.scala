@@ -390,12 +390,17 @@ object CurationQueries {
       // d1 fans out to FOUR independent consumers (quality,
       // repetition, contamination ×2 sides, final kept join) — left
       // as pure lineage the dedup join and everything above it would
-      // re-execute per consumer. Materialize once; a production
-      // pipeline at corpus scale stages this boundary to parquet
-      // (disk-backed, partitioned), which cache() stands in for here.
+      // re-execute per consumer. Materialize once via an EAGER local
+      // checkpoint: unlike cache(), it registers nothing in the
+      // CacheManager (a library call must not pin session-lifetime
+      // state — r6 ADVICE item 3), and its blocks are reclaimed by
+      // the ContextCleaner when the returned plan goes unreachable.
+      // A production pipeline at corpus scale stages this boundary to
+      // parquet (disk-backed, partitioned); MEMORY_AND_DISK-backed
+      // localCheckpoint stands in for that here.
       val d1 = plant.withColumn("h", md5($"text"))
         .join(keepMin, Seq("h", "doc_id")).drop("h")
-        .cache()
+        .localCheckpoint(true)
       val q = TextQueries.qualityScores(d1).select($"doc_id", $"quality")
       val rep = repetitionStats(d1)
         .select($"doc_id".as("rdoc"), $"repetitive")

@@ -353,7 +353,9 @@ object DedupQueries {
   /** q13e — embedding-cosine near-dup: ordered-fold dot products
     * ([[graft.functions.VectorOps]]) over the pair join, cosine ≥ 0.4.
     * Brute-force baseline (quadratic in corpus — fine as the exactness
-    * reference); the LSH-bucketed scale path is q14b.
+    * reference); the LSH-bucketed scale path is q14b. Refuses corpora
+    * above [[BruteForceGuard.QuadraticMaxRows]] instead of attempting
+    * an all-pairs join at scale.
     */
   val q13eEmbedNeardup: GraftQuery = GraftQuery(
     "q13e_embed_neardup",
@@ -371,6 +373,9 @@ object DedupQueries {
       import spark.implicits._
       import graft.functions.VectorOps
       val emb = Tables(spark, dir).embeddings
+      BruteForceGuard.guard("q13e_embed_neardup",
+        emb.select($"vec_id").count(), BruteForceGuard.QuadraticMaxRows,
+        "q14b_ann_lsh (bucketed) or q14e_semantic_dedup (cell-bounded)")
       val v = emb.select($"vec_id", $"embedding",
         VectorOps.norm2($"embedding").as("n2"))
       val a = v.toDF("vec_a", "emb_a", "n2_a")

@@ -114,6 +114,17 @@ class CurationSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("q12k is cache-neutral: repeated calls pin no CacheManager entries") {
+    // the fan-out boundary inside q12k materializes via an eager
+    // localCheckpoint, NOT cache() — a library call must not leave
+    // session-lifetime state behind (r6 verdict item 2 / ADVICE 3)
+    spark.catalog.clearCache()
+    CurationQueries.q12kCurationPipeline.fn(spark, sfDir).collect()
+    CurationQueries.q12kCurationPipeline.fn(spark, sfDir).collect()
+    assert(spark.sharedState.cacheManager.isEmpty,
+      "q12k registered entries in the session CacheManager")
+  }
+
   test("q13g holdout docs are excluded and fractions bounded") {
     import spark.implicits._
     val out = CurationQueries.q13gContamination.fn(spark, sfDir).cache()

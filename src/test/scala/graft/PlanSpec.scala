@@ -19,15 +19,23 @@ class PlanSpec extends SparkTestBase {
   test("star enrichment broadcasts every dimension join") {
     // member-scale dims (customer/part/supplier) carry NO static hint
     // (driver OOM at 100 TB) — materialize so AQE, seeing their actual
-    // size at this SF, has converted the joins to broadcast
+    // size at this SF, has converted the joins to broadcast. Count on
+    // the FINAL plan section only: the AQE string renders the initial
+    // plan too, where the statically-hinted nation join would double-
+    // count and mask a dim falling back to shuffle (r6 ADVICE 1).
     val df = EtlQueries.q7aStarEnrich.fn(spark, sfDir)
     df.collect()
-    val plan = executedPlan(df)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(broadcasts >= 4,
-      s"expected >=4 broadcast dim joins, got $broadcasts:\n$plan")
+      s"expected >=4 broadcast dim joins in the final plan, got $broadcasts:\n$plan")
     // the single fact-fact join may itself broadcast at this tiny SF;
-    // what must NOT happen is a dim reaching a shuffle join
+    // what must NOT happen is a dim key reaching a shuffle join
+    val dimSmj = plan.linesIterator.filter(_.contains("SortMergeJoin"))
+      .filter(l => Seq("custkey", "nationkey", "partkey", "suppkey")
+        .exists(l.contains))
+    assert(dimSmj.isEmpty,
+      s"a dim join fell back to sort-merge:\n${dimSmj.mkString("\n")}")
     assert(!plan.contains("CartesianProduct"))
   }
 
@@ -180,9 +188,31 @@ class PlanSpec extends SparkTestBase {
     // still picks broadcast joins. Materialize so AQE finalizes.
     val df = Warehouse.factOrderLines(Tables(spark, sfDir))
     df.collect()
-    val plan = executedPlan(df)
+    // final plan only — the initial-plan section would double-count
+    // and mask an AQE fallback (r6 ADVICE 1)
+    val plan = executedPlan(df).split("== Initial Plan ==").head
     val broadcasts = "BroadcastHashJoin".r.findAllIn(plan).length
     assert(broadcasts >= 3,
-      s"expected >=3 broadcast key lookups, got $broadcasts:\n$plan")
+      s"expected >=3 broadcast key lookups in the final plan, got $broadcasts:\n$plan")
+    val dimSmj = plan.linesIterator.filter(_.contains("SortMergeJoin"))
+      .filter(l => Seq("customer_id", "product_id", "seller_id")
+        .exists(l.contains))
+    assert(dimSmj.isEmpty,
+      s"a dim lookup fell back to sort-merge:\n${dimSmj.mkString("\n")}")
+  }
+
+  test("q14c IVF never pins the corpus: no cache in the plan") {
+    // the r5/r6 verdicts' #1 fix — the deterministic-medoid IVF must
+    // scan the corpus, not cache() it (a corpus-sized InMemoryRelation
+    // is pinned executor memory at 100 TB)
+    val df = graft.text.SimilarityQueries.q14cAnnIvf.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df)
+    assert(!plan.contains("InMemoryRelation") &&
+      !plan.contains("InMemoryTableScan"),
+      s"q14c plan pins a cached relation:\n$plan")
+    // centroid pick is a top-k, never a global sort of the corpus
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"centroid pick fell back to a global sort:\n$plan")
   }
 }

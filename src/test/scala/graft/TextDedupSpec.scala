@@ -128,6 +128,51 @@ class TextDedupSpec extends SparkTestBase {
     res.unpersist()
   }
 
+  test("brute-force baselines refuse oversized corpora") {
+    import spark.implicits._
+    import graft.text.BruteForceGuard
+    // an embeddings table one row over the quadratic bound trips q13e
+    // BEFORE any pair join is attempted (guard counts, then throws)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-guard").toString
+    try {
+      spark.range(BruteForceGuard.QuadraticMaxRows + 1)
+        .select($"id".as("vec_id"),
+          array(lit(0.1f), lit(0.2f)).as("embedding"))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val ex = intercept[IllegalArgumentException] {
+        DedupQueries.q13eEmbedNeardup.fn(spark, tmp)
+      }
+      assert(ex.getMessage.contains("q14b_ann_lsh"),
+        "guard message must name the scale path")
+      // q14a's (larger, linear-scan) bound: boundary semantics direct
+      BruteForceGuard.guard("x", BruteForceGuard.LinearScanMaxRows,
+        BruteForceGuard.LinearScanMaxRows, "y") // at bound: allowed
+      intercept[IllegalArgumentException] {
+        BruteForceGuard.guard("x", BruteForceGuard.LinearScanMaxRows + 1,
+          BruteForceGuard.LinearScanMaxRows, "y")
+      }
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
+  test("ivfK keeps the mean IVF cell bounded as the corpus doubles") {
+    // doubling N doubles k (above the floor), so N/k — the mean cell —
+    // never exceeds the 128-vector target anywhere below the
+    // documented Int.MaxValue clamp (N ≈ 2.7e11; beyond that the
+    // quantizer shards, k does not grow)
+    var n = 500L
+    while (n < 128L * Int.MaxValue) {
+      val k = SimilarityQueries.ivfK(n)
+      assert(k >= 16 && n.toDouble / k <= 128.0,
+        s"mean cell ${n.toDouble / k} unbounded at n=$n (k=$k)")
+      n *= 2
+    }
+    assert(SimilarityQueries.ivfK(0L) == 16) // empty corpus → floor
+  }
+
   test("native n-gram expression matches the HOF twin exactly") {
     import spark.implicits._
     val docs = Tables(spark, sfDir).documents
@@ -257,6 +302,10 @@ class TextDedupSpec extends SparkTestBase {
       // output covers every (planted) vector exactly once
       assert(out.count() == total)
       assert(out.select($"vec_id").distinct().count() == total)
+      // the quantizer sizes itself from N: never more cells than
+      // ivfK(N), so cells stay ~128-bounded as the corpus grows
+      assert(out.select($"cell").distinct().count() <=
+        SimilarityQueries.ivfK(total))
       // a planted copy is the same point as its original (cosine 1,
       // same cell) with a LARGER id -> must always be dropped
       assert(out.filter($"vec_id" >= 1000000L && !$"dropped").count() == 0)
