@@ -118,56 +118,103 @@ object Sources {
         graft.functions.Exact.dsum($"value").as("total_value"))
   }
 
-  /** q17b — schema-declared CSV round trip: a deterministic slice of
-    * lineitem written to CSV and read back through [[csv]] (rows-only
-    * check; the oracle tables are parquet, not this CSV).
+  /** Fixed (per-machine-tmpdir) roundtrip output roots: the DuckDB
+    * oracle must read the very files Spark wrote, so the path is
+    * deterministic and baked into the oracle SQL at object init (both
+    * sides run on the same host — the driver runs Verify first, then
+    * the oracles).
     */
-  val q17bCsvRoundtrip: GraftQuery = GraftQuery.noOracle("q17b_csv_roundtrip") {
-    (spark, dir) =>
-      import spark.implicits._
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-csv").toString
-      val slice = Tables(spark, dir).lineitem
-        .filter($"l_orderkey" % 100 === 0)
-        .select($"l_orderkey", $"l_linenumber", $"l_quantity",
-          $"l_returnflag")
-      slice.write.mode("overwrite").option("header", "true").csv(out)
-      val schema = StructType(Seq(
-        StructField("l_orderkey", LongType),
-        StructField("l_linenumber", IntegerType),
-        StructField("l_quantity", DoubleType),
-        StructField("l_returnflag", StringType)))
-      csv(spark, out, schema).drop("_corrupt_record")
+  private val RoundtripRoot: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_roundtrip"
+  private val CsvOut = s"$RoundtripRoot/q17b_csv"
+  private val JsonlOut = s"$RoundtripRoot/q17c_jsonl"
+
+  /** Plant one malformed line (plus header for CSV) as an extra data
+    * file in `dir` AFTER the Spark write cleared it — both engines
+    * must then exclude exactly that line for the hash gate to pass:
+    * Spark via PERMISSIVE `_corrupt_record` capture, DuckDB via
+    * `ignore_errors` (CSV) / all-NULL-row filter (JSONL).
+    */
+  private def plantCorrupt(dir: String, fileName: String,
+                           lines: Seq[String]): Unit = {
+    val p = java.nio.file.Paths.get(dir, fileName)
+    java.nio.file.Files.write(p,
+      lines.mkString("", "\n", "\n").getBytes("UTF-8"))
   }
 
-  /** q17c — JSONL round trip: the de-facto training-corpus exchange
-    * format (one JSON document per line — Spark's `json` source reads
-    * and writes exactly this). A deterministic documents slice writes
-    * to JSONL and reads back schema-declared in PERMISSIVE mode with
-    * corrupt-line capture — the same contract as the CSV source.
-    * Rows-only check (the oracle tables are parquet, not this file);
-    * SourcesSpec asserts value-level parity and corrupt-line capture.
+  /** q17b — schema-declared CSV round trip, ORACLE-GATED: a
+    * deterministic slice of lineitem written to CSV (fixed path), one
+    * malformed line planted alongside, read back through [[csv]] in
+    * PERMISSIVE mode, corrupt captures excluded. The DuckDB twin
+    * `read_csv`s the same files with `ignore_errors` — the hash match
+    * proves BOTH value-level format parity and that the corrupt line
+    * was captured (a missed capture surfaces as a null-filled extra
+    * row and fails the gate). Ref contract: Kettle CsvInput + error
+    * sink, `ETL/etl for customer with scd2.ktr:1072-1140`.
     */
-  val q17cJsonlRoundtrip: GraftQuery = GraftQuery.noOracle("q17c_jsonl_roundtrip") {
-    (spark, dir) =>
-      import spark.implicits._
-      val out = java.nio.file.Files
-        .createTempDirectory("graft-jsonl").toString
-      val slice = Tables(spark, dir).documents
-        .filter($"doc_id" % 10 === 0)
-        .select($"doc_id", $"text", $"lang", $"n_chars")
-      slice.write.mode("overwrite").json(out)
-      val schema = StructType(Seq(
-        StructField("doc_id", LongType),
-        StructField("text", StringType),
-        StructField("lang", StringType),
-        StructField("n_chars", LongType),
-        StructField("_corrupt_record", StringType)))
-      spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(out)
-        .drop("_corrupt_record")
+  val q17bCsvRoundtrip: GraftQuery = GraftQuery(
+    "q17b_csv_roundtrip",
+    s"""SELECT * FROM read_csv('$CsvOut/*.csv', header=true,
+       |  columns={'l_orderkey':'BIGINT','l_linenumber':'INTEGER',
+       |           'l_quantity':'DOUBLE','l_returnflag':'VARCHAR'},
+       |  ignore_errors=true)""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val slice = Tables(spark, dir).lineitem
+      .filter($"l_orderkey" % 100 === 0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag")
+    slice.write.mode("overwrite").option("header", "true").csv(CsvOut)
+    plantCorrupt(CsvOut, "zz_corrupt.csv",
+      Seq("l_orderkey,l_linenumber,l_quantity,l_returnflag",
+        "notanumber,xyz,bad,Z"))
+    val schema = StructType(Seq(
+      StructField("l_orderkey", LongType),
+      StructField("l_linenumber", IntegerType),
+      StructField("l_quantity", DoubleType),
+      StructField("l_returnflag", StringType)))
+    csv(spark, CsvOut, schema)
+      .filter($"_corrupt_record".isNull)
+      .drop("_corrupt_record")
+  }
+
+  /** q17c — JSONL round trip, ORACLE-GATED: the de-facto
+    * training-corpus exchange format (one JSON document per line). A
+    * deterministic documents slice writes to a fixed path, one invalid
+    * JSON line is planted, and the read-back is schema-declared
+    * PERMISSIVE with corrupt-line capture excluded. The DuckDB twin
+    * `read_json`s the same files; its `ignore_errors` NULLs (not
+    * drops) the bad line, so the twin filters `doc_id IS NOT NULL` —
+    * the same exclusion Spark reaches via `_corrupt_record` (doc_id
+    * is never NULL in well-formed documents rows). SourcesSpec
+    * additionally asserts the captured raw line verbatim.
+    */
+  val q17cJsonlRoundtrip: GraftQuery = GraftQuery(
+    "q17c_jsonl_roundtrip",
+    s"""SELECT * FROM read_json('$JsonlOut/*.json',
+       |  format='newline_delimited',
+       |  columns={'doc_id':'BIGINT','text':'VARCHAR',
+       |           'lang':'VARCHAR','n_chars':'BIGINT'},
+       |  ignore_errors=true)
+       |WHERE doc_id IS NOT NULL""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val slice = Tables(spark, dir).documents
+      .filter($"doc_id" % 10 === 0)
+      .select($"doc_id", $"text", $"lang", $"n_chars")
+    slice.write.mode("overwrite").json(JsonlOut)
+    plantCorrupt(JsonlOut, "zz_corrupt.json",
+      Seq("{\"doc_id\": this is not json}"))
+    val schema = StructType(Seq(
+      StructField("doc_id", LongType),
+      StructField("text", StringType),
+      StructField("lang", StringType),
+      StructField("n_chars", LongType),
+      StructField("_corrupt_record", StringType)))
+    spark.read.schema(schema)
+      .option("mode", "PERMISSIVE")
+      .option("columnNameOfCorruptRecord", "_corrupt_record")
+      .json(JsonlOut)
+      .filter($"_corrupt_record".isNull)
+      .drop("_corrupt_record")
   }
 
   val all: Seq[GraftQuery] =
