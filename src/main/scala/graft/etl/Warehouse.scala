@@ -149,6 +149,162 @@ object Warehouse {
         .when(delay <= 0, true).otherwise(false).as("on_time_delivery"))
   }
 
+  /** fact_payment analog — the reference's 4th fact table
+    * (`Database/Database Creation.sql:165-180`): ONE ROW PER PAYMENT
+    * TRANSACTION with `payment_sequential`, not per order. The
+    * testdata has no payment source, so payments are SYNTHESIZED
+    * deterministically from orders (a role mapping, like dim_time's
+    * generated calendar): 1 + (o_orderkey % 3) payments per order,
+    * the order total split in integer CENTS (the first `cents % n`
+    * payments carry the +1-cent remainder, so the split sums exactly
+    * to the order total), type/installments from key arithmetic. The
+    * whole derivation is integer math both engines reproduce
+    * bit-identically → full oracle hash gates (q18b, q5c).
+    *
+    * Scale shape: explode(sequence) is map-side (no shuffle); the
+    * only exchange is the customer_key lookup join, which AQE
+    * broadcasts when the dim fits (member-scale dim → no static
+    * hint, see [[factOrderLines]]).
+    */
+  def factPayment(t: Tables): DataFrame = {
+    val o = t.orders
+    import o.sparkSession.implicits._
+    val cust = dimCustomer(t).select($"customer_id", $"customer_key")
+    val types = array(lit("credit_card"), lit("boleto"), lit("voucher"),
+      lit("debit_card"))
+    val base = o.select(
+      $"o_orderkey", $"o_custkey",
+      (datediff(to_date($"o_orderdate"), to_date(lit("1992-01-01"))) + 1)
+        .cast(IntegerType).as("order_purchase_time_key"),
+      round($"o_totalprice" * 100).cast(LongType).as("cents"),
+      (lit(1L) + pmod($"o_orderkey", lit(3L))).as("n"))
+    // remainder-aware split: base share + 1 cent for the first
+    // (cents % n) sequentials; Σ value_cents = cents by construction
+    val shared = (($"cents" - pmod($"cents", $"n")) / $"n").cast(LongType)
+    val valueCents = shared +
+      when($"seq" <= pmod($"cents", $"n"), 1L).otherwise(0L)
+    base
+      .select($"*", explode(sequence(lit(1L), $"n")).as("seq"))
+      .join(cust, $"o_custkey" === $"customer_id", "left")
+      .select(
+        xxhash64($"o_orderkey", $"seq").as("payment_key"),
+        $"order_purchase_time_key",
+        $"customer_key",
+        $"o_orderkey".as("order_id"),
+        $"seq".cast(IntegerType).as("payment_sequential"),
+        element_at(types, (pmod($"o_orderkey" + $"seq", lit(4L)) + 1)
+          .cast(IntegerType)).as("payment_type"),
+        when(pmod($"o_orderkey" + $"seq", lit(4L)) === 0,
+          lit(1L) + pmod($"o_orderkey", lit(10L))).otherwise(1L)
+          .cast(IntegerType).as("payment_installments"),
+        (valueCents / 100.0).as("payment_value"))
+  }
+
+  /** The DuckDB twin of [[factPayment]]'s synthesis at natural grain
+    * (shared by the q18b and q5c oracles): payment_key/customer_key
+    * are engine-local surrogates, so the oracle carries the natural
+    * ids and the customer join goes through c_custkey directly — any
+    * injective keying yields the same rows.
+    */
+  private val paymentSynthSql: String =
+    """o AS (
+      |  SELECT o_orderkey, o_custkey,
+      |         CAST(datediff('day', DATE '1992-01-01',
+      |              CAST(o_orderdate AS DATE)) + 1 AS INTEGER)
+      |           AS order_purchase_time_key,
+      |         CAST(round(o_totalprice * 100) AS BIGINT) AS cents,
+      |         1 + o_orderkey % 3 AS n
+      |  FROM orders),
+      |pay AS (
+      |  SELECT o.*, CAST(seq AS INTEGER) AS payment_sequential,
+      |         CAST((cents - cents % n) / n AS BIGINT) +
+      |           CASE WHEN seq <= cents % n THEN 1 ELSE 0 END AS value_cents,
+      |         ['credit_card', 'boleto', 'voucher', 'debit_card']
+      |           [CAST((o_orderkey + seq) % 4 AS INTEGER) + 1] AS payment_type,
+      |         CAST(CASE WHEN (o_orderkey + seq) % 4 = 0
+      |                   THEN 1 + o_orderkey % 10 ELSE 1 END AS INTEGER)
+      |           AS payment_installments
+      |  FROM o, LATERAL (SELECT unnest(range(1, n + 1)) AS seq) t)""".stripMargin
+
+  /** q18b — fact_payment at FULL natural grain, oracle hash-gated:
+    * every payment row (order, sequential, type, installments, value,
+    * purchase time key) plus the customer segment resolved through
+    * the surrogate-key join — a keying collision or a broken split
+    * surfaces as a row/hash mismatch. Also proves Σ payment_value
+    * per order equals the order total (the split's invariant) since
+    * any drift changes the hashed values.
+    */
+  val q18bFactPayment: GraftQuery = GraftQuery(
+    "q18b_fact_payment",
+    s"""WITH $paymentSynthSql
+       |SELECT p.o_orderkey AS order_id, p.payment_sequential,
+       |       p.payment_type, p.payment_installments,
+       |       p.value_cents / 100.0 AS payment_value,
+       |       p.order_purchase_time_key,
+       |       c.c_mktsegment AS segment
+       |FROM pay p JOIN customer c ON p.o_custkey = c.c_custkey""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val seg = dimCustomer(t).select($"customer_key", $"segment")
+      factPayment(t)
+        .join(seg, Seq("customer_key"))
+        .select($"order_id", $"payment_sequential", $"payment_type",
+          $"payment_installments", $"payment_value",
+          $"order_purchase_time_key", $"segment")
+  }
+
+  /** q5c — the reference 5A LTV query AT PAYMENT GRAIN
+    * (`Database/TASK 2A SQL Analytical Queries.sql:238-251`): top-20
+    * customers by lifetime payment revenue with COUNT(DISTINCT
+    * order_id) and the average RECEIPT value (÷ payment count, NOT
+    * order count — the published 5A rows where orders=1 but
+    * avg_receipt=ltv/2 encode exactly this payment-grain division).
+    * All money math runs in integer cents with an explicit half-up
+    * rounding fold, so both engines produce bit-identical doubles;
+    * ties in the top-20 cut break on customer_id.
+    */
+  val q5cLtvPaymentGrain: GraftQuery = GraftQuery(
+    "q5c_ltv_payment_grain",
+    s"""WITH $paymentSynthSql,
+       |agg AS (
+       |  SELECT c.c_custkey AS customer_id, c.c_mktsegment AS segment,
+       |         SUM(p.value_cents) AS lc,
+       |         COUNT(DISTINCT p.o_orderkey) AS orders,
+       |         COUNT(*) AS receipts
+       |  FROM pay p JOIN customer c ON p.o_custkey = c.c_custkey
+       |  GROUP BY 1, 2)
+       |SELECT customer_id, segment, lc / 100.0 AS ltv_revenue, orders,
+       |       CAST(((2 * lc + receipts) - (2 * lc + receipts) % (2 * receipts))
+       |            / (2 * receipts) AS BIGINT) / 100.0 AS avg_receipt_value
+       |FROM agg
+       |ORDER BY lc DESC, customer_id
+       |LIMIT 20""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cust = dimCustomer(t)
+      .select($"customer_key", $"customer_id", $"segment")
+    val agg = factPayment(t)
+      .join(cust, Seq("customer_key"))
+      .groupBy($"customer_id", $"segment")
+      .agg(sum(round($"payment_value" * 100).cast(LongType)).as("lc"),
+        countDistinct($"order_id").as("orders"),
+        count(lit(1)).as("receipts"))
+    // round-half-up(lc / receipts) in pure integer math:
+    // floor((2·lc + receipts) / (2·receipts)) — engine-identical
+    val num = lit(2) * $"lc" + $"receipts"
+    val avgCents = ((num - pmod(num, lit(2) * $"receipts")) /
+      (lit(2) * $"receipts")).cast(LongType)
+    agg
+      .select($"customer_id", $"segment",
+        ($"lc" / 100.0).as("ltv_revenue"), $"orders",
+        (avgCents / 100.0).as("avg_receipt_value"),
+        $"lc")
+      .orderBy($"lc".desc, $"customer_id")
+      .limit(20)
+      .drop("lc")
+  }
+
   /** q18 — warehouse consistency probe (oracle-checked): the fact
     * joined back through surrogate keys must reproduce the raw-table
     * revenue per segment — proves key assignment is lossless (an
@@ -184,5 +340,6 @@ object Warehouse {
         graft.functions.Exact.dsum($"price").as("revenue"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q18WarehouseBuild)
+  val all: Seq[GraftQuery] =
+    Seq(q18WarehouseBuild, q18bFactPayment, q5cLtvPaymentGrain)
 }

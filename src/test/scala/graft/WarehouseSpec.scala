@@ -74,4 +74,33 @@ class WarehouseSpec extends SparkTestBase {
     mapOnlyPlan(Warehouse.dimCustomer(t), "dimCustomer")
     mapOnlyPlan(Warehouse.dimSeller(t), "dimSeller")
   }
+
+  test("fact_payment: split is exact, keys unique, sequentials dense") {
+    import spark.implicits._
+    val t = Tables(spark, sfDir)
+    val fp = Warehouse.factPayment(t).cache()
+    try {
+      keyIsUnique(fp, "payment_key")
+      // the cent split must reassemble each order total EXACTLY —
+      // integer cents leave no room for float drift
+      val totals = fp.groupBy($"order_id")
+        .agg(sum(round($"payment_value" * 100).cast("long")).as("cents"),
+          count(lit(1)).as("n_pay"),
+          max($"payment_sequential").as("max_seq"))
+      val orders = t.orders.select($"o_orderkey",
+        round($"o_totalprice" * 100).cast("long").as("o_cents"))
+      val drift = totals.join(orders, $"order_id" === $"o_orderkey")
+        .filter($"cents" =!= $"o_cents").count()
+      assert(drift == 0, s"$drift orders whose payment split drifts")
+      // sequentials are dense 1..n (n = 1 + orderkey % 3)
+      val sparse = totals
+        .filter($"n_pay" =!= $"max_seq" ||
+          $"n_pay" =!= (lit(1) + pmod($"order_id", lit(3))))
+        .count()
+      assert(sparse == 0, s"$sparse orders with non-dense sequentials")
+      // multi-payment orders genuinely exist (the 5A avg-receipt
+      // semantics depend on receipts > orders)
+      assert(fp.filter($"payment_sequential" > 1).count() > 0)
+    } finally fp.unpersist()
+  }
 }
