@@ -116,6 +116,177 @@ class OlistFixtureSpec extends SparkTestBase {
       "rollup output diverges from the published 2A golden")
   }
 
+  private val ResultsDir =
+    s"$RefDir/Database/Results from Task 2A Analytical Queries"
+
+  test("1A YoY golden: lag shape + growth formula re-derive all 24 rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // `1A.Time based Trend Analysis Year over year growth analysis.csv`
+    // — re-derive last_year_revenue with OUR q1a lag shape (LAG over
+    // PARTITION BY month ORDER BY year; a missing prior year yields
+    // NULL via the absent partition row, never a wrong-year match on
+    // this data) and yoy_growth_pct with ROUND(100·Δ/prev, 2), from
+    // the file's own revenue column. month_name must equal our
+    // dim_time derivation (date_format MMMM).
+    val g = spark.read.option("header", "true").option("nullValue", "NULL")
+      .csv(s"$ResultsDir/1A.Time based Trend Analysis Year over year growth analysis.csv")
+      .select($"year".cast("int"), $"month".cast("int"), $"month_name",
+        $"revenue".cast(DecimalType(18, 2)),
+        $"last_year_revenue".cast(DecimalType(18, 2))
+          .as("published_last_year"),
+        $"yoy_growth_pct".cast("double").as("published_growth"))
+    assert(g.count() == 24)
+    val w = Window.partitionBy($"month").orderBy($"year")
+    val derived = g
+      .withColumn("derived_last_year", lag($"revenue", 1).over(w))
+      .withColumn("derived_growth",
+        round(lit(100.0) * ($"revenue" - $"derived_last_year") /
+          nullif($"derived_last_year", lit(0)), 2))
+      .withColumn("derived_month_name",
+        date_format(make_date($"year", $"month", lit(1)), "MMMM"))
+    val badLag = derived.filter(
+      !($"published_last_year" <=> $"derived_last_year")).count()
+    assert(badLag == 0, s"$badLag rows where the lag shape diverges")
+    val badGrowth = derived.filter(
+      ($"published_growth".isNull !== $"derived_growth".isNull) ||
+        abs($"published_growth" - $"derived_growth") > 0.005).count()
+    assert(badGrowth == 0, s"$badGrowth rows where growth pct diverges")
+    val badName = derived
+      .filter($"month_name" =!= $"derived_month_name").count()
+    assert(badName == 0, s"$badName rows where month_name diverges")
+  }
+
+  test("3B window golden: 7-row MA + YTD frames re-derive all 616 rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    // `3B. Advanced Window Functions...` — re-derive moving_avg_7d
+    // (ROWS 6 PRECEDING, round 2) and year_to_date_revenue (cumulative
+    // per EXTRACT(YEAR), ROWS UNBOUNDED PRECEDING) — OUR q3b frames —
+    // from the published daily revenue column; exact decimal compare.
+    val g = spark.read.option("header", "true")
+      .csv(s"$ResultsDir/3B. Advanced Window Functions moving averages and cumulative measures.CSV")
+      .select(to_date($"day").as("day"),
+        $"revenue".cast(DecimalType(18, 2)),
+        $"moving_avg_7d".cast(DecimalType(18, 2)).as("published_ma"),
+        $"year_to_date_revenue".cast(DecimalType(18, 2))
+          .as("published_ytd"))
+    assert(g.count() == 616)
+    val ma7 = Window.orderBy($"day").rowsBetween(-6, 0)
+    val ytd = Window.partitionBy(year($"day")).orderBy($"day")
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val derived = g
+      .withColumn("derived_ma",
+        round(avg($"revenue").over(ma7), 2).cast(DecimalType(18, 2)))
+      .withColumn("derived_ytd",
+        sum($"revenue").over(ytd).cast(DecimalType(18, 2)))
+    val badYtd = derived
+      .filter($"published_ytd" =!= $"derived_ytd").count()
+    assert(badYtd == 0, s"$badYtd rows where YTD cumulative diverges")
+    val badMa = derived.filter($"published_ma" =!= $"derived_ma").count()
+    assert(badMa == 0, s"$badMa rows where the 7-row MA diverges")
+  }
+
+  test("4B correlated golden: every row satisfies the published predicate") {
+    import spark.implicits._
+    // `4B...correlated subqueries for comparative analysis.CSV` — the
+    // file carries BOTH sides of the correlated compare; assert the
+    // WHERE (product avg > category avg) holds on every row, the
+    // category average is a single value per category (it came from
+    // one uncorrelated subquery), and the published ordering is
+    // avg_price_product DESC.
+    val g = spark.read.option("header", "true")
+      .csv(s"$ResultsDir/4B. Complex Filtering and Subqueries correlated subqueries for comparative analysis.CSV")
+      .select($"product_id", $"category_name_eng",
+        $"avg_price_product".cast("double"),
+        $"avg_price_category".cast("double"))
+    assert(g.count() == 11541)
+    assert(g.filter($"avg_price_product" <= $"avg_price_category")
+      .count() == 0, "a row violates product_avg > category_avg")
+    val multiAvg = g.groupBy($"category_name_eng")
+      .agg(countDistinct($"avg_price_category").as("n"))
+      .filter($"n" > 1).count()
+    assert(multiAvg == 0, "category average not constant per category")
+    val idx = g.withColumn("i", monotonically_increasing_id())
+    val disorder = idx.as("a").join(idx.as("b"),
+      $"a.i" === $"b.i" - 1 &&
+        $"a.avg_price_product" < $"b.avg_price_product").count()
+    assert(disorder == 0, "published rows not in avg_price_product DESC order")
+  }
+
+  test("4A EXISTS-chain golden: 35 distinct well-formed product ids") {
+    import spark.implicits._
+    val g = spark.read.option("header", "true")
+      .csv(s"$ResultsDir/4A. Complex Filtering and Subqueries Multi-dimensional filtering with EXISTSIN clauses.CSV")
+    assert(g.count() == 35)
+    assert(g.select($"product_id").distinct().count() == 35)
+    assert(g.filter(!$"product_id".rlike("^[0-9a-f]{32}$")).count() == 0,
+      "a product id is not 32-char lowercase hex")
+  }
+
+  test("5A LTV golden: avg_receipt divides by PAYMENTS, not orders") {
+    import spark.implicits._
+    // `5A...CustomerProduct profitability analysis.CSV` — re-derive
+    // the receipt count as ltv/avg_receipt and assert (a) it is a
+    // whole number under our round-2 formula, (b) never below the
+    // order count, and (c) strictly above it somewhere — the rows
+    // with orders=1 but avg=ltv/2 are what make 5A PAYMENT-grain
+    // (the reference divides by fact_payment rows; our q5c mirrors
+    // this). Also pins the top-20 cut and the LTV DESC order.
+    val g = spark.read.option("header", "true")
+      .csv(s"$ResultsDir/5A. Business Intelligence Metrics CustomerProduct profitability analysis.CSV")
+      .select($"customer_unique_id", $"ltv_revenue".cast("double"),
+        $"orders".cast("long"), $"avg_receipt_value".cast("double"))
+    assert(g.count() == 20)
+    val derived = g.withColumn("receipts",
+      round($"ltv_revenue" / $"avg_receipt_value").cast("long"))
+    val badAvg = derived.filter(
+      abs(round($"ltv_revenue" / $"receipts", 2) - $"avg_receipt_value")
+        > 0.005).count()
+    assert(badAvg == 0, "avg_receipt is not round(ltv / receipts, 2)")
+    assert(derived.filter($"receipts" < $"orders").count() == 0,
+      "receipt count below order count")
+    assert(derived.filter($"receipts" > $"orders").count() > 0,
+      "no multi-payment row — 5A would be order-grain, not payment-grain")
+    assert(derived.agg(max($"ltv_revenue")).head.getDouble(0) == 13664.08,
+      "top LTV != published 13664.08")
+    val idx = derived.withColumn("i", monotonically_increasing_id())
+    val disorder = idx.as("a").join(idx.as("b"),
+      $"a.i" === $"b.i" - 1 && $"a.ltv_revenue" < $"b.ltv_revenue").count()
+    assert(disorder == 0, "published rows not in LTV DESC order")
+  }
+
+  test("5B KPI golden: delay averages ONLY late deliveries (NULL when none)") {
+    import spark.implicits._
+    // `5B...Performance KPI calculations...CSV` — the published
+    // avg_delivery_delay_days is AVG(delay) FILTERED to
+    // on_time = false (reference 5B `AVG(CASE WHEN on_time IS false
+    // THEN delay END)`): a month with rate 100% (no late rows) or
+    // rate NULL (nothing delivered) must have delay NULL, and every
+    // month with a late delivery must have one. Anchors pin the
+    // Black-Friday dip row.
+    val g = spark.read.option("header", "true").option("nullValue", "NULL")
+      .csv(s"$ResultsDir/5B. Business Intelligence Metrics Performance KPI calculations specific to your domain.CSV")
+      .select($"year".cast("int"), $"month".cast("int"),
+        $"orders".cast("long"),
+        $"on_time_delivery_rate_pct".cast("double").as("rate"),
+        $"avg_delivery_delay_days".cast("double").as("delay"),
+        $"avg_review_score".cast("double").as("review"))
+    assert(g.count() == 24)
+    val inconsistent = g.filter(
+      ($"delay".isNull && !($"rate".isNull || $"rate" === 100.0)) ||
+        ($"delay".isNotNull && ($"rate".isNull || $"rate" === 100.0)))
+      .count()
+    assert(inconsistent == 0,
+      "delay NULL-ness diverges from late-only filtered-AVG semantics")
+    assert(g.filter($"review" < 1.0 || $"review" > 5.0).count() == 0)
+    val bf = g.filter($"year" === 2017 && $"month" === 11).head
+    assert(bf.getLong(2) == 8665 && bf.getDouble(3) == 88.09,
+      "Black-Friday anchor row diverges from published 5B")
+  }
+
   test("seasonal index (1B grain): month-of-year pools across years") {
     import spark.implicits._
     // daily revenue: Jan-2016 has 10+20 (two days), Jan-2017 has 30,
