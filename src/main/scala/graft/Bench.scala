@@ -16,7 +16,7 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "3").toInt
+    val iters = sys.env.getOrElse("SPARK_GRAFT_BENCH_ITERS", "5").toInt
     require(iters >= 1, s"SPARK_GRAFT_BENCH_ITERS must be >= 1, got $iters")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,15 +72,22 @@ object Bench {
     def runSet(names: Seq[String]): Map[String, (Double, Boolean)] =
       names.map(n => n -> timeOne(n)).toMap
 
+    // machine-load telemetry (r5/r6 verdict ask): 1-minute system load
+    // average sampled before each iteration, so a noisy-neighbor
+    // episode like r5's +30% is attributable from the JSON alone
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+    val loadAvgs = scala.collection.mutable.ArrayBuffer.empty[Double]
     val headlineRuns = (1 to iters).map { _ =>
       // internal .cache() calls key on the logical plan, so a second
       // iteration would silently hit the first's cached data — clear
       // between iterations to measure the real plan every time
       spark.catalog.clearCache()
+      loadAvgs += osBean.getSystemLoadAverage
       runSet(headline)
     }
     val extRuns = (1 to iters).map { _ =>
       spark.catalog.clearCache()
+      loadAvgs += osBean.getSystemLoadAverage
       runSet(ext)
     }
 
@@ -128,6 +135,7 @@ object Bench {
         s""""totals_per_iter":${arr(totalsPerIter)},""" +
         s""""median_total":${med(totalsPerIter)},""" +
         s""""failed":${jsInt(failed)},""" +
+        s""""load_avg_per_iter":${arr(loadAvgs.toSeq)},""" +
         s""""ext_queries":${js(extMin)},""" +
         s""""ext_totals_per_iter":${arr(extTotalsPerIter)},""" +
         s""""ext_total":${extTotalsPerIter.min}}""")
