@@ -212,30 +212,20 @@ object SimilarityQueries {
     math.min(math.max(16L, math.ceil(n / 128.0).toLong),
       Int.MaxValue.toLong).toInt
 
-  /** q14c — IVF ANN with a DETERMINISTIC coarse quantizer: the
-    * centroids are the k corpus vectors ranked first by
-    * md5(vec_id) — a data-independent pseudo-random medoid pick both
-    * engines reproduce exactly (q14b's hyperplane trick, applied to
-    * centroid selection) — with k = [[ivfK]](N). Every vector joins
-    * the broadcast centroid table and keeps its argmax-cosine cell
-    * (ties → smallest cell; `max(struct(cos, -cell))` is
-    * partial-aggregable, so the k-way fan-out collapses map-side and
-    * the shuffle carries ONE row per vector). Queries (vec_id < 50)
-    * probe their own cell (nprobe=1) and rank candidates by exact
-    * cosine. At scale the cell is a write-time partition key — each
-    * probe touches ~1/k of the corpus — and nothing is cached: the
-    * corpus is scanned, never pinned (the r5/r6 verdicts' #1 fix).
-    * Deterministic end-to-end → full DuckDB oracle hash-gate.
+  /** The v/kk/ranked/cent/best/assigned CTE chain of the
+    * deterministic coarse quantizer, parameterized on the source
+    * relation (a table or an earlier CTE with `vec_id, embedding`) so
+    * q14c (raw corpus) and q14e (planted corpus) share one SQL twin
+    * of [[assignCells]].
     */
-  val q14cAnnIvf: GraftQuery = GraftQuery(
-    "q14c_ann_ivf",
-    s"""WITH v AS (
+  private def ivfAssignSql(src: String): String =
+    s"""v AS (
        |  SELECT vec_id, embedding,
        |         ${VectorOps.norm2Sql("embedding")} AS n2
-       |  FROM embeddings),
+       |  FROM $src),
        |kk AS (
        |  SELECT GREATEST(16, CAST(ceil(count(*) / 128.0) AS BIGINT)) AS k
-       |  FROM embeddings),
+       |  FROM $src),
        |ranked AS (
        |  SELECT vec_id, embedding, n2,
        |         row_number() OVER (ORDER BY md5(CAST(vec_id AS VARCHAR)),
@@ -256,7 +246,52 @@ object SimilarityQueries {
        |  WHERE arn = 1),
        |assigned AS (
        |  SELECT v.vec_id, v.embedding, v.n2, b.cell
-       |  FROM v JOIN best b ON v.vec_id = b.vec_id),
+       |  FROM v JOIN best b ON v.vec_id = b.vec_id)""".stripMargin
+
+  /** Deterministic cell assignment shared by q14c/q14e: centroids are
+    * the k = [[ivfK]](N) vectors ranked first by md5(vec_id) — a
+    * data-independent pseudo-random medoid pick both engines reproduce
+    * exactly (q14b's hyperplane trick applied to centroid selection).
+    * Every vector joins the broadcast centroid table and keeps its
+    * argmax-cosine cell (ties → smallest cell; `max(struct(cos,
+    * -cell))` is partial-aggregable, so the k-way fan-out collapses
+    * map-side and the shuffle carries ONE row per vector). Nothing is
+    * cached: the corpus is scanned, never pinned (the r5/r6 verdicts'
+    * #1 fix). Input `v` must carry (vec_id, embedding, n2); output
+    * adds `cell`.
+    */
+  private def assignCells(v: DataFrame, k: Int): DataFrame = {
+    import v.sparkSession.implicits._
+    val hashOrd = md5($"vec_id".cast("string").cast("binary"))
+    // top-k by hash plans as TakeOrderedAndProject (no global sort);
+    // the unpartitioned window below runs over k rows only
+    val cent = v.orderBy(hashOrd.asc, $"vec_id".asc).limit(k)
+      .withColumn("cell",
+        (row_number().over(Window.orderBy(hashOrd.asc, $"vec_id".asc)) - 1)
+          .cast("int"))
+      .select($"cell", $"embedding".as("cemb"), $"n2".as("cn2"))
+    val cs = VectorOps.cosineFrom(VectorOps.dot($"embedding", $"cemb"),
+      $"n2", $"cn2")
+    // argmax cell per vector: broadcast fan-out collapses in the
+    // partial aggregate; first() carries the (per-key constant)
+    // embedding so no join-back is needed
+    v.crossJoin(broadcast(cent))
+      .groupBy($"vec_id")
+      .agg(max(struct(cs.as("cs"), (-$"cell").as("neg"))).as("m"),
+        first($"embedding").as("embedding"), first($"n2").as("n2"))
+      .select($"vec_id", $"embedding", $"n2", (-$"m.neg").as("cell"))
+  }
+
+  /** q14c — IVF ANN with the DETERMINISTIC coarse quantizer of
+    * [[assignCells]]. Queries (vec_id < 50) probe their own cell
+    * (nprobe=1) and rank candidates by exact cosine. At scale the
+    * cell is a write-time partition key — each probe touches ~1/k of
+    * the corpus. Deterministic end-to-end → full DuckDB oracle
+    * hash-gate.
+    */
+  val q14cAnnIvf: GraftQuery = GraftQuery(
+    "q14c_ann_ivf",
+    s"""WITH ${ivfAssignSql("embeddings")},
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id, q.cell,
        |         ${VectorOps.dotSql("q.embedding", "c.embedding")}
@@ -275,24 +310,7 @@ object SimilarityQueries {
     // flows through as an empty centroid set -> empty (schema-correct)
     // result, no driver-side special case
     val k = ivfK(Tables(spark, dir).embeddings.select($"vec_id").count())
-    val hashOrd = md5($"vec_id".cast("string").cast("binary"))
-    // top-k by hash plans as TakeOrderedAndProject (no global sort);
-    // the unpartitioned window below runs over k rows only
-    val cent = v.orderBy(hashOrd.asc, $"vec_id".asc).limit(k)
-      .withColumn("cell",
-        (row_number().over(Window.orderBy(hashOrd.asc, $"vec_id".asc)) - 1)
-          .cast("int"))
-      .select($"cell", $"embedding".as("cemb"), $"n2".as("cn2"))
-    val cs = VectorOps.cosineFrom(VectorOps.dot($"embedding", $"cemb"),
-      $"n2", $"cn2")
-    // argmax cell per vector: broadcast fan-out collapses in the
-    // partial aggregate; first() carries the (per-key constant)
-    // embedding so no join-back is needed
-    val assigned = v.crossJoin(broadcast(cent))
-      .groupBy($"vec_id")
-      .agg(max(struct(cs.as("cs"), (-$"cell").as("neg"))).as("m"),
-        first($"embedding").as("embedding"), first($"n2").as("n2"))
-      .select($"vec_id", $"embedding", $"n2", (-$"m.neg").as("cell"))
+    val assigned = assignCells(v, k)
     val q = assigned.filter($"vec_id" < 50)
       .toDF("query_id", "emb_q", "n2_q", "cell")
     val c = assigned.toDF("cand_id", "emb_c", "n2_c", "cell")
@@ -367,38 +385,49 @@ object SimilarityQueries {
           .as("mean_abs_err"))
   }
 
-  /** q14e — SemDeDup-style semantic dedup: cluster embeddings
-    * (KMeans, fixed seed), then WITHIN each cell drop every vector
-    * that has a smaller-id neighbor with cosine ≥ 0.4 (min-id is the
-    * deterministic keep rule; the threshold matches q13e's near-dup
-    * bar). The cell join bounds the pairwise work to cell size — the
-    * SemDeDup recipe — and at corpus scale k grows with N so cells
-    * stay bounded; the cell id doubles as a write-time partition
-    * key. k = [[ivfK]](N) grows with the corpus so cells stay
-    * bounded (~128 mean) at any scale. Exact-duplicate vectors are
-    * planted (vec_id % 11 re-added at +1e6) so the operator always
-    * has known positives. KMeans is statistical → rows-only gate;
-    * TextDedupSpec asserts the planted drops, the partition property,
+  /** q14e — SemDeDup-style semantic dedup: cluster embeddings with
+    * the DETERMINISTIC coarse quantizer of [[assignCells]] (same
+    * md5-medoid pick as q14c — SemDeDup's recipe needs *a* cell
+    * partition, not KMeans specifically, and the deterministic pick
+    * makes the whole operator SQL-expressible), then WITHIN each cell
+    * drop every vector that has a smaller-id neighbor with cosine ≥
+    * 0.4 (min-id is the deterministic keep rule; the threshold
+    * matches q13e's near-dup bar). The cell join bounds the pairwise
+    * work to cell size, k = [[ivfK]](N) grows with the corpus so
+    * cells stay ~128-bounded at any scale, and the cell id doubles as
+    * a write-time partition key. Exact-duplicate vectors are planted
+    * (vec_id % 11 re-added at +1e6) so the operator always has known
+    * positives. Deterministic end-to-end → full DuckDB oracle
+    * hash-gate (was rows-only under KMeans); TextDedupSpec
+    * additionally asserts the planted drops, the partition property,
     * and that every drop has an in-cell justifying neighbor.
     */
-  val q14eSemanticDedup: GraftQuery =
-    GraftQuery.noOracle("q14e_semantic_dedup") { (spark, dir) =>
+  val q14eSemanticDedup: GraftQuery = GraftQuery(
+    "q14e_semantic_dedup",
+    s"""WITH planted AS (
+       |  SELECT vec_id, embedding FROM embeddings
+       |  UNION ALL
+       |  SELECT vec_id + 1000000 AS vec_id, embedding
+       |  FROM embeddings WHERE vec_id % 11 = 0),
+       |${ivfAssignSql("planted")},
+       |dropped AS (
+       |  SELECT DISTINCT b.vec_id
+       |  FROM assigned a
+       |  JOIN assigned b ON a.cell = b.cell AND a.vec_id < b.vec_id
+       |  WHERE ${VectorOps.dotSql("a.embedding", "b.embedding")}
+       |          / (sqrt(a.n2) * sqrt(b.n2)) >= 0.4)
+       |SELECT v.vec_id, v.cell, d.vec_id IS NOT NULL AS dropped
+       |FROM assigned v LEFT JOIN dropped d ON v.vec_id = d.vec_id""".stripMargin) {
+    (spark, dir) =>
       import spark.implicits._
-      import org.apache.spark.ml.functions.array_to_vector
       val emb = Tables(spark, dir).embeddings
       val planted = emb.select($"vec_id", $"embedding")
         .unionByName(emb.filter($"vec_id" % 11 === 0)
           .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
       val v = planted.select($"vec_id", $"embedding",
-        VectorOps.norm2($"embedding").as("n2"),
-        array_to_vector(transform($"embedding", _.cast("double")))
-          .as("features"))
-      val model = new org.apache.spark.ml.clustering.KMeans()
-        .setK(ivfK(planted.select($"vec_id").count()))
-        .setSeed(42L).setFeaturesCol("features")
-        .fit(v)
-      val assigned = model.transform(v)
-        .select($"vec_id", $"embedding", $"n2", $"prediction".as("cell"))
+        VectorOps.norm2($"embedding").as("n2"))
+      val assigned =
+        assignCells(v, ivfK(planted.select($"vec_id").count()))
       val a = assigned.toDF("vec_a", "emb_a", "n2_a", "cell")
       val b = assigned.toDF("vec_b", "emb_b", "n2_b", "cell")
       val dropped = a.join(b, Seq("cell"))
@@ -410,7 +439,7 @@ object SimilarityQueries {
       assigned.join(dropped, Seq("vec_id"), "left")
         .select($"vec_id", $"cell",
           coalesce($"is_dup", lit(false)).as("dropped"))
-    }
+  }
 
   val all: Seq[GraftQuery] =
     Seq(q14aAnnBruteTopk, q14bAnnLsh, q14cAnnIvf, q14dEmbedQuantize,
