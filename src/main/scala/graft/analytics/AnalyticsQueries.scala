@@ -73,28 +73,70 @@ object AnalyticsQueries {
     * that buffers EVERY value in one aggregation buffer: OOM at 100 TB.
     * This twin swaps in `percentile_approx` (Greenwald-Khanna sketch:
     * bounded memory, map-side combine, rank error ≤ n/accuracy) —
-    * same baseline/scale-path pairing as q13e/q14b. Sketch output is
-    * engine-specific → rows-only gate; ApproxSpec pins the error
-    * against the exact twin.
+    * same baseline/scale-path pairing as q13e/q14b.
+    *
+    * ORACLE-GATED via a tolerance invariant: sketch values are
+    * engine-specific, so instead of hashing them the query verifies
+    * each one against the sketch's own rank guarantee — the exact
+    * rank interval of the returned value, [count(< x), count(≤ x)]
+    * (tie-safe), must intersect q·n ± n/1000 (10× the configured
+    * accuracy=10000 bound). The output row carries the EXACT
+    * count/mean/std/min/max plus one boolean per quantile; the DuckDB
+    * twin emits the exact stats and `true` literals, so the hash gate
+    * fails if any sketch ever leaves its guarantee. ApproxSpec still
+    * pins value-level error against the exact twin.
     */
   val q9aApproxDescriptiveStats: GraftQuery = {
     val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
-    GraftQuery.noOracle("q9a_descriptive_stats_approx") { (spark, dir) =>
+    def duckMeasure(m: String): String =
+      s"""SELECT '$m' AS measure, COUNT($m) AS n,
+         |  CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |    / COUNT($m) AS mean,
+         |  sqrt((COUNT($m) * CAST(CAST(SUM(CAST($m*$m AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+         |        - CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |          * CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
+         |       / (COUNT($m) * (COUNT($m) - 1.0))) AS std,
+         |  MIN($m) AS min_v, MAX($m) AS max_v,
+         |  true AS p25_ok, true AS median_ok, true AS p75_ok
+         |FROM lineitem""".stripMargin
+    GraftQuery(
+      "q9a_descriptive_stats_approx",
+      measures.map(duckMeasure).mkString("\nUNION ALL\n")) { (spark, dir) =>
       import spark.implicits._
       val li = Tables(spark, dir).lineitem
       def one(m: String): DataFrame = {
         val c = col(m)
-        li.agg(
+        val sketch = li.agg(
           count(c).as("n"),
           Exact.davg(c).as("mean"),
           Exact.dstddev(c).as("std"),
           min(c).as("min_v"),
-          percentile_approx(c, lit(0.25), lit(10000)).as("p25"),
-          percentile_approx(c, lit(0.5), lit(10000)).as("median"),
-          percentile_approx(c, lit(0.75), lit(10000)).as("p75"),
-          max(c).as("max_v"))
-          .select(lit(m).as("measure"), $"n", $"mean", $"std",
-            $"min_v", $"p25", $"median", $"p75", $"max_v")
+          max(c).as("max_v"),
+          percentile_approx(c, lit(0.25), lit(10000)).as("p25a"),
+          percentile_approx(c, lit(0.5), lit(10000)).as("p50a"),
+          percentile_approx(c, lit(0.75), lit(10000)).as("p75a"))
+        // second linear pass: exact rank interval of each sketch value
+        // (strictly-below and at-most counts — the interval a value
+        // with ties occupies), verified against q·n ± err
+        val ranked = li.crossJoin(broadcast(sketch)).agg(
+          first($"n").as("n"), first($"mean").as("mean"),
+          first($"std").as("std"), first($"min_v").as("min_v"),
+          first($"max_v").as("max_v"),
+          sum(when(c < $"p25a", 1L).otherwise(0L)).as("b25"),
+          sum(when(c <= $"p25a", 1L).otherwise(0L)).as("a25"),
+          sum(when(c < $"p50a", 1L).otherwise(0L)).as("b50"),
+          sum(when(c <= $"p50a", 1L).otherwise(0L)).as("a50"),
+          sum(when(c < $"p75a", 1L).otherwise(0L)).as("b75"),
+          sum(when(c <= $"p75a", 1L).otherwise(0L)).as("a75"))
+        val err = greatest(lit(1.0), $"n" / 1000.0)
+        def ok(q: Double, below: String, atMost: String) =
+          (col(below) <= lit(q) * $"n" + err) &&
+            (col(atMost) >= lit(q) * $"n" - err)
+        ranked.select(lit(m).as("measure"), $"n", $"mean", $"std",
+          $"min_v", $"max_v",
+          ok(0.25, "b25", "a25").as("p25_ok"),
+          ok(0.50, "b50", "a50").as("median_ok"),
+          ok(0.75, "b75", "a75").as("p75_ok"))
       }
       measures.map(one).reduce(_ unionByName _)
     }

@@ -311,21 +311,36 @@ object CurationQueries {
     * approx_count_distinct (HyperLogLog++, rsd 1%). At 100 TB the
     * exact form shuffles every distinct token per language; the
     * sketch is fixed-size per group, merges map-side, and turns the
-    * job into one linear scan. HLL estimates are engine-specific →
-    * rows-only gate; CurationSpec bounds the relative error against
-    * the exact twin.
+    * job into one linear scan.
+    *
+    * ORACLE-GATED via a tolerance invariant: HLL estimates are
+    * engine-specific, so the output hashes the EXACT token count plus
+    * one boolean per language asserting the sketch landed within 5%
+    * (5× its 1% rsd) of the exact cardinality; the DuckDB twin emits
+    * the exact counts and `true` literals. The gate query pays for
+    * the exact twin ON PURPOSE — it is the verification harness; the
+    * sketch aggregate it validates runs inside the same plan and is
+    * the production shape at scale. CurationSpec keeps the
+    * value-level error bound.
     */
-  val q12jVocabApprox: GraftQuery =
-    GraftQuery.noOracle("q12j_vocab_approx") { (spark, dir) =>
-      import spark.implicits._
-      Tables(spark, dir).documents
-        .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
-        .groupBy($"lang")
-        .agg(count(lit(1)).as("n_tokens"),
-          approx_count_distinct($"tok", 0.01).as("vocab_size"),
-          (approx_count_distinct($"tok", 0.01).cast("double")
-            / count(lit(1))).as("type_token_ratio"))
-    }
+  val q12jVocabApprox: GraftQuery = GraftQuery(
+    "q12j_vocab_approx",
+    """WITH toks AS (
+      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents)
+      |SELECT lang, COUNT(*) AS n_tokens, true AS vocab_ok
+      |FROM toks GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"lang")
+      .agg(count(lit(1)).as("n_tokens"),
+        approx_count_distinct($"tok", 0.01).as("v_approx"),
+        countDistinct($"tok").as("v_exact"))
+      .select($"lang", $"n_tokens",
+        (abs($"v_approx" - $"v_exact") <= $"v_exact" * 0.05)
+          .as("vocab_ok"))
+  }
 
   // ---------------------------------------------------------------
   // q12k — the full curation pipeline as ONE declarative plan

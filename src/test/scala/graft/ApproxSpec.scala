@@ -48,17 +48,30 @@ class ApproxSpec extends SparkTestBase {
       .fn(spark, sfDir).select($"measure", $"p25", $"median", $"p75")
       .collect().map(r => r.getString(0) ->
         (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val approx = graft.analytics.AnalyticsQueries.q9aApproxDescriptiveStats
-      .fn(spark, sfDir).select($"measure", $"p25", $"median", $"p75")
-      .collect()
-    assert(approx.length == 4)
-    approx.foreach { r =>
-      val (e25, e50, e75) = exact(r.getString(0))
-      Seq((r.getDouble(1), e25), (r.getDouble(2), e50),
-        (r.getDouble(3), e75)).foreach { case (a, e) =>
+    // the registered q9a approx query outputs rank-interval verdicts
+    // (so it can oracle-gate); the VALUE-level error bound against the
+    // exact twin is pinned here on the same sketch call
+    val li = Tables(spark, sfDir).lineitem
+    Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax").foreach { m =>
+      val r = li.agg(
+        percentile_approx(col(m), lit(0.25), lit(10000)).as("p25"),
+        percentile_approx(col(m), lit(0.5), lit(10000)).as("p50"),
+        percentile_approx(col(m), lit(0.75), lit(10000)).as("p75")).head
+      val (e25, e50, e75) = exact(m)
+      Seq((r.getDouble(0), e25), (r.getDouble(1), e50),
+        (r.getDouble(2), e75)).foreach { case (a, e) =>
         assert(math.abs(a - e) <= math.max(0.01 * math.abs(e), 1e-9),
-          s"${r.getString(0)}: approx=$a exact=$e")
+          s"$m: approx=$a exact=$e")
       }
+    }
+    // and every rank-interval verdict in the registered query is true
+    val verdicts = graft.analytics.AnalyticsQueries.q9aApproxDescriptiveStats
+      .fn(spark, sfDir)
+      .select($"measure", $"p25_ok", $"median_ok", $"p75_ok").collect()
+    assert(verdicts.length == 4)
+    verdicts.foreach { r =>
+      assert(r.getBoolean(1) && r.getBoolean(2) && r.getBoolean(3),
+        s"${r.getString(0)}: a sketch left its rank guarantee")
     }
   }
 

@@ -77,14 +77,22 @@ class CurationSpec extends SparkTestBase {
 
   test("q12j approx vocab within 5% of the exact twin per language") {
     import spark.implicits._
+    // the registered query outputs tolerance verdicts (so it can
+    // oracle-gate); value-level error is pinned on the same sketch
     val exact = CurationQueries.q12jVocabStats.fn(spark, sfDir)
       .select($"lang", $"vocab_size".as("v_exact"))
-    val approx = CurationQueries.q12jVocabApprox.fn(spark, sfDir)
-      .select($"lang".as("l"), $"vocab_size".as("v_approx"))
+    val approx = Tables(spark, sfDir).documents
+      .select($"lang".as("l"), explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"l")
+      .agg(approx_count_distinct($"tok", 0.01).as("v_approx"))
     val off = exact.join(approx, $"lang" === $"l")
       .filter(abs($"v_approx" - $"v_exact") >
         $"v_exact" * 0.05)
     assert(off.count() == 0, off.collect().mkString(", "))
+    // and every verdict the registered query emits is true
+    val verdicts = CurationQueries.q12jVocabApprox.fn(spark, sfDir)
+    assert(verdicts.filter(!$"vocab_ok").count() == 0,
+      "a language's HLL estimate left its 5% tolerance")
   }
 
   test("q12k pipeline output respects every stage's contract") {
