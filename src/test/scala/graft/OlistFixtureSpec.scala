@@ -287,6 +287,63 @@ class OlistFixtureSpec extends SparkTestBase {
       "Black-Friday anchor row diverges from published 5B")
   }
 
+  test("1B seasonal golden: index formula re-derives all 12 months") {
+    import spark.implicits._
+    // `1B.Time-based Trend Analysis seasonal pattern identification.csv`
+    // — re-derive seasonal_index with OUR q1b formula
+    // (ROUND(month_avg / overall_avg, 3)) from the file's own columns,
+    // assert the overall average is one constant (it came from one
+    // uncorrelated aggregate), and the month_name mapping matches our
+    // dim_time derivation.
+    val g = spark.read.option("header", "true")
+      .csv(s"$ResultsDir/1B.Time-based Trend Analysis seasonal pattern identification.csv")
+      .select($"month".cast("int"), $"month_name",
+        $"avg_rev_month".cast("double"),
+        $"avg_rev_overall".cast("double"),
+        $"seasonal_index".cast("double").as("published_index"))
+    assert(g.count() == 12 &&
+      g.select($"month").distinct().count() == 12)
+    assert(g.select($"avg_rev_overall").distinct().count() == 1,
+      "overall average not constant across rows")
+    val bad = g.filter(
+      abs(round($"avg_rev_month" / $"avg_rev_overall", 3)
+        - $"published_index") > 0.0005).count()
+    assert(bad == 0, s"$bad months where the seasonal index diverges")
+    val badName = g.filter($"month_name" =!=
+      date_format(make_date(lit(2017), $"month", lit(1)), "MMMM")).count()
+    assert(badName == 0, s"$badName rows where month_name diverges")
+  }
+
+  test("2B hierarchy golden: our rollup reproduces all 33,026 rows") {
+    import spark.implicits._
+    import org.apache.spark.sql.types.DecimalType
+    // `2B.Drill-down and Roll-up Operations Hierarchical dimension
+    // analysis.csv` — strip the published subtotal rows, run OUR
+    // ROLLUP(category, product) + label mapping (the q2b shape) over
+    // the remaining detail rows, and the full 33,026-row result must
+    // come back value-for-value (exact decimal sums).
+    val raw = spark.read.option("header", "true").option("nullValue", "NULL")
+      .csv(s"$ResultsDir/2B.Drill-down and Roll-up Operations Hierarchical dimension analysis.csv")
+      .select($"category", $"product_or_total",
+        $"revenue".cast(DecimalType(18, 2)))
+    val detail = raw.filter(
+      !$"product_or_total".isin("Category Subtotal", "Grand Total"))
+    val rolled = detail
+      .rollup($"category", $"product_or_total")
+      .agg(sum($"revenue").cast(DecimalType(18, 2)).as("revenue"),
+        when(grouping($"category") === 1, "All Categories")
+          .otherwise($"category").as("cat_label"),
+        when(grouping($"category") === 1, "Grand Total")
+          .when(grouping($"product_or_total") === 1, "Category Subtotal")
+          .otherwise($"product_or_total").as("prod_label"))
+      .select($"cat_label".as("category"),
+        $"prod_label".as("product_or_total"), $"revenue")
+    assert(rolled.count() == 33026L)
+    assert(raw.exceptAll(rolled).count() == 0 &&
+      rolled.exceptAll(raw).count() == 0,
+      "rollup output diverges from the published 2B golden")
+  }
+
   test("seasonal index (1B grain): month-of-year pools across years") {
     import spark.implicits._
     // daily revenue: Jan-2016 has 10+20 (two days), Jan-2017 has 30,
