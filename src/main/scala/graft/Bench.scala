@@ -45,11 +45,12 @@ object Bench {
       "q12f_corpus_rebalance", "q12g_pii_scrub", "q12h_repetition_stats",
       "q12i_shuffle_order", "q12j_vocab_stats",
       "q12k_curation_pipeline", "q12l_pack_chunks", "q12m_chunk_windows",
+      "q12o_tfidf_topk", "q12p_mixture_sample",
       "q13a_exact_dedup",
       "q13b_ngram_jaccard", "q13c_minhash_lsh", "q13d_simhash",
       "q13g_contamination", "q14b_ann_lsh", "q14d_embed_quantize",
       "q15a_event_kpis_tumbling", "q15c_sessionization",
-      "q15f_asof_join", "q15g_stream_dedup",
+      "q15f_asof_join", "q15g_stream_dedup", "q23_proximity_join",
       // the W2/W3 scale path, tracked against q3a's window form
       "q3a_rank_ntile_dist",
       // the bounded-heap top-k vs q5a/q3a's sort-based forms

@@ -23,6 +23,8 @@ object SparkEntry {
       graft.analytics.MlQueries.all ++
       graft.analytics.DaxMeasures.all ++
       graft.text.TextQueries.all ++
+      graft.text.TfIdfQueries.all ++
+      graft.text.MixtureQueries.all ++
       graft.text.CurationQueries.all ++
       graft.text.DedupQueries.all ++
       graft.text.SimilarityQueries.all ++
@@ -30,7 +32,8 @@ object SparkEntry {
       graft.multimodal.Multimodal.all ++
       graft.sources.Sources.all ++
       graft.plans.GeoQueries.all ++
-      graft.operators.AsofJoin.all
+      graft.operators.AsofJoin.all ++
+      graft.operators.RangeJoin.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,84 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** Proximity (band / keyless range) join — the second "operator Spark
+  * lacks" from the builder contract, complementing [[AsofJoin]].
+  *
+  * Semantics: left ⟗ right on `|left.ts − right.ts| <= tolerance`
+  * with NO equi-key. Naively that is a theta-join, which Catalyst can
+  * only plan as BroadcastNestedLoopJoin / CartesianProduct — O(|L|·|R|)
+  * comparisons and, past the broadcast threshold, a full cartesian
+  * shuffle: the canonical 100 TB scale-killer.
+  *
+  * The Spark-first re-expression is bucketization: bin both sides at
+  * the tolerance width, explode each LEFT row to its 3 adjacent bins
+  * (any right row within ±tol of a left row lands in bin−1 / bin /
+  * bin+1), equi-join on the bin, then apply the exact band predicate.
+  * Each qualifying (left, right) pair is produced EXACTLY once — a
+  * right row occupies a single bin, and that bin appears once among
+  * the left row's three probes — so no dedup pass is needed. The join
+  * becomes a plain hash equi-join: shuffle mass is 3·|L| + |R| rows,
+  * AQE's skew-split applies to hot bins, and the pair explosion is
+  * bounded by the band's true selectivity rather than |L|·|R|.
+  */
+object RangeJoin {
+
+  /** Left-outer proximity join on a microseconds column. Returns the
+    * left columns plus the right payload columns (null when no right
+    * row lies within `tolUs`). `leftUs` / `rightUs` must be LONG
+    * microsecond epochs; `payload` names columns of `right`.
+    */
+  def proximityJoinUs(left: DataFrame, right: DataFrame,
+                      leftUs: String, rightUs: String,
+                      tolUs: Long, payload: Seq[String]): DataFrame = {
+    require(tolUs > 0, s"tolerance must be positive, got $tolUs")
+    val probes = left.withColumn("__bin",
+      explode(array(Seq(-1, 0, 1).map(d =>
+        floor(col(leftUs) / tolUs) + lit(d.toLong)): _*)))
+    val binned = right
+      .select((rightUs +: payload).map(col): _*)
+      .withColumn("__bin", floor(col(rightUs) / tolUs))
+    val band: Column =
+      abs(col(leftUs) - col(rightUs)) <= tolUs
+    probes
+      .join(binned, probes("__bin") === binned("__bin") && band, "left")
+      .drop("__bin")
+  }
+
+  /** q23 — cross-user burst context: for each error event, how many
+    * clicks (from ANY user — no equi-key exists) happened within
+    * ±60 s, and how close was the nearest one. Left-outer: errors in
+    * a quiet minute report 0 / NULL. Oracle: DuckDB's native
+    * inequality join (IEJoin) over the same band predicate — an
+    * independent first-class implementation of the operator this
+    * bucketization re-expresses.
+    */
+  val q23ProximityJoin: GraftQuery = GraftQuery(
+    "q23_proximity_join",
+    """SELECT e.event_id AS error_id,
+      |       COUNT(c.ts) AS n_near_clicks,
+      |       MIN(ABS(epoch_us(e.ts) - epoch_us(c.ts))) AS nearest_us
+      |FROM (SELECT event_id, ts FROM events WHERE event_type = 'error') e
+      |LEFT JOIN (SELECT ts FROM events WHERE event_type = 'click') c
+      |  ON ABS(epoch_us(e.ts) - epoch_us(c.ts)) <= 60000000
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val errors = ev.filter($"event_type" === "error")
+      .select($"event_id".as("error_id"), unix_micros($"ts").as("e_us"))
+    val clicks = ev.filter($"event_type" === "click")
+      .select(unix_micros($"ts").as("c_us"))
+    proximityJoinUs(errors, clicks, "e_us", "c_us",
+      tolUs = 60L * 1000 * 1000, payload = Nil)
+      .groupBy($"error_id")
+      .agg(count($"c_us").as("n_near_clicks"),
+        min(abs($"e_us" - $"c_us")).as("nearest_us"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q23ProximityJoin)
+}

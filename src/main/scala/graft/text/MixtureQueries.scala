@@ -1,0 +1,68 @@
+package graft.text
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.operators.DistributedRank
+import graft.queries.GraftQuery
+
+/** Data-mixture sampling — drawing a training corpus to target
+  * per-source proportions, the step between curation (q12a–q12k) and
+  * packing (q12l): "give me 600 documents with sources weighted
+  * 1:2:3:4" as an exact, deterministic, re-runnable cut.
+  *
+  * Design:
+  *   - the per-stratum selection order is md5(doc_id ‖ "|mix") with
+  *     doc_id as tiebreak — a deterministic uniform shuffle, the same
+  *     device as q12f's rebalance and q12i's shuffle order, so the
+  *     sample is reproducible on ANY engine (the DuckDB twin ranks by
+  *     the identical hash);
+  *   - ranking within source rides [[DistributedRank]], NOT
+  *     `Window.partitionBy(source)`: a mixture has FEW strata by
+  *     construction, so the window form funnels each stratum — at
+  *     100 TB, many terabytes — through one task. DistributedRank
+  *     range-partitions (source, hash) across many tasks and stitches
+  *     global positions with an O(partitions·strata) offset pass;
+  *   - quotas are computed IN-PLAN from the source name (weight
+  *     w = (src index mod 4) + 1, quota = T·w/Σw = 12·w at T = 600),
+  *     so there is no driver-side quota table to ship; an
+  *     under-supplied stratum is clamped naturally because rank never
+  *     exceeds supply (at sf0.01, w ≥ 3 strata hold only 25 docs
+  *     against quotas of 36/48 — the clamp is exercised, not
+  *     hypothetical).
+  */
+object MixtureQueries {
+
+  /** Total budget T=600 over 20 sources with weights 1..4 (Σw = 50):
+    * quota(srcK) = 12 · ((K mod 4) + 1).
+    */
+  val q12pMixtureSample: GraftQuery = GraftQuery(
+    "q12p_mixture_sample",
+    """WITH ranked AS (
+      |  SELECT doc_id, source,
+      |         ROW_NUMBER() OVER (PARTITION BY source
+      |           ORDER BY md5(CAST(doc_id AS VARCHAR) || '|mix'), doc_id)
+      |           AS sample_rank
+      |  FROM documents)
+      |SELECT doc_id, source, sample_rank
+      |FROM ranked
+      |WHERE sample_rank <=
+      |      12 * ((CAST(SUBSTR(source, 4) AS INT) % 4) + 1)""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val docs = Tables(spark, dir).documents
+        .select($"doc_id", $"source")
+        .withColumn("__mixkey",
+          md5(concat($"doc_id".cast("string"), lit("|mix"))))
+      val quota =
+        lit(12) * ((substring($"source", 4, 10).cast("int") % 4) + 1)
+      DistributedRank.rankNtile(docs,
+          groupCols = Seq("source"),
+          orderCols = Seq(col("__mixkey"), col("doc_id")),
+          ntiles = 1, rankName = "sample_rank", ntileName = "__tile")
+        .filter($"sample_rank" <= quota)
+        .select($"doc_id", $"source", $"sample_rank")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q12pMixtureSample)
+}

@@ -1,0 +1,60 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.{MixtureQueries, TfIdfQueries}
+
+class MixtureTfIdfSpec extends SparkTestBase {
+
+  test("mixture sample hits min(quota, supply) per source, deterministically") {
+    import spark.implicits._
+    val docs = Tables(spark, sfDir).documents
+    val supply = docs.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    def quota(src: String): Long = 12L * ((src.drop(3).toInt % 4) + 1)
+
+    val out = MixtureQueries.q12pMixtureSample.fn(spark, sfDir)
+    val kept = out.groupBy($"source").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    supply.foreach { case (src, n) =>
+      assert(kept.getOrElse(src, 0L) === math.min(n, quota(src)),
+        s"source $src: supply $n, quota ${quota(src)}")
+    }
+    // rank is dense 1..kept within each stratum and the cut re-runs
+    // to the identical doc set (determinism is the operator's point)
+    val ranks = out.groupBy($"source")
+      .agg(max($"sample_rank").as("mx"), count(lit(1)).as("n"))
+      .filter($"mx" =!= $"n").count()
+    assert(ranks === 0L, "sample_rank must be dense 1..n per source")
+    val again = MixtureQueries.q12pMixtureSample.fn(spark, sfDir)
+    assert(out.exceptAll(again).isEmpty && again.exceptAll(out).isEmpty)
+  }
+
+  test("mixture sampling never plans a per-stratum window") {
+    // the scale claim: ranking rides DistributedRank's range shuffle,
+    // not Window.partitionBy(source) (one task per stratum at 100 TB)
+    val plan = MixtureQueries.q12pMixtureSample.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("Window"),
+      s"stratum ranking fell back to a window:\n$plan")
+  }
+
+  test("tfidf emits at most 5 terms per doc, integer-ranked") {
+    import spark.implicits._
+    val out = TfIdfQueries.q12oTfidfTopk.fn(spark, sfDir).cache()
+    try {
+      assert(out.groupBy($"doc_id").count().filter($"count" > 5).count() === 0L)
+      // the cut keeps the lexicographically-first of the best (tf, df)
+      // keys: within a doc no emitted row may be dominated by more
+      // than 4 emitted rows (sanity on the rank ordering)
+      val bad = out.as("a").join(out.as("b"), $"a.doc_id" === $"b.doc_id")
+        .filter($"b.tf" > $"a.tf" ||
+          ($"b.tf" === $"a.tf" && $"b.df" < $"a.df") ||
+          ($"b.tf" === $"a.tf" && $"b.df" === $"a.df" && $"b.term" < $"a.term"))
+        .groupBy($"a.doc_id", $"a.term").count()
+        .filter($"count" > 4).count()
+      assert(bad === 0L, "an emitted term is dominated by 5 better ones")
+      assert(out.filter($"tfidf" < 0).count() === 0L)
+    } finally out.unpersist()
+  }
+}

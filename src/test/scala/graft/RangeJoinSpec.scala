@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.operators.RangeJoin
+
+/** The bucketized proximity join vs a literal brute-force theta-join
+  * on the same data — every qualifying pair exactly once, boundary
+  * rows (|dt| == tol) included, non-matching left rows preserved.
+  */
+class RangeJoinSpec extends SparkTestBase {
+
+  test("proximity join ≡ brute-force band join, boundaries inclusive") {
+    import spark.implicits._
+    // tol = 10: pairs straddle bin edges (9→[0..19) vs 10,19,20),
+    // exact-boundary distances (|dt| = 10), and an isolated left row.
+    val left = Seq(1L -> 0L, 2L -> 9L, 3L -> 100L, 4L -> 995L)
+      .toDF("lid", "l_us")
+    val right = Seq(10L, 19L, 20L, 110L, 90L, 500L).toDF("r_us")
+
+    val got = RangeJoin
+      .proximityJoinUs(left, right, "l_us", "r_us", tolUs = 10L, payload = Nil)
+      .select($"lid", $"r_us")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .toSet
+
+    val brute = left.crossJoin(right)
+      .filter(abs($"l_us" - $"r_us") <= 10L)
+      .select($"lid", $"r_us")
+      .collect()
+      .map(r => (r.getLong(0), Option(r.getLong(1))))
+      .toSet
+    // left-outer: lid=4 (isolated) must survive with a null payload
+    assert(got.filter(_._2.isDefined) === brute)
+    assert(got.contains((4L, None)), "unmatched left row must be kept")
+    // exactly-once: no pair may be produced from two probe bins
+    val matched = RangeJoin
+      .proximityJoinUs(left, right, "l_us", "r_us", tolUs = 10L, payload = Nil)
+      .filter($"r_us".isNotNull).count()
+    assert(matched === brute.size.toLong, "each pair must appear exactly once")
+  }
+
+  test("q23 plans an equi-join on the bin — never a nested-loop scan") {
+    val df = graft.operators.RangeJoin.q23ProximityJoin.fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"keyless band join fell back to nested-loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"keyless band join fell back to cartesian:\n$plan")
+  }
+}
