@@ -50,7 +50,8 @@ object Bench {
       "q13b_ngram_jaccard", "q13c_minhash_lsh", "q13d_simhash",
       "q13g_contamination", "q14b_ann_lsh", "q14d_embed_quantize",
       "q15a_event_kpis_tumbling", "q15c_sessionization",
-      "q15f_asof_join", "q15g_stream_dedup", "q23_proximity_join",
+      "q15f_asof_join", "q15h_asof_nearest", "q15g_stream_dedup",
+      "q23_proximity_join",
       // the W2/W3 scale path, tracked against q3a's window form
       "q3a_rank_ntile_dist",
       // the bounded-heap top-k vs q5a/q3a's sort-based forms

@@ -23,14 +23,15 @@ import graft.queries.GraftQuery
   */
 object AsofJoin {
 
-  /** For each left row, attach the latest right payload with
-    * right.ts ≤ left.ts on the same keys (inclusive ties — right rows
-    * order before left rows at equal ts).
+  /** Interleave left and right on (keys, ts): left rows tagged
+    * `__side` 1 with null `__carry_*` slots, right rows reduced to
+    * keys + ts + `__carry_*` payloads tagged 0 and null-padded to the
+    * left schema. Right-before-left at equal ts makes backward joins
+    * tie-INCLUSIVE and forward joins STRICT by construction.
     */
-  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
-                   tsCol: String, carryCols: Seq[String]): DataFrame = {
-    val spark = left.sparkSession
-    import spark.implicits._
+  private def interleave(left: DataFrame, right: DataFrame,
+                         keys: Seq[String], tsCol: String,
+                         carryCols: Seq[String]): DataFrame = {
     val carryTypes = carryCols.map(c => c -> right.schema(c).dataType).toMap
     val leftTagged = carryCols.foldLeft(
       left.withColumn("__side", lit(1))) { (df, c) =>
@@ -47,18 +48,73 @@ object AsofJoin {
           df.withColumn(c, lit(null).cast(left.schema(c).dataType))
         }
     }
-    val unioned = leftTagged.unionByName(rightTagged)
-    val w = Window.partitionBy(keys.map(col): _*)
+    leftTagged.unionByName(rightTagged)
+  }
+
+  private def keepLeft(df: DataFrame, carryCols: Seq[String]): DataFrame =
+    df.filter(col("__side") === 1)
+      .drop("__side")
+      .drop(carryCols.map(c => s"__carry_$c"): _*)
+
+  private def ordering(keys: Seq[String], tsCol: String) =
+    Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
+
+  /** For each left row, attach the latest right payload with
+    * right.ts ≤ left.ts on the same keys (inclusive ties — right rows
+    * order before left rows at equal ts).
+    */
+  def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                   tsCol: String, carryCols: Seq[String]): DataFrame = {
+    val w = ordering(keys, tsCol)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = carryCols.foldLeft(unioned) { (df, c) =>
+    val carried = carryCols.foldLeft(
+      interleave(left, right, keys, tsCol, carryCols)) { (df, c) =>
       df.withColumn(s"asof_$c",
         last(col(s"__carry_$c"), ignoreNulls = true).over(w))
     }
-    carried
-      .filter($"__side" === 1)
-      .drop("__side")
-      .drop(carryCols.map(c => s"__carry_$c"): _*)
+    keepLeft(carried, carryCols)
+  }
+
+  /** Forward as-of join: for each left row, the EARLIEST right
+    * payload with right.ts > left.ts (STRICT — an equal-ts right row
+    * sorts before the left row, outside the [current, ∞) frame),
+    * complementing the backward join's inclusive ties. Same cost:
+    * one key shuffle, one sort.
+    */
+  def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsCol: String, carryCols: Seq[String]): DataFrame = {
+    val w = ordering(keys, tsCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = carryCols.foldLeft(
+      interleave(left, right, keys, tsCol, carryCols)) { (df, c) =>
+      df.withColumn(s"asof_$c",
+        first(col(s"__carry_$c"), ignoreNulls = true).over(w))
+    }
+    keepLeft(carried, carryCols)
+  }
+
+  /** Bidirectional as-of: appends BOTH the latest-preceding
+    * (`asof_back_<c>`, ties inclusive) and earliest-following
+    * (`asof_fwd_<c>`, strict) right payloads to each left row. One
+    * union, one (keys, ts) shuffle, ONE sort: the two directions are
+    * frames over the SAME partitioning and ordering, so Catalyst
+    * evaluates them in a single WindowExec — "nearest" costs exactly
+    * what one directional pass costs (AsofJoinSpec pins the plan).
+    */
+  def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
+                  tsCol: String, carryCols: Seq[String]): DataFrame = {
+    val ord = ordering(keys, tsCol)
+    val wBack = ord.rowsBetween(Window.unboundedPreceding, 0)
+    val wFwd = ord.rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val carried = carryCols.foldLeft(
+      interleave(left, right, keys, tsCol, carryCols)) { (df, c) =>
+      df.withColumn(s"asof_back_$c",
+          last(col(s"__carry_$c"), ignoreNulls = true).over(wBack))
+        .withColumn(s"asof_fwd_$c",
+          first(col(s"__carry_$c"), ignoreNulls = true).over(wFwd))
+    }
+    keepLeft(carried, carryCols)
   }
 
   /** q15f — each error event matched to the user's most recent
@@ -91,5 +147,54 @@ object AsofJoin {
             .as("micros_since_click"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q15fAsofJoin)
+  /** q15h — nearest-event join: each error matched to its user's
+    * temporally CLOSEST click in either direction (backward ties at
+    * |dt| prefer the preceding click — the convention DuckDB's paired
+    * ASOF twins reproduce exactly). Clicks are first deduped to one
+    * per (user, ts) — both the window carry and native ASOF pick
+    * arbitrarily among equal timestamps otherwise, and a
+    * nondeterministic operator cannot be oracle-gated. Rides
+    * [[asofNearest]]: one shuffle, one sort, both directions.
+    */
+  val q15hAsofNearest: GraftQuery = GraftQuery(
+    "q15h_asof_nearest",
+    """WITH e AS (SELECT event_id, user_id, ts FROM events
+      |           WHERE event_type = 'error'),
+      |c AS (SELECT user_id, ts, MIN(event_id) AS event_id FROM events
+      |      WHERE event_type = 'click' GROUP BY 1, 2),
+      |b AS (SELECT e.event_id AS error_id, e.user_id, c.event_id AS bid,
+      |             epoch_us(e.ts) - epoch_us(c.ts) AS bdt
+      |      FROM e ASOF LEFT JOIN c
+      |        ON e.user_id = c.user_id AND c.ts <= e.ts),
+      |f AS (SELECT e.event_id AS error_id, c.event_id AS fid,
+      |             epoch_us(c.ts) - epoch_us(e.ts) AS fdt
+      |      FROM e ASOF LEFT JOIN c
+      |        ON e.user_id = c.user_id AND c.ts > e.ts)
+      |SELECT b.error_id, b.user_id,
+      |       CASE WHEN bid IS NOT NULL AND (fid IS NULL OR bdt <= fdt)
+      |            THEN bid ELSE fid END AS nearest_click_id,
+      |       CASE WHEN bid IS NOT NULL AND (fid IS NULL OR bdt <= fdt)
+      |            THEN bdt ELSE fdt END AS nearest_us
+      |FROM b JOIN f USING (error_id)""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val errors = ev.filter($"event_type" === "error")
+      .select($"user_id", $"ts", $"event_id".as("error_id"))
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(min($"event_id").as("event_id"))
+      .withColumn("cus", unix_micros($"ts"))
+    val both = asofNearest(errors, clicks, keys = Seq("user_id"),
+      tsCol = "ts", carryCols = Seq("event_id", "cus"))
+      .withColumnRenamed("asof_back_event_id", "bid")
+      .withColumnRenamed("asof_fwd_event_id", "fid")
+      .withColumn("bdt", unix_micros($"ts") - $"asof_back_cus")
+      .withColumn("fdt", $"asof_fwd_cus" - unix_micros($"ts"))
+    val pickBack = $"bid".isNotNull && ($"fid".isNull || $"bdt" <= $"fdt")
+    both.select($"error_id", $"user_id",
+      when(pickBack, $"bid").otherwise($"fid").as("nearest_click_id"),
+      when(pickBack, $"bdt").otherwise($"fdt").as("nearest_us"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q15fAsofJoin, q15hAsofNearest)
 }

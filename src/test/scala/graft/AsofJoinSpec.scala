@@ -33,4 +33,43 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out("e3").contains(200L))
     assert(out("e4").contains(300L), "keys must not leak across partitions")
   }
+
+  test("asof forward: earliest-after match, strict at ties, null after last") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"), // before both → r1
+      (1L, ts("2024-01-01 11:00:00"), "e2"), // ties with r1 → STRICT → r2
+      (1L, ts("2024-01-01 13:00:00"), "e3")  // after last right → null
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, ts("2024-01-01 11:00:00"), 100L),
+      (1L, ts("2024-01-01 12:00:00"), 200L)
+    ).toDF("user_id", "ts", "rid")
+
+    val out = AsofJoin.asofForward(left, right,
+      keys = Seq("user_id"), tsCol = "ts", carryCols = Seq("rid"))
+      .select($"tag", $"asof_rid").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+
+    assert(out("e1").contains(100L))
+    assert(out("e2").contains(200L), "forward must be strict at equal ts")
+    assert(out("e3").isEmpty, "match after the last right row must be null")
+  }
+
+  test("asof nearest evaluates both directions in one window stage") {
+    import spark.implicits._
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1"))
+      .toDF("user_id", "ts", "tag")
+    val right = Seq((1L, ts("2024-01-01 09:00:00"), 1L))
+      .toDF("user_id", "ts", "rid")
+    val df = AsofJoin.asofNearest(left, right,
+      keys = Seq("user_id"), tsCol = "ts", carryCols = Seq("rid"))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val windows = "\\bWindow\\b".r.findAllIn(plan).length
+    assert(windows === 1,
+      s"both frames must share one WindowExec, found $windows:\n$plan")
+  }
 }
