@@ -5,7 +5,7 @@ import org.scalacheck.Gen
 import org.scalacheck.rng.Seed
 
 import graft.etl.Scd
-import graft.operators.{ConnectedComponents, PrefixSum}
+import graft.operators.{AsofJoin, ConnectedComponents, PrefixSum, RangeJoin}
 
 /** Randomized properties for the distributed operators, each checked
   * against an independent driver-side reference implementation —
@@ -146,6 +146,64 @@ class OperatorPropertySpec extends SparkTestBase {
       }
       val expected = state.toMap.filter(_._2._2 != "D")
       assert(got == expected, s"cdc mismatch: base=$base ops=$ops")
+    }
+  }
+
+  test("asof nearest agrees with a driver-side scan in both directions") {
+    import spark.implicits._
+    // distinct right timestamps per key (the operator's documented
+    // determinism precondition); left may collide with right freely
+    val caseGen = for {
+      nl <- Gen.chooseNum(1, 12)
+      nr <- Gen.chooseNum(0, 10)
+      lks <- Gen.listOfN(nl, Gen.chooseNum(0L, 2L))
+      lts <- Gen.listOfN(nl, Gen.chooseNum(0L, 40L))
+      rks <- Gen.listOfN(nr, Gen.chooseNum(0L, 2L))
+      rts <- Gen.pick(nr, 0L to 40L)
+    } yield (lks.zip(lts).zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+             rks.zip(rts).map { case (k, t) => (k, t, k * 1000 + t) })
+    sample(caseGen, 10).foreach { case (lefts, rights) =>
+      val got = AsofJoin.asofNearest(
+          lefts.toDF("k", "t", "lid"), rights.toDF("k", "t", "rid"),
+          keys = Seq("k"), tsCol = "t", carryCols = Seq("rid"))
+        .collect().map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(2) -> (opt(3), opt(4)) // lid -> (back, fwd)
+        }.toMap
+      lefts.foreach { case (k, t, lid) =>
+        val mine = rights.filter(_._1 == k)
+        val back = mine.filter(_._2 <= t)
+          .sortBy(_._2).lastOption.map(_._3) // inclusive ties
+        val fwd = mine.filter(_._2 > t)
+          .sortBy(_._2).headOption.map(_._3) // strict
+        assert(got(lid) == ((back, fwd)),
+          s"asof mismatch at left=($k,$t): got ${got(lid)}, " +
+            s"want ($back,$fwd) on lefts=$lefts rights=$rights")
+      }
+    }
+  }
+
+  test("proximity join agrees with a driver-side band scan") {
+    import spark.implicits._
+    val caseGen = for {
+      nl <- Gen.chooseNum(1, 12)
+      nr <- Gen.chooseNum(0, 12)
+      tol <- Gen.chooseNum(1L, 7L)
+      lts <- Gen.listOfN(nl, Gen.chooseNum(-30L, 30L))
+      rts <- Gen.listOfN(nr, Gen.chooseNum(-30L, 30L))
+    } yield (tol, lts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, rts)
+    sample(caseGen, 10).foreach { case (tol, lefts, rights) =>
+      val got = RangeJoin.proximityJoinUs(
+          lefts.toDF("lid", "l_us"), rights.toDF("r_us"),
+          "l_us", "r_us", tolUs = tol, payload = Nil)
+        .filter($"r_us".isNotNull)
+        .collect().map(r => (r.getLong(0), r.getLong(2))).toList.sorted
+      val expected = (for {
+        (lid, lt) <- lefts
+        rt <- rights if math.abs(lt - rt) <= tol
+      } yield (lid, rt)).sorted
+      assert(got == expected,
+        s"band mismatch tol=$tol lefts=$lefts rights=$rights")
     }
   }
 }
