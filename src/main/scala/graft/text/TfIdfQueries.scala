@@ -44,11 +44,12 @@ object TfIdfQueries {
       |tf AS (
       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
       |df AS (
-      |  SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |  SELECT term, COUNT(*) AS df, CAST(SUM(tf) AS BIGINT) AS cf
+      |  FROM tf GROUP BY 1),
       |n AS (SELECT COUNT(*) AS n_docs FROM documents)
-      |SELECT doc_id, term, tf, df,
+      |SELECT doc_id, term, tf, df, cf,
       |       ROUND(tf * LN(CAST(n_docs AS DOUBLE) / df), 6) AS tfidf
-      |FROM (SELECT t.doc_id, t.term, t.tf, d.df, n.n_docs,
+      |FROM (SELECT t.doc_id, t.term, t.tf, d.df, d.cf, n.n_docs,
       |             ROW_NUMBER() OVER (PARTITION BY t.doc_id
       |               ORDER BY t.tf DESC, d.df ASC, t.term ASC) AS rn
       |      FROM tf t JOIN df d USING (term) CROSS JOIN n)
@@ -60,7 +61,15 @@ object TfIdfQueries {
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
-    val df = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    // df aggregates tf's COUNT as well as its rows (cf = collection
+    // frequency, a useful stat in its own right) ON PURPOSE: with cf,
+    // column pruning cannot reduce this branch to a distinct-only
+    // aggregate, both consumers compute the IDENTICAL scan + explode +
+    // partial-count + (doc_id, term) exchange, and ReuseExchange
+    // tokenizes the corpus ONCE (MixtureTfIdfSpec pins the reuse) —
+    // without cf the pruned df branch re-scans the full corpus.
+    val df = tf.groupBy($"term")
+      .agg(count(lit(1)).as("df"), sum($"tf").as("cf"))
     val n = docs.agg(count(lit(1)).as("n_docs"))
     val w = Window.partitionBy($"doc_id")
       .orderBy($"tf".desc, $"df".asc, $"term".asc)
@@ -68,7 +77,7 @@ object TfIdfQueries {
       .crossJoin(broadcast(n))
       .withColumn("rn", row_number().over(w))
       .filter($"rn" <= 5)
-      .select($"doc_id", $"term", $"tf", $"df",
+      .select($"doc_id", $"term", $"tf", $"df", $"cf",
         round($"tf" * log($"n_docs".cast("double") / $"df"), 6)
           .as("tfidf"))
   }

@@ -57,4 +57,16 @@ class MixtureTfIdfSpec extends SparkTestBase {
       assert(out.filter($"tfidf" < 0).count() === 0L)
     } finally out.unpersist()
   }
+
+  test("tfidf tokenizes the corpus once: df branch reuses tf's exchange") {
+    val df = TfIdfQueries.q12oTfidfTopk.fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val explodes = "Generate explode".r.findAllIn(plan).length
+    assert(explodes === 1,
+      s"corpus tokenized $explodes times — df branch must ride " +
+        s"ReusedExchange over tf's (doc_id, term) shuffle:\n$plan")
+    assert(plan.contains("ReusedExchange"), s"no exchange reuse:\n$plan")
+  }
 }
