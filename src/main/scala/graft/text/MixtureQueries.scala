@@ -64,5 +64,44 @@ object MixtureQueries {
         .select($"doc_id", $"source", $"sample_rank")
   }
 
-  val all: Seq[GraftQuery] = Seq(q12pMixtureSample)
+  /** q12q — weighted sampling WITHOUT replacement (Efraimidis–
+    * Spirakis exponential race): doc i wins a top-k slot with
+    * probability proportional to its weight, here length-biased
+    * (w = n_chars + 1 — "prefer substantial documents", the common
+    * quality-weighted curation draw). Each doc gets
+    * key = −ln(u)/w with u a 52-bit uniform DERIVED FROM md5(doc_id),
+    * and the sample is the k smallest keys — so like q12p the draw is
+    * deterministic and engine-independent, which is what makes a
+    * hash-gated oracle possible at all (both engines parse the same
+    * 13 md5 hex digits to the same integer; ÷(2⁵²+1) keeps u in
+    * (0, 1] so ln is always finite).
+    *
+    * Scale shape: the key is map-side arithmetic; the global top-k
+    * plans as TakeOrderedAndProject (per-partition O(k) heaps merged
+    * on the driver, MixtureTfIdfSpec pins it) — no global sort, no
+    * shuffle of the corpus, the same pattern q5a/q21 established for
+    * top-k. Sampling WITH heavier tails or per-stratum floors
+    * composes: run per source via q12p's DistributedRank, or raise k.
+    */
+  val q12qWeightedSample: GraftQuery = GraftQuery(
+    "q12q_weighted_sample",
+    """SELECT doc_id, source, n_chars
+      |FROM documents
+      |ORDER BY -LN((CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || '|ws'),
+      |                    1, 13)) AS BIGINT) + 1.0) / 4503599627370497.0)
+      |           / (n_chars + 1),
+      |         doc_id
+      |LIMIT 100""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .withColumn("__u",
+        (conv(substring(md5(concat($"doc_id".cast("string"), lit("|ws"))),
+          1, 13), 16, 10).cast("long") + lit(1.0)) / lit(4503599627370497.0))
+      .withColumn("__key", -log($"__u") / ($"n_chars" + 1))
+      .orderBy($"__key", $"doc_id")
+      .limit(100)
+      .select($"doc_id", $"source", $"n_chars")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q12pMixtureSample, q12qWeightedSample)
 }

@@ -39,6 +39,33 @@ class MixtureTfIdfSpec extends SparkTestBase {
       s"stratum ranking fell back to a window:\n$plan")
   }
 
+  test("weighted sample: top-k by exponential-race key, no global sort") {
+    import spark.implicits._
+    val df = MixtureQueries.q12qWeightedSample.fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("TakeOrderedAndProject"),
+      s"weighted top-k must plan as TakeOrderedAndProject:\n$plan")
+    assert(df.count() === math.min(100L,
+      Tables(spark, sfDir).documents.count()))
+    // driver-side reference: same key formula over the collected corpus
+    val docs = Tables(spark, sfDir).documents
+      .select($"doc_id", $"n_chars").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val md = java.security.MessageDigest.getInstance("MD5")
+    def key(id: Long, nc: Long): Double = {
+      val hex = md.digest(s"$id|ws".getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.take(13)
+      val u = (java.lang.Long.parseLong(hex, 16) + 1.0) / 4503599627370497.0
+      -math.log(u) / (nc + 1)
+    }
+    val expect = docs.map { case (id, nc) => (key(id, nc), id) }
+      .sorted.take(100).map(_._2).toSet
+    val got = df.select($"doc_id").collect().map(_.getLong(0)).toSet
+    assert(got === expect, "sample must equal the sequential E-S draw")
+  }
+
   test("tfidf emits at most 5 terms per doc, integer-ranked") {
     import spark.implicits._
     val out = TfIdfQueries.q12oTfidfTopk.fn(spark, sfDir).cache()
