@@ -25,6 +25,7 @@ object SparkEntry {
       graft.text.TextQueries.all ++
       graft.text.TfIdfQueries.all ++
       graft.text.MixtureQueries.all ++
+      graft.text.UnigramQueries.all ++
       graft.text.CurationQueries.all ++
       graft.text.DedupQueries.all ++
       graft.text.SimilarityQueries.all ++

@@ -2,7 +2,7 @@ package graft
 
 import org.apache.spark.sql.functions._
 
-import graft.text.{MixtureQueries, TfIdfQueries}
+import graft.text.{MixtureQueries, TfIdfQueries, UnigramQueries}
 
 class MixtureTfIdfSpec extends SparkTestBase {
 
@@ -83,6 +83,28 @@ class MixtureTfIdfSpec extends SparkTestBase {
       assert(bad === 0L, "an emitted term is dominated by 5 better ones")
       assert(out.filter($"tfidf" < 0).count() === 0L)
     } finally out.unpersist()
+  }
+
+  test("unigram xent: one tokenize pass, scores positive and finite") {
+    import spark.implicits._
+    val df = UnigramQueries.q12rUnigramLogprob.fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("Generate explode".r.findAllIn(plan).length === 1,
+      s"cf branch must reuse tf's exchange, not re-tokenize:\n$plan")
+    // split("", '\s+') yields one empty token on BOTH engines, so even
+    // an empty text produces a scored row — one row per document
+    val rows = df.collect()
+    assert(rows.length === Tables(spark, sfDir).documents.count())
+    // −Σ tf·ln(p)/n over p ≤ cf/T < 1 is strictly positive, and ≤ ln(V)
+    // would need the vocab; a loose ln(T) bound still catches nonsense
+    val t = rows.map(_.getLong(1)).sum
+    rows.foreach { r =>
+      val x = r.getDouble(2)
+      assert(x > 0 && x <= math.log(t.toDouble),
+        s"doc ${r.getLong(0)}: xent $x outside (0, ln($t)]")
+    }
   }
 
   test("tfidf tokenizes the corpus once: df branch reuses tf's exchange") {
