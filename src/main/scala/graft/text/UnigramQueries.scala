@@ -67,5 +67,74 @@ object UnigramQueries {
           .as("xent"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q12rUnigramLogprob)
+  /** q12s — per-source KL divergence from the corpus unigram model,
+    * KL(pₛ ‖ p) = Σ_t pₛ(t)·ln(pₛ(t)/p(t)): the mixture diagnostic
+    * that tells you WHICH source is distributionally off before you
+    * re-weight it (q12p/q12q decide how much of each source to take;
+    * this measures what taking it does to the mix). Every term in a
+    * source has cfₛ ≥ 1 and corpus cf ≥ cfₛ, so no zero-probability
+    * edge cases exist by construction.
+    *
+    * Unlike q12r's doc-bounded ordered fold, a per-SOURCE sum spans
+    * the source's whole vocabulary — collecting that into an array
+    * would not scale. Instead the summands are snapped to FIXED-POINT
+    * integers (⌊x·10¹² + ½⌋ as BIGINT): integer addition is
+    * associative, so ANY aggregation order gives the same result and
+    * the plain distributed SUM hash-matches DuckDB exactly — the
+    * same order-independence idea as `Exact`'s decimal sums, applied
+    * to log-space values. (floor, not round: round half-up vs
+    * half-away-from-zero differs between engines on negative
+    * summands, and individual KL terms CAN be negative.)
+    */
+  val q12sSourceKl: GraftQuery = GraftQuery(
+    "q12s_source_kl",
+    """WITH toks AS (
+      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tfs AS (SELECT source, term, COUNT(*) AS cfs FROM toks GROUP BY 1, 2),
+      |cf AS (SELECT term, CAST(SUM(cfs) AS BIGINT) AS cf FROM tfs GROUP BY 1),
+      |ts AS (SELECT source, CAST(SUM(cfs) AS BIGINT) AS t_s FROM tfs
+      |       GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS t FROM cf)
+      |SELECT s.source, COUNT(*) AS n_terms,
+      |       CAST(SUM(CAST(FLOOR(
+      |         (CAST(s.cfs AS DOUBLE) / ts.t_s)
+      |           * LN((CAST(s.cfs AS DOUBLE) / ts.t_s)
+      |                / (CAST(c.cf AS DOUBLE) / tot.t)) * 1e12 + 0.5)
+      |         AS BIGINT)) AS BIGINT) / 1e12 AS kl
+      |FROM tfs s
+      |JOIN cf c USING (term)
+      |JOIN ts USING (source)
+      |CROSS JOIN tot
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    // Three consumers (cf, ts, join) need the (source, term) counts;
+    // leaving reuse to AQE's stage cache is RACY with three stages
+    // submitting the same exchange concurrently (observed: 2 of 3
+    // dedupe). tfs is already reduced to vocab × source grain — tiny
+    // next to the corpus — so the q12k staging pattern applies:
+    // materialize it once, eagerly, and let every consumer read the
+    // materialized form. The corpus is tokenized exactly once by
+    // construction, not by optimizer luck.
+    val tfs = docs
+      .select($"source", explode(split(trim($"text"), "\\s+")).as("term"))
+      .groupBy($"source", $"term")
+      .agg(count(lit(1)).as("cfs"))
+      .localCheckpoint(true)
+    val cf = tfs.groupBy($"term").agg(sum($"cfs").as("cf"))
+    val ts = tfs.groupBy($"source").agg(sum($"cfs").as("t_s"))
+    val tot = cf.agg(sum($"cf").as("t"))
+    val ps = $"cfs".cast("double") / $"t_s"
+    val p = $"cf".cast("double") / $"t"
+    tfs.join(cf, Seq("term"))
+      .join(broadcast(ts), Seq("source"))
+      .crossJoin(broadcast(tot))
+      .withColumn("fx", floor(ps * log(ps / p) * lit(1e12) + 0.5))
+      .groupBy($"source")
+      .agg(count(lit(1)).as("n_terms"),
+        (sum($"fx") / lit(1e12)).as("kl"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q12rUnigramLogprob, q12sSourceKl)
 }

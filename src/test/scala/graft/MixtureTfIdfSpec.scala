@@ -107,6 +107,27 @@ class MixtureTfIdfSpec extends SparkTestBase {
     }
   }
 
+  test("source KL: one tokenize pass, divergences non-negative") {
+    import spark.implicits._
+    val df = UnigramQueries.q12sSourceKl.fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // tokenize happens once inside the eager tfs checkpoint; the
+    // query plan proper must not re-tokenize for any of its three
+    // consumers (AQE stage reuse is racy with three — hence staging)
+    assert("Generate explode".r.findAllIn(plan).length === 0,
+      s"a consumer re-tokenized instead of reading staged tfs:\n$plan")
+    val rows = df.collect()
+    assert(rows.length ===
+      Tables(spark, sfDir).documents.select($"source").distinct().count())
+    // Gibbs: KL(p_s ‖ p) ≥ 0, with slack for the 1e-12 fixed-point snap
+    rows.foreach { r =>
+      assert(r.getDouble(2) >= -1e-9,
+        s"source ${r.getString(0)}: negative KL ${r.getDouble(2)}")
+    }
+  }
+
   test("tfidf tokenizes the corpus once: df branch reuses tf's exchange") {
     val df = TfIdfQueries.q12oTfidfTopk.fn(spark, sfDir)
     df.collect()
