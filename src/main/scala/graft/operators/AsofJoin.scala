@@ -32,6 +32,11 @@ object AsofJoin {
   private def interleave(left: DataFrame, right: DataFrame,
                          keys: Seq[String], tsCol: String,
                          carryCols: Seq[String]): DataFrame = {
+    val reserved = left.columns.filter(c =>
+      c == "__side" || c.startsWith("__carry_") || c.startsWith("asof_"))
+    require(reserved.isEmpty,
+      s"columns ${reserved.mkString(", ")} collide with asof-join " +
+        "internals (__side, __carry_*, asof_*); rename them first")
     val carryTypes = carryCols.map(c => c -> right.schema(c).dataType).toMap
     val leftTagged = carryCols.foldLeft(
       left.withColumn("__side", lit(1))) { (df, c) =>

@@ -37,6 +37,10 @@ object RangeJoin {
                       leftUs: String, rightUs: String,
                       tolUs: Long, payload: Seq[String]): DataFrame = {
     require(tolUs > 0, s"tolerance must be positive, got $tolUs")
+    (left.columns ++ right.columns).find(_ == "__bin").foreach { _ =>
+      throw new IllegalArgumentException(
+        "__bin is reserved by proximityJoinUs; rename the input column")
+    }
     val probes = left.withColumn("__bin",
       explode(array(Seq(-1, 0, 1).map(d =>
         floor(col(leftUs) / tolUs) + lit(d.toLong)): _*)))
