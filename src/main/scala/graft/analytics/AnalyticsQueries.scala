@@ -737,9 +737,78 @@ object AnalyticsQueries {
           .as("max_kept_distance"))
   }
 
+  /** q9o — GROUPED exact quantiles (per-nation customer-spend
+    * quartiles), the group-by sibling of q9a's global describe().
+    * The same exactness baseline / scale-path pairing rides in ONE
+    * query: exact `percentile` (buffers a nation's customers — the
+    * oracle-checked baseline) beside `percentile_approx` whose
+    * per-nation estimates are verified in-plan by q9a's rank-interval
+    * device (count(< x̂), count(≤ x̂) must intersect q·n ± n/1000) —
+    * the DuckDB twin emits `quantile_cont` plus true literals, so the
+    * hash gate fails if any grouped sketch leaves its guarantee.
+    *
+    * The customer-spend staging frame has TWO consumers (the stats
+    * aggregate and the rank check), so it is materialized eagerly —
+    * customer grain, corpus-reduced — rather than recomputing the
+    * 3-table join per consumer (exchange reuse is not contractual;
+    * see q12s). The 25-row stats frame broadcasts back.
+    */
+  val q9oGroupedQuantiles: GraftQuery = GraftQuery(
+    "q9o_grouped_quantiles",
+    s"""WITH cust AS (
+       |  SELECT n_name, o_custkey,
+       |         CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS spend
+       |  FROM lineitem
+       |  JOIN orders ON l_orderkey = o_orderkey
+       |  JOIN customer ON o_custkey = c_custkey
+       |  JOIN nation ON c_nationkey = n_nationkey
+       |  GROUP BY 1, 2)
+       |SELECT n_name, COUNT(*) AS n,
+       |       quantile_cont(spend, 0.25) AS p25,
+       |       quantile_cont(spend, 0.5)  AS p50,
+       |       quantile_cont(spend, 0.75) AS p75,
+       |       true AS p25_ok, true AS p50_ok, true AS p75_ok
+       |FROM cust GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cust = t.lineitem
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"o_custkey")
+      .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
+        .as("spend"))
+      .localCheckpoint(true)
+    val stats = cust.groupBy($"n_name").agg(
+      count(lit(1)).as("n"),
+      percentile($"spend", lit(0.25)).as("p25"),
+      percentile($"spend", lit(0.5)).as("p50"),
+      percentile($"spend", lit(0.75)).as("p75"),
+      percentile_approx($"spend", array(lit(0.25), lit(0.5), lit(0.75)),
+        lit(10000)).as("pa"))
+    val checked = cust.join(broadcast(stats), Seq("n_name"))
+      .groupBy($"n_name")
+      .agg(first($"n").as("n"), first($"p25").as("p25"),
+        first($"p50").as("p50"), first($"p75").as("p75"),
+        sum(when($"spend" < element_at($"pa", 1), 1L).otherwise(0L)).as("b25"),
+        sum(when($"spend" <= element_at($"pa", 1), 1L).otherwise(0L)).as("a25"),
+        sum(when($"spend" < element_at($"pa", 2), 1L).otherwise(0L)).as("b50"),
+        sum(when($"spend" <= element_at($"pa", 2), 1L).otherwise(0L)).as("a50"),
+        sum(when($"spend" < element_at($"pa", 3), 1L).otherwise(0L)).as("b75"),
+        sum(when($"spend" <= element_at($"pa", 3), 1L).otherwise(0L)).as("a75"))
+    val err = greatest(lit(1.0), $"n" / 1000.0)
+    def ok(q: Double, below: String, atMost: String) =
+      (col(below) <= lit(q) * $"n" + err) &&
+        (col(atMost) >= lit(q) * $"n" - err)
+    checked.select($"n_name", $"n", $"p25", $"p50", $"p75",
+      ok(0.25, "b25", "a25").as("p25_ok"),
+      ok(0.50, "b50", "a50").as("p50_ok"),
+      ok(0.75, "b75", "a75").as("p75_ok"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q9aDescriptiveStats, q9aApproxDescriptiveStats, q9bCorrelations,
     q9cBinnedAgg, q9dSegmentation, q9dApproxSegmentation,
     q9eChurnFeatures, q9fRevenueShare, q9gHaversine, q9hElasticity,
-    q9iFreightOpt, q9mDeliveryRisk, q9nOrderExtract)
+    q9iFreightOpt, q9mDeliveryRisk, q9nOrderExtract, q9oGroupedQuantiles)
 }

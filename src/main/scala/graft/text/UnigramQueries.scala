@@ -110,9 +110,9 @@ object UnigramQueries {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
     // Three consumers (cf, ts, join) need the (source, term) counts;
-    // leaving reuse to AQE's stage cache is RACY with three stages
-    // submitting the same exchange concurrently (observed: 2 of 3
-    // dedupe). tfs is already reduced to vocab × source grain — tiny
+    // exchange reuse is NOT contractual, and with three identical
+    // exchanges only 2 of 3 deduped (observed) — the third consumer
+    // re-tokenized. tfs is already reduced to vocab × source grain — tiny
     // next to the corpus — so the q12k staging pattern applies:
     // materialize it once, eagerly, and let every consumer read the
     // materialized form. The corpus is tokenized exactly once by

@@ -102,4 +102,18 @@ class ApproxSpec extends SparkTestBase {
         s"value tertile $tile holds $n of $nCust")
     }
   }
+
+  test("q9o grouped quantiles: ordered, in-range, sketches in guarantee") {
+    import spark.implicits._
+    val rows = graft.analytics.AnalyticsQueries.q9oGroupedQuantiles
+      .fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (p25, p50, p75) = (r.getDouble(2), r.getDouble(3), r.getDouble(4))
+      assert(p25 <= p50 && p50 <= p75,
+        s"${r.getString(0)}: quartiles out of order ($p25, $p50, $p75)")
+      assert(r.getBoolean(5) && r.getBoolean(6) && r.getBoolean(7),
+        s"${r.getString(0)}: a grouped sketch left its rank guarantee")
+    }
+  }
 }
