@@ -107,6 +107,61 @@ class MixtureTfIdfSpec extends SparkTestBase {
     }
   }
 
+  test("tfidf and xent agree with driver-side references on random corpora") {
+    import spark.implicits._
+    val words = Vector("alpha", "beta", "gamma", "delta", "eps")
+    val rng = new scala.util.Random(7)
+    (1 to 3).foreach { _ =>
+      val docs = (0L until 12L).map { id =>
+        val n = 1 + rng.nextInt(9)
+        (id, Seq.fill(n)(words(rng.nextInt(words.size))).mkString(" "))
+      }
+      val df = docs.toDF("doc_id", "text")
+        .withColumn("lang", lit("en")).withColumn("source", lit("s"))
+        .withColumn("n_chars", length($"text"))
+      val dir = java.nio.file.Files
+        .createTempDirectory("tfidf_prop").toString
+      df.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+
+      // reference: per-doc term counts, integer-ranked top-5
+      val tfm = docs.map { case (id, t) =>
+        id -> t.split("\\s+").groupBy(identity).view.mapValues(_.length).toMap
+      }.toMap
+      val dfm = tfm.values.flatMap(_.keys).groupBy(identity)
+        .view.mapValues(_.size).toMap
+      val expectTop = tfm.map { case (id, tfs) =>
+        id -> tfs.toSeq
+          .map { case (term, tf) => (term, tf, dfm(term)) }
+          .sortBy { case (term, tf, d) => (-tf, d, term) }
+          .take(5).map(_._1).toSet
+      }
+      val gotTop = graft.text.TfIdfQueries.q12oTfidfTopk.fn(spark, dir)
+        .select($"doc_id", $"term").collect()
+        .groupBy(_.getLong(0)).view.mapValues(_.map(_.getString(1)).toSet)
+      expectTop.foreach { case (id, terms) =>
+        assert(gotTop(id) === terms, s"tfidf top-5 mismatch for doc $id")
+      }
+
+      // reference: unigram cross-entropy, summed in term order like the op
+      val total = tfm.values.map(_.values.sum).sum.toDouble
+      val cf = tfm.values.flatten
+        .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+      val expectX = tfm.map { case (id, tfs) =>
+        val s = tfs.toSeq.sortBy(_._1)
+          .foldLeft(0.0) { case (acc, (t, tf)) =>
+            acc + tf * math.log(cf(t) / total)
+          }
+        id -> BigDecimal(-s / tfs.values.sum)
+          .setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
+      }
+      val gotX = graft.text.UnigramQueries.q12rUnigramLogprob.fn(spark, dir)
+        .collect().map(r => r.getLong(0) -> r.getDouble(2)).toMap
+      expectX.foreach { case (id, x) =>
+        assert(math.abs(gotX(id) - x) < 1e-9, s"xent mismatch for doc $id")
+      }
+    }
+  }
+
   test("source KL: one tokenize pass, divergences non-negative") {
     import spark.implicits._
     val df = UnigramQueries.q12sSourceKl.fn(spark, sfDir)
