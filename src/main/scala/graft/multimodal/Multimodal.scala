@@ -173,6 +173,77 @@ object Multimodal {
       .select($"media_id", $"n_frames", $"fi".cast("int").as("frame_idx"))
   }
 
+  /** Deterministic REAL PNG bytes: a w×h RGB image whose pixels are a
+    * fixed function of (seed, position), encoded by the JDK's own
+    * ImageIO PNG writer. No external codec library needed — PNG is
+    * the one modality this environment CAN decode for real.
+    */
+  def pngBytes(w: Int, h: Int, seed: Long): Array[Byte] = {
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var i = 0L
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        img.setRGB(x, y, (((seed + i) * 2654435761L) & 0xffffff).toInt)
+        i += 1; x += 1
+      }
+      y += 1
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(img, "png", bos)
+    bos.toByteArray
+  }
+
+  /** REAL decode via ImageIO — the non-stub sibling of [[decodeStub]]
+    * with the identical per-partition batch shape. Corrupt payloads
+    * fail fast with the offending media_id (ImageIO returns null on
+    * undecodable bytes; silently skipping rows would corrupt counts).
+    */
+  def decodePng(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"media_id ${r.media_id}: payload is not a decodable image")
+      val checksum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
+      MediaFeatures(r.media_id, r.kind, r.payload.length,
+        img.getWidth, img.getHeight, checksum)
+    }
+  }
+
+  /** q16e — REAL codec roundtrip: synthesize genuine PNGs (dims a
+    * fixed function of media_id), encode in one mapPartitions pass,
+    * decode with the real JDK codec in another, and report the
+    * DECODED dimensions. The oracle recomputes the expected dims from
+    * media_id — the hash gate fails unless encode → decode preserves
+    * them through real PNG bytes. (Payload size is encoder-internal,
+    * so it surfaces only as a boolean.) This closes the "decode stub
+    * never sees real bytes" gap for the one codec the JDK ships;
+    * audio/video keep the documented stub.
+    */
+  val q16ePngRoundtrip: GraftQuery = GraftQuery(
+    "q16e_png_roundtrip",
+    """SELECT doc_id AS media_id,
+      |       CAST(1 + doc_id % 16 AS INTEGER) AS width,
+      |       CAST(1 + doc_id % 13 AS INTEGER) AS height,
+      |       true AS bytes_ok
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val encoded = Tables(spark, dir).documents
+      .select($"doc_id".as("media_id"),
+        (lit(1) + pmod($"doc_id", lit(16))).cast("int").as("w"),
+        (lit(1) + pmod($"doc_id", lit(13))).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        MediaRow(id, "image", pngBytes(w, h, seed = id))
+      })
+    encoded.mapPartitions(decodePng _)
+      .select($"media_id", $"width", $"height",
+        ($"n_bytes" > 0).as("bytes_ok"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q16aMediaMeta, q16bDecodeStub, q16cResizePlan, q16dFrameSample)
+    Seq(q16aMediaMeta, q16bDecodeStub, q16cResizePlan, q16dFrameSample,
+      q16ePngRoundtrip)
 }

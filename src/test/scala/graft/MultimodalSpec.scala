@@ -31,4 +31,24 @@ class MultimodalSpec extends SparkTestBase {
     assert(schema("kind").dataType ==
       org.apache.spark.sql.types.StringType)
   }
+
+  test("real PNG codec: encode/decode roundtrip and corrupt fail-fast") {
+    // genuine ImageIO bytes, not the stub: dims survive the roundtrip
+    val bytes = Multimodal.pngBytes(17, 9, seed = 42L)
+    assert(bytes.length > 8 &&
+      (bytes(1) & 0xff) == 'P' && (bytes(2) & 0xff) == 'N',
+      "ImageIO must emit a real PNG signature")
+    val feats = Multimodal.decodePng(Iterator(
+      Multimodal.MediaRow(7L, "image", bytes))).toList
+    assert(feats.map(f => (f.media_id, f.width, f.height)) ===
+      List((7L, 17, 9)))
+    // determinism: same (w, h, seed) → byte-identical payloads
+    assert(java.util.Arrays.equals(bytes, Multimodal.pngBytes(17, 9, 42L)))
+    // corrupt payloads must fail fast with the offending id, not skip
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodePng(Iterator(
+        Multimodal.MediaRow(99L, "image", Array[Byte](1, 2, 3)))).toList
+    }
+    assert(ex.getMessage.contains("99"))
+  }
 }
