@@ -243,7 +243,72 @@ object Multimodal {
         ($"n_bytes" > 0).as("bytes_ok"))
   }
 
+  /** Deterministic REAL WAV bytes: n 8-bit PCM mono frames at 8 kHz,
+    * samples a fixed function of (seed, index), containerized by the
+    * JDK's own javax.sound WAVE writer — the audio sibling of
+    * [[pngBytes]].
+    */
+  def wavBytes(nFrames: Int, seed: Long): Array[Byte] = {
+    val data = Array.tabulate(nFrames)(i =>
+      (((seed + i) * 2654435761L) & 0xff).toByte)
+    val fmt = new javax.sound.sampled.AudioFormat(8000f, 8, 1, false, false)
+    val ais = new javax.sound.sampled.AudioInputStream(
+      new java.io.ByteArrayInputStream(data), fmt, nFrames.toLong)
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.sound.sampled.AudioSystem.write(ais,
+      javax.sound.sampled.AudioFileFormat.Type.WAVE, bos)
+    bos.toByteArray
+  }
+
+  case class AudioFeatures(media_id: Long, n_frames: Long,
+                           sample_rate: Int, channels: Int)
+
+  /** REAL WAV decode via AudioSystem — container metadata from actual
+    * bytes, same fail-fast contract as [[decodePng]].
+    */
+  def decodeWav(rows: Iterator[MediaRow]): Iterator[AudioFeatures] = {
+    rows.map { r =>
+      try {
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(r.payload))
+        val fmt = ais.getFormat
+        AudioFeatures(r.media_id, ais.getFrameLength,
+          fmt.getSampleRate.toInt, fmt.getChannels)
+      } catch {
+        case e: javax.sound.sampled.UnsupportedAudioFileException =>
+          throw new IllegalArgumentException(
+            s"media_id ${r.media_id}: payload is not a decodable WAV", e)
+      }
+    }
+  }
+
+  /** q16f — REAL audio roundtrip, the WAV twin of [[q16ePngRoundtrip]]:
+    * genuine PCM/WAVE files encoded and decoded by the JDK's own
+    * audio codec; the oracle recomputes frame counts from media_id,
+    * so the gate fails unless the container metadata survives real
+    * bytes. With q16e this makes image AND audio decode REAL; only
+    * video (no JDK codec exists) keeps the documented stub.
+    */
+  val q16fWavRoundtrip: GraftQuery = GraftQuery(
+    "q16f_wav_roundtrip",
+    """SELECT doc_id AS media_id,
+      |       CAST(100 + doc_id % 400 AS BIGINT) AS n_frames,
+      |       CAST(8000 AS INTEGER) AS sample_rate,
+      |       CAST(1 AS INTEGER) AS channels
+      |FROM documents""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id".as("media_id"),
+        (lit(100) + pmod($"doc_id", lit(400))).cast("int").as("n"))
+      .as[(Long, Int)]
+      .mapPartitions(_.map { case (id, n) =>
+        MediaRow(id, "audio", wavBytes(n, seed = id))
+      })
+      .mapPartitions(decodeWav _)
+      .toDF()
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q16aMediaMeta, q16bDecodeStub, q16cResizePlan, q16dFrameSample,
-      q16ePngRoundtrip)
+      q16ePngRoundtrip, q16fWavRoundtrip)
 }

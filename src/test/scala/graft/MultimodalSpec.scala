@@ -51,4 +51,21 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("99"))
   }
+
+  test("real WAV codec: container metadata roundtrip and corrupt fail-fast") {
+    val bytes = Multimodal.wavBytes(nFrames = 250, seed = 5L)
+    assert(new String(bytes, 0, 4, "US-ASCII") == "RIFF",
+      "AudioSystem must emit a real RIFF/WAVE container")
+    val feats = Multimodal.decodeWav(Iterator(
+      Multimodal.MediaRow(3L, "audio", bytes))).toList
+    assert(feats.map(f =>
+      (f.media_id, f.n_frames, f.sample_rate, f.channels)) ===
+      List((3L, 250L, 8000, 1)))
+    assert(java.util.Arrays.equals(bytes, Multimodal.wavBytes(250, 5L)))
+    val ex = intercept[IllegalArgumentException] {
+      Multimodal.decodeWav(Iterator(
+        Multimodal.MediaRow(42L, "audio", Array[Byte](9, 9, 9)))).toList
+    }
+    assert(ex.getMessage.contains("42"))
+  }
 }
