@@ -308,7 +308,69 @@ object Multimodal {
       .toDF()
   }
 
+  /** REAL pixel resize: decode → draw into the target raster with an
+    * EXPLICIT nearest-neighbor hint (the default interpolation is
+    * implementation-dependent; determinism requires pinning it) →
+    * re-encode. Works on any ImageIO-decodable payload.
+    */
+  def resizePng(payload: Array[Byte], outW: Int, outH: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(
+      new java.io.ByteArrayInputStream(payload))
+    require(img != null, "payload is not a decodable image")
+    val out = new java.awt.image.BufferedImage(
+      outW, outH, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+      java.awt.RenderingHints.VALUE_INTERPOLATION_NEAREST_NEIGHBOR)
+    g.drawImage(img, 0, 0, outW, outH, null)
+    g.dispose()
+    val bos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", bos)
+    bos.toByteArray
+  }
+
+  /** q16g — REAL resize through the full chain: encode a genuine PNG,
+    * decode it, fit under a 32×32 bound with q16c's integer-division
+    * math (aspect preserved, never upscaled), resize the ACTUAL
+    * pixels, re-encode, decode AGAIN, and report the final decoded
+    * dimensions. The oracle recomputes the fit from media_id alone,
+    * so the gate fails unless the planned dimensions survive two
+    * trips through the real codec and a real raster transform. With
+    * q16d/e/f this makes every contract verb — decode, resize,
+    * frame-sample — real except video decode (no JDK codec).
+    */
+  val q16gPngResize: GraftQuery = GraftQuery(
+    "q16g_png_resize",
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id,
+      |         1 + doc_id % 64 AS w, 1 + doc_id % 59 AS h
+      |  FROM documents)
+      |SELECT media_id,
+      |       CAST(CASE WHEN greatest(w, h) <= 32 THEN w
+      |                 ELSE greatest(1, w * 32 // greatest(w, h)) END
+      |            AS INTEGER) AS out_w,
+      |       CAST(CASE WHEN greatest(w, h) <= 32 THEN h
+      |                 ELSE greatest(1, h * 32 // greatest(w, h)) END
+      |            AS INTEGER) AS out_h
+      |FROM dims""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .select($"doc_id".as("media_id"),
+        (lit(1) + pmod($"doc_id", lit(64))).cast("int").as("w"),
+        (lit(1) + pmod($"doc_id", lit(59))).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        val fit = (dim: Int) =>
+          if (math.max(w, h) <= 32) dim
+          else math.max(1, dim * 32 / math.max(w, h))
+        val resized = resizePng(pngBytes(w, h, seed = id), fit(w), fit(h))
+        MediaRow(id, "image", resized)
+      })
+      .mapPartitions(decodePng _)
+      .select($"media_id", $"width".as("out_w"), $"height".as("out_h"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q16aMediaMeta, q16bDecodeStub, q16cResizePlan, q16dFrameSample,
-      q16ePngRoundtrip, q16fWavRoundtrip)
+      q16ePngRoundtrip, q16fWavRoundtrip, q16gPngResize)
 }

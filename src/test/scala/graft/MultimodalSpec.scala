@@ -68,4 +68,14 @@ class MultimodalSpec extends SparkTestBase {
     }
     assert(ex.getMessage.contains("42"))
   }
+
+  test("real resize: pinned interpolation gives deterministic bytes") {
+    val src = Multimodal.pngBytes(48, 20, seed = 11L)
+    val a = Multimodal.resizePng(src, 32, 13)
+    val b = Multimodal.resizePng(src, 32, 13)
+    assert(java.util.Arrays.equals(a, b),
+      "nearest-neighbor resize must be byte-deterministic")
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
+    assert(img.getWidth == 32 && img.getHeight == 13)
+  }
 }
