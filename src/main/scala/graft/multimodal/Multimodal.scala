@@ -370,7 +370,103 @@ object Multimodal {
       .select($"media_id", $"width".as("out_w"), $"height".as("out_h"))
   }
 
+  /** Deterministic REAL multi-frame container: an animated GIF with
+    * `nFrames` frames, written by the JDK's own sequence-capable GIF
+    * writer — the closest thing to a video container a bare JVM can
+    * both produce and parse.
+    */
+  def gifBytes(w: Int, h: Int, nFrames: Int, seed: Long): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = javax.imageio.ImageIO.createImageOutputStream(bos)
+    val writer =
+      javax.imageio.ImageIO.getImageWritersByFormatName("gif").next()
+    try {
+      writer.setOutput(ios)
+      writer.prepareWriteSequence(null)
+      var f = 0
+      while (f < nFrames) {
+        val img = new java.awt.image.BufferedImage(
+          w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+        var i = 0L
+        var y = 0
+        while (y < h) {
+          var x = 0
+          while (x < w) {
+            img.setRGB(x, y, (((seed + f * 7919L + i) * 2654435761L)
+              & 0xffffff).toInt)
+            i += 1; x += 1
+          }
+          y += 1
+        }
+        writer.writeToSequence(
+          new javax.imageio.IIOImage(img, null, null), null)
+        f += 1
+      }
+      writer.endWriteSequence()
+    } finally { writer.dispose(); ios.close() }
+    bos.toByteArray
+  }
+
+  case class FrameRow(media_id: Long, n_frames: Int, frame_idx: Int,
+                      width: Int, height: Int)
+
+  /** REAL frame extraction: parse the container, count frames, decode
+    * every `step`-th one — the per-partition batch shape q16d models,
+    * now on actual bytes.
+    */
+  def sampleGifFrames(rows: Iterator[MediaRow],
+                      step: Int): Iterator[FrameRow] = {
+    rows.flatMap { r =>
+      val iis = javax.imageio.ImageIO.createImageInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val reader =
+        javax.imageio.ImageIO.getImageReadersByFormatName("gif").next()
+      try {
+        reader.setInput(iis)
+        val n = reader.getNumImages(true)
+        require(n > 0, s"media_id ${r.media_id}: payload is not a GIF")
+        (0 until n by step).map { f =>
+          val img = reader.read(f)
+          FrameRow(r.media_id, n, f, img.getWidth, img.getHeight)
+        }
+      } finally { reader.dispose(); iis.close() }
+    }
+  }
+
+  /** q16h — REAL frame sampling: animated GIFs (the video stand-in a
+    * bare JVM can produce and parse) built frame-by-frame, then every
+    * 2nd frame extracted and decoded. The oracle recomputes frame
+    * counts and sampled indices from media_id, so the gate fails
+    * unless the container roundtrips frame-exactly. Completes the
+    * multimodal contract on real bytes: decode (q16e/f), resize
+    * (q16g), frame-sample (here).
+    */
+  val q16hGifFrames: GraftQuery = GraftQuery(
+    "q16h_gif_frames",
+    """SELECT doc_id AS media_id,
+      |       CAST(2 + doc_id % 5 AS INTEGER) AS n_frames,
+      |       CAST(unnest(range(0, 2 + doc_id % 5, 2)) AS INTEGER)
+      |         AS frame_idx,
+      |       CAST(4 + doc_id % 5 AS INTEGER) AS width,
+      |       CAST(3 + doc_id % 4 AS INTEGER) AS height
+      |FROM documents
+      |WHERE doc_id % 10 = 0""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(pmod($"doc_id", lit(10)) === 0)
+      .select($"doc_id".as("media_id"),
+        (lit(2) + pmod($"doc_id", lit(5))).cast("int").as("nf"),
+        (lit(4) + pmod($"doc_id", lit(5))).cast("int").as("w"),
+        (lit(3) + pmod($"doc_id", lit(4))).cast("int").as("h"))
+      .as[(Long, Int, Int, Int)]
+      .mapPartitions(_.map { case (id, nf, w, h) =>
+        MediaRow(id, "video", gifBytes(w, h, nf, seed = id))
+      })
+      .mapPartitions(sampleGifFrames(_, step = 2))
+      .toDF()
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q16aMediaMeta, q16bDecodeStub, q16cResizePlan, q16dFrameSample,
-      q16ePngRoundtrip, q16fWavRoundtrip, q16gPngResize)
+      q16ePngRoundtrip, q16fWavRoundtrip, q16gPngResize, q16hGifFrames)
 }

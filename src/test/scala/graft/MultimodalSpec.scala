@@ -69,6 +69,18 @@ class MultimodalSpec extends SparkTestBase {
     assert(ex.getMessage.contains("42"))
   }
 
+  test("real multi-frame container: GIF frame count and sampling") {
+    val bytes = Multimodal.gifBytes(w = 6, h = 4, nFrames = 5, seed = 3L)
+    assert(new String(bytes, 0, 3, "US-ASCII") == "GIF",
+      "writer must emit a real GIF container")
+    val frames = Multimodal.sampleGifFrames(Iterator(
+      Multimodal.MediaRow(8L, "video", bytes)), step = 2).toList
+    assert(frames.map(f => (f.frame_idx, f.width, f.height)) ===
+      List((0, 6, 4), (2, 6, 4), (4, 6, 4)))
+    assert(frames.forall(_.n_frames == 5))
+    assert(java.util.Arrays.equals(bytes, Multimodal.gifBytes(6, 4, 5, 3L)))
+  }
+
   test("real resize: pinned interpolation gives deterministic bytes") {
     val src = Multimodal.pngBytes(48, 20, seed = 11L)
     val a = Multimodal.resizePng(src, 32, 13)
