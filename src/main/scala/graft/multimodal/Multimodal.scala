@@ -466,7 +466,77 @@ object Multimodal {
       .toDF()
   }
 
+  case class PixelFeatures(media_id: Long, n_pixels: Long,
+                           sum_r: Long, sum_g: Long, sum_b: Long)
+
+  /** REAL feature extraction: decode the image and reduce the raster
+    * to channel statistics — the per-partition shape an embedding or
+    * quality-filter stage consumes. Integer sums, not means: exact,
+    * order-independent, hashable.
+    */
+  def pixelFeatures(rows: Iterator[MediaRow]): Iterator[PixelFeatures] = {
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"media_id ${r.media_id}: payload is not a decodable image")
+      var (sr, sg, sb) = (0L, 0L, 0L)
+      var y = 0
+      while (y < img.getHeight) {
+        var x = 0
+        while (x < img.getWidth) {
+          val v = img.getRGB(x, y)
+          sr += (v >> 16) & 0xff; sg += (v >> 8) & 0xff; sb += v & 0xff
+          x += 1
+        }
+        y += 1
+      }
+      PixelFeatures(r.media_id,
+        img.getWidth.toLong * img.getHeight, sr, sg, sb)
+    }
+  }
+
+  /** q16i — REAL feature extraction with a PIXEL-EXACT oracle: PNG is
+    * lossless and the synthetic raster has a closed form, so DuckDB
+    * recomputes the expected channel sums from media_id alone —
+    * ((seed + i)·2654435761 mod 2²⁴ split into R/G/B, summed over the
+    * raster) — and the hash gate fails unless every pixel survives
+    * encode → decode bit-exactly. Closes the last contract verb
+    * (decode q16e/f, resize q16g, frame-sample q16h, feature-extract
+    * here) on real bytes.
+    */
+  val q16iPixelFeatures: GraftQuery = GraftQuery(
+    "q16i_pixel_features",
+    """WITH dims AS (
+      |  SELECT doc_id AS media_id,
+      |         CAST(2 + doc_id % 7 AS BIGINT) AS w,
+      |         CAST(2 + doc_id % 5 AS BIGINT) AS h
+      |  FROM documents WHERE doc_id % 10 = 1),
+      |px AS (
+      |  SELECT media_id, w * h AS n_pixels,
+      |         ((media_id + unnest(range(0, w * h))) * 2654435761)
+      |           % 16777216 AS v
+      |  FROM dims)
+      |SELECT media_id, n_pixels,
+      |       CAST(SUM(v // 65536) AS BIGINT) AS sum_r,
+      |       CAST(SUM((v // 256) % 256) AS BIGINT) AS sum_g,
+      |       CAST(SUM(v % 256) AS BIGINT) AS sum_b
+      |FROM px GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    Tables(spark, dir).documents
+      .filter(pmod($"doc_id", lit(10)) === 1)
+      .select($"doc_id".as("media_id"),
+        (lit(2) + pmod($"doc_id", lit(7))).cast("int").as("w"),
+        (lit(2) + pmod($"doc_id", lit(5))).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        MediaRow(id, "image", pngBytes(w, h, seed = id))
+      })
+      .mapPartitions(pixelFeatures _)
+      .toDF()
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q16aMediaMeta, q16bDecodeStub, q16cResizePlan, q16dFrameSample,
-      q16ePngRoundtrip, q16fWavRoundtrip, q16gPngResize, q16hGifFrames)
+      q16ePngRoundtrip, q16fWavRoundtrip, q16gPngResize, q16hGifFrames,
+      q16iPixelFeatures)
 }
