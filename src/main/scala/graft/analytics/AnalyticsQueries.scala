@@ -219,8 +219,10 @@ object AnalyticsQueries {
         // ONE pass computes every moment the 20-cell grid needs (a
         // per-pair agg would rescan the fact 20× at 100 TB; caching a
         // 100 TB projection is not a plan). The 20 corr rows then
-        // derive from the cached ONE-ROW moment table, with the same
-        // exact-sums-then-double arithmetic shape as the oracle.
+        // derive from the ONE-ROW moment table — materialized with an
+        // eager localCheckpoint rather than .cache() so even this
+        // trivial frame leaves no session-lifetime CacheManager entry
+        // (CacheSpec's no-new-entries invariant is global).
         val aggs =
           Seq(count(lit(1)).as("n")) ++
             (measures ++ outcomes).flatMap(c => Seq(
@@ -228,7 +230,7 @@ object AnalyticsQueries {
               Exact.dsum(col(c) * col(c), 4).as(s"sxx_$c"))) ++
             pairs.map { case (x, y) =>
               Exact.dsum(col(x) * col(y), 4).as(s"sxy_${x}_$y") }
-        val m = base.agg(aggs.head, aggs.tail: _*).cache()
+        val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
         pairs.map { case (x, y) =>
           val n = $"n".cast(DoubleType)
           m.select(lit(s"${x}_vs_$y").as("pair"), $"n",

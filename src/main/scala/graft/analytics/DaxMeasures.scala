@@ -76,8 +76,15 @@ object DaxMeasures {
     import spark.implicits._
     val t = Tables(spark, dir)
     val monthIdx = (year($"o_orderdate") * 12 + month($"o_orderdate") - 1)
+    // Three consumers (months, next-month probe, anti-join right side)
+    // read the distinct (custkey, month) activity set. Eager
+    // localCheckpoint materializes it ONCE without registering a
+    // session-lifetime CacheManager entry (member-scale state, but
+    // the same lifetime rule as q13b's postings — CacheSpec pins it);
+    // blocks are reclaimed when the plan goes unreachable.
     val activity = t.orders
-      .select($"o_custkey", monthIdx.as("m")).distinct().cache()
+      .select($"o_custkey", monthIdx.as("m")).distinct()
+      .localCheckpoint(true)
     val months = activity.select($"m").distinct()
     val next = activity.select($"o_custkey", ($"m" + 1).as("nm"))
       .join(broadcast(months), $"nm" === months("m"), "left_semi")

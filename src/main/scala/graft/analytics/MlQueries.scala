@@ -65,12 +65,18 @@ object MlQueries {
           .setNumTrees(200).setSeed(42L).setWeightCol("w")
           .setLabelCol("label").setFeaturesCol("features")
         val model = rf.fit(assembler.transform(train))
+        // pred feeds 4 actions (3 counts + AUC); cache for their
+        // duration only — unpersisted below so no CacheManager entry
+        // outlives the query (CacheSpec invariant).
         val pred  = model.transform(assembler.transform(test)).cache()
-        val tp = pred.filter($"label" === 1.0 && $"prediction" === 1.0).count()
-        val fp = pred.filter($"label" === 0.0 && $"prediction" === 1.0).count()
-        val fn = pred.filter($"label" === 1.0 && $"prediction" === 0.0).count()
-        val auc = new BinaryClassificationEvaluator()
-          .setLabelCol("label").setMetricName("areaUnderROC").evaluate(pred)
+        val (tp, fp, fn, auc) = try {
+          val tp = pred.filter($"label" === 1.0 && $"prediction" === 1.0).count()
+          val fp = pred.filter($"label" === 0.0 && $"prediction" === 1.0).count()
+          val fn = pred.filter($"label" === 1.0 && $"prediction" === 0.0).count()
+          val auc = new BinaryClassificationEvaluator()
+            .setLabelCol("label").setMetricName("areaUnderROC").evaluate(pred)
+          (tp, fp, fn, auc)
+        } finally pred.unpersist()
         val precision = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
         val recall    = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
         val importances = FeatureCols.zip(model.featureImportances.toArray)

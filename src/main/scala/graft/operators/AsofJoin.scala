@@ -20,6 +20,15 @@ import graft.queries.GraftQuery
   * The oracle twin uses DuckDB's NATIVE `ASOF LEFT JOIN`, so the hash
   * match cross-validates this re-expression against an independent
   * first-class implementation.
+  *
+  * PRECONDITION (all three joins): the right side must be DISTINCT on
+  * (keys, tsCol). With duplicate right timestamps the window order
+  * ties on (ts, __side) and `first`/`last` picks an arbitrary carry —
+  * the same nondeterminism DuckDB's native ASOF exhibits on ties.
+  * Callers that cannot guarantee distinctness should pre-aggregate
+  * (as q15h does: `MIN(event_id) GROUP BY user_id, ts`) or call
+  * [[dedupRight]]. The ScalaCheck property generator upholds the same
+  * contract.
   */
 object AsofJoin {
 
@@ -65,9 +74,21 @@ object AsofJoin {
     Window.partitionBy(keys.map(col): _*)
       .orderBy(col(tsCol), col("__side"))
 
+  /** Deterministic-dedup helper: reduces `right` to one row per
+    * (keys, ts) by taking the MIN of every carry column — the cheapest
+    * total-order tiebreak that both engines reproduce. Use when the
+    * right side may violate the distinct-(keys, ts) precondition.
+    */
+  def dedupRight(right: DataFrame, keys: Seq[String], tsCol: String,
+                 carryCols: Seq[String]): DataFrame =
+    right.groupBy((keys :+ tsCol).map(col): _*)
+      .agg(carryCols.head -> "min", carryCols.tail.map(_ -> "min"): _*)
+      .toDF((keys :+ tsCol) ++ carryCols: _*)
+
   /** For each left row, attach the latest right payload with
     * right.ts ≤ left.ts on the same keys (inclusive ties — right rows
-    * order before left rows at equal ts).
+    * order before left rows at equal ts). Requires a right side
+    * distinct on (keys, tsCol) — see the object scaladoc.
     */
   def asofBackward(left: DataFrame, right: DataFrame, keys: Seq[String],
                    tsCol: String, carryCols: Seq[String]): DataFrame = {
@@ -85,7 +106,8 @@ object AsofJoin {
     * payload with right.ts > left.ts (STRICT — an equal-ts right row
     * sorts before the left row, outside the [current, ∞) frame),
     * complementing the backward join's inclusive ties. Same cost:
-    * one key shuffle, one sort.
+    * one key shuffle, one sort. Requires a right side distinct on
+    * (keys, tsCol) — see the object scaladoc.
     */
   def asofForward(left: DataFrame, right: DataFrame, keys: Seq[String],
                   tsCol: String, carryCols: Seq[String]): DataFrame = {
@@ -106,6 +128,8 @@ object AsofJoin {
     * frames over the SAME partitioning and ordering, so Catalyst
     * evaluates them in a single WindowExec — "nearest" costs exactly
     * what one directional pass costs (AsofJoinSpec pins the plan).
+    * Requires a right side distinct on (keys, tsCol) — see the object
+    * scaladoc.
     */
   def asofNearest(left: DataFrame, right: DataFrame, keys: Seq[String],
                   tsCol: String, carryCols: Seq[String]): DataFrame = {

@@ -16,41 +16,56 @@ import graft.queries.GraftQuery
   * shuffle: the canonical 100 TB scale-killer.
   *
   * The Spark-first re-expression is bucketization: bin both sides at
-  * the tolerance width, explode each LEFT row to its 3 adjacent bins
-  * (any right row within ±tol of a left row lands in bin−1 / bin /
-  * bin+1), equi-join on the bin, then apply the exact band predicate.
-  * Each qualifying (left, right) pair is produced EXACTLY once — a
-  * right row occupies a single bin, and that bin appears once among
-  * the left row's three probes — so no dedup pass is needed. The join
-  * becomes a plain hash equi-join: shuffle mass is 3·|L| + |R| rows,
-  * AQE's skew-split applies to hot bins, and the pair explosion is
-  * bounded by the band's true selectivity rather than |L|·|R|.
+  * the tolerance width, explode each RIGHT row to its 3 adjacent bins
+  * (any left row within ±tol of a right row has its bin in bin−1 /
+  * bin / bin+1), equi-join on the bin, then apply the exact band
+  * predicate as part of the join condition. Each qualifying
+  * (left, right) pair is produced EXACTLY once — a left row occupies
+  * a single bin, and that bin appears once among the right row's
+  * three copies — so no dedup pass is needed. Crucially the LEFT side
+  * stays unexploded, so the left-outer null-extension is also
+  * exactly-once: an unmatched left row yields precisely one
+  * null-padded output row (exploding the left instead, as an earlier
+  * revision did, emits up to 3 spurious null rows per probe bin with
+  * no qualifying partner). The join is a plain hash equi-join:
+  * shuffle mass is |L| + 3·|R| rows, AQE's skew-split applies to hot
+  * bins, and the pair count is bounded by the band's true selectivity
+  * rather than |L|·|R|.
   */
 object RangeJoin {
 
   /** Left-outer proximity join on a microseconds column. Returns the
     * left columns plus the right payload columns (null when no right
-    * row lies within `tolUs`). `leftUs` / `rightUs` must be LONG
-    * microsecond epochs; `payload` names columns of `right`.
+    * row lies within `tolUs`); each unmatched left row yields exactly
+    * one null-padded row, each qualifying pair exactly one row.
+    * `leftUs` / `rightUs` must be LONG microsecond epochs with
+    * DISTINCT names; `payload` names columns of `right`, none of
+    * which may collide with a left column (the band predicate and the
+    * output schema both need unambiguous resolution).
     */
   def proximityJoinUs(left: DataFrame, right: DataFrame,
                       leftUs: String, rightUs: String,
                       tolUs: Long, payload: Seq[String]): DataFrame = {
     require(tolUs > 0, s"tolerance must be positive, got $tolUs")
+    require(leftUs != rightUs,
+      s"leftUs and rightUs must differ (both '$leftUs'); alias one side")
+    val clash = left.columns.toSet.intersect((rightUs +: payload).toSet)
+    require(clash.isEmpty,
+      s"left columns collide with right-side columns: ${clash.mkString(", ")}")
     (left.columns ++ right.columns).find(_ == "__bin").foreach { _ =>
       throw new IllegalArgumentException(
         "__bin is reserved by proximityJoinUs; rename the input column")
     }
-    val probes = left.withColumn("__bin",
-      explode(array(Seq(-1, 0, 1).map(d =>
-        floor(col(leftUs) / tolUs) + lit(d.toLong)): _*)))
-    val binned = right
+    val probes = left.withColumn("__bin", floor(col(leftUs) / tolUs))
+    val spread = right
       .select((rightUs +: payload).map(col): _*)
-      .withColumn("__bin", floor(col(rightUs) / tolUs))
+      .withColumn("__bin",
+        explode(array(Seq(-1, 0, 1).map(d =>
+          floor(col(rightUs) / tolUs) + lit(d.toLong)): _*)))
     val band: Column =
-      abs(col(leftUs) - col(rightUs)) <= tolUs
+      abs(probes(leftUs) - spread(rightUs)) <= tolUs
     probes
-      .join(binned, probes("__bin") === binned("__bin") && band, "left")
+      .join(spread, probes("__bin") === spread("__bin") && band, "left")
       .drop("__bin")
   }
 

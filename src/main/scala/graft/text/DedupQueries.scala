@@ -139,9 +139,16 @@ object DedupQueries {
       // (capped, ≤ 50-doc, sorted) posting list, and the ordered pairs
       // explode map-side — C(k,2) ≤ 1,225 pairs per shingle by the DF
       // cap. Both the per-doc set sizes and the pair counts derive
-      // from the SAME cached postings, so the corpus is never scanned
-      // or shuffled twice the way a self-join formulation would.
-      val postings = cappedPostings(spark, docs).cache()
+      // from the SAME materialized postings, so the corpus is never
+      // scanned or shuffled twice the way a self-join formulation
+      // would. Materialization is an EAGER localCheckpoint, not
+      // .cache(): postings are shingle-grain (corpus-proportional),
+      // and a library call must not pin corpus-scale state in the
+      // CacheManager for the session lifetime — checkpoint blocks are
+      // reclaimed by the ContextCleaner once the returned plan goes
+      // unreachable (the q12k staging pattern; CacheSpec asserts the
+      // no-new-entries invariant).
+      val postings = cappedPostings(spark, docs).localCheckpoint(true)
       val sz = postings.select(explode($"ds").as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = postings

@@ -76,6 +76,17 @@ object MixtureQueries {
     * 13 md5 hex digits to the same integer; ÷(2⁵²+1) keeps u in
     * (0, 1] so ln is always finite).
     *
+    * ORDERING DISCIPLINE: the race is decided by the key QUANTIZED to
+    * a fixed-point BIGINT (⌊key·10⁹ + ½⌋) with doc_id as tiebreak,
+    * never by the raw double — the q12o/q12s integer-ranking rule.
+    * Ordering doubles computed independently by JVM Math.log and
+    * DuckDB libm risks a 1-ulp reorder of near-ties at the k=100 cut;
+    * after quantization a 1-ulp divergence flips the integer only
+    * when the scaled key lies within ~10⁻⁵ of a snap boundary AND the
+    * neighbour at the cut shares the adjacent integer — double-rare —
+    * while genuine ties fall to the deterministic doc_id order. The
+    * float survives only as arithmetic input, not as a sort key.
+    *
     * Scale shape: the key is map-side arithmetic; the global top-k
     * plans as TakeOrderedAndProject (per-partition O(k) heaps merged
     * on the driver, MixtureTfIdfSpec pins it) — no global sort, no
@@ -87,9 +98,10 @@ object MixtureQueries {
     "q12q_weighted_sample",
     """SELECT doc_id, source, n_chars
       |FROM documents
-      |ORDER BY -LN((CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || '|ws'),
-      |                    1, 13)) AS BIGINT) + 1.0) / 4503599627370497.0)
-      |           / (n_chars + 1),
+      |ORDER BY CAST(FLOOR(
+      |           -LN((CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || '|ws'),
+      |                      1, 13)) AS BIGINT) + 1.0) / 4503599627370497.0)
+      |             / (n_chars + 1) * 1e9 + 0.5) AS BIGINT),
       |         doc_id
       |LIMIT 100""".stripMargin) { (spark, dir) =>
     import spark.implicits._
@@ -98,7 +110,9 @@ object MixtureQueries {
         (conv(substring(md5(concat($"doc_id".cast("string"), lit("|ws"))),
           1, 13), 16, 10).cast("long") + lit(1.0)) / lit(4503599627370497.0))
       .withColumn("__key", -log($"__u") / ($"n_chars" + 1))
-      .orderBy($"__key", $"doc_id")
+      .withColumn("__ikey",
+        floor($"__key" * lit(1e9) + lit(0.5)).cast("long"))
+      .orderBy($"__ikey", $"doc_id")
       .limit(100)
       .select($"doc_id", $"source", $"n_chars")
   }

@@ -85,6 +85,15 @@ object UnigramQueries {
     * to log-space values. (floor, not round: round half-up vs
     * half-away-from-zero differs between engines on negative
     * summands, and individual KL terms CAN be negative.)
+    *
+    * The snap makes the SUM order-independent but each TERM still
+    * assumes both engines' LN agree bitwise; a 1-ulp divergence when
+    * a scaled summand lies within ~ulp of an integer would flip that
+    * term's floor by 1 (Δkl = 10⁻¹²). The reported kl is therefore
+    * ROUNDED to 6 digits — the q12r tolerance device — so a
+    * single-term flip cannot change the hashed value unless the sum
+    * ALSO sits exactly on a 5·10⁻⁷ rounding boundary (two independent
+    * rare events). n_terms stays exact.
     */
   val q12sSourceKl: GraftQuery = GraftQuery(
     "q12s_source_kl",
@@ -97,11 +106,11 @@ object UnigramQueries {
       |       GROUP BY 1),
       |tot AS (SELECT CAST(SUM(cf) AS BIGINT) AS t FROM cf)
       |SELECT s.source, COUNT(*) AS n_terms,
-      |       CAST(SUM(CAST(FLOOR(
+      |       ROUND(CAST(SUM(CAST(FLOOR(
       |         (CAST(s.cfs AS DOUBLE) / ts.t_s)
       |           * LN((CAST(s.cfs AS DOUBLE) / ts.t_s)
       |                / (CAST(c.cf AS DOUBLE) / tot.t)) * 1e12 + 0.5)
-      |         AS BIGINT)) AS BIGINT) / 1e12 AS kl
+      |         AS BIGINT)) AS BIGINT) / 1e12, 6) AS kl
       |FROM tfs s
       |JOIN cf c USING (term)
       |JOIN ts USING (source)
@@ -133,7 +142,7 @@ object UnigramQueries {
       .withColumn("fx", floor(ps * log(ps / p) * lit(1e12) + 0.5))
       .groupBy($"source")
       .agg(count(lit(1)).as("n_terms"),
-        (sum($"fx") / lit(1e12)).as("kl"))
+        round(sum($"fx") / lit(1e12), 6).as("kl"))
   }
 
   val all: Seq[GraftQuery] = Seq(q12rUnigramLogprob, q12sSourceKl)

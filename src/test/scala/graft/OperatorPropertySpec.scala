@@ -193,15 +193,23 @@ class OperatorPropertySpec extends SparkTestBase {
       rts <- Gen.listOfN(nr, Gen.chooseNum(-30L, 30L))
     } yield (tol, lts.zipWithIndex.map { case (t, i) => (i.toLong, t) }, rts)
     sample(caseGen, 10).foreach { case (tol, lefts, rights) =>
+      // Full left-outer multiset — no null filter: unmatched left
+      // rows must appear exactly once with a null payload.
       val got = RangeJoin.proximityJoinUs(
           lefts.toDF("lid", "l_us"), rights.toDF("r_us"),
           "l_us", "r_us", tolUs = tol, payload = Nil)
-        .filter($"r_us".isNotNull)
-        .collect().map(r => (r.getLong(0), r.getLong(2))).toList.sorted
-      val expected = (for {
+        .collect()
+        .map(r => (r.getLong(0),
+          if (r.isNullAt(2)) None else Some(r.getLong(2))))
+        .toList.sorted(Ordering.Tuple2(Ordering.Long, Ordering.Option[Long]))
+      val pairs = for {
         (lid, lt) <- lefts
         rt <- rights if math.abs(lt - rt) <= tol
-      } yield (lid, rt)).sorted
+      } yield (lid, Some(rt): Option[Long])
+      val matched = pairs.map(_._1).toSet
+      val expected = (pairs ++ lefts.map(_._1).filterNot(matched)
+          .map(lid => (lid, None: Option[Long])))
+        .sorted(Ordering.Tuple2(Ordering.Long, Ordering.Option[Long]))
       assert(got == expected,
         s"band mismatch tol=$tol lefts=$lefts rights=$rights")
     }

@@ -10,7 +10,7 @@ import graft.operators.RangeJoin
   */
 class RangeJoinSpec extends SparkTestBase {
 
-  test("proximity join ≡ brute-force band join, boundaries inclusive") {
+  test("proximity join ≡ brute-force band join, exact multiset incl. nulls") {
     import spark.implicits._
     // tol = 10: pairs straddle bin edges (9→[0..19) vs 10,19,20),
     // exact-boundary distances (|dt| = 10), and an isolated left row.
@@ -18,27 +18,31 @@ class RangeJoinSpec extends SparkTestBase {
       .toDF("lid", "l_us")
     val right = Seq(10L, 19L, 20L, 110L, 90L, 500L).toDF("r_us")
 
+    // EXACT multiset — .toSet would mask duplicate null-padded rows,
+    // the defect the right-side-explode formulation eliminates.
     val got = RangeJoin
       .proximityJoinUs(left, right, "l_us", "r_us", tolUs = 10L, payload = Nil)
       .select($"lid", $"r_us")
       .collect()
       .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
-      .toSet
+      .sorted(Ordering.Tuple2(Ordering.Long, Ordering.Option[Long]))
+      .toList
 
-    val brute = left.crossJoin(right)
+    val pairs = left.crossJoin(right)
       .filter(abs($"l_us" - $"r_us") <= 10L)
       .select($"lid", $"r_us")
       .collect()
       .map(r => (r.getLong(0), Option(r.getLong(1))))
-      .toSet
-    // left-outer: lid=4 (isolated) must survive with a null payload
-    assert(got.filter(_._2.isDefined) === brute)
+      .toList
+    val matchedLids = pairs.map(_._1).toSet
+    val expected = (pairs ++
+      left.collect().map(_.getLong(0))
+        .filterNot(matchedLids).map(lid => (lid, None: Option[Long])))
+      .sorted(Ordering.Tuple2(Ordering.Long, Ordering.Option[Long]))
+    assert(got === expected,
+      "left-outer multiset must be exact: one row per pair, " +
+        "one null row per unmatched left row, nothing else")
     assert(got.contains((4L, None)), "unmatched left row must be kept")
-    // exactly-once: no pair may be produced from two probe bins
-    val matched = RangeJoin
-      .proximityJoinUs(left, right, "l_us", "r_us", tolUs = 10L, payload = Nil)
-      .filter($"r_us".isNotNull).count()
-    assert(matched === brute.size.toLong, "each pair must appear exactly once")
   }
 
   test("q23 plans an equi-join on the bin — never a nested-loop scan") {
