@@ -7,6 +7,7 @@ import org.apache.spark.ml.regression.LinearRegression
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
+import graft.operators.PrefixSum
 import graft.queries.GraftQuery
 
 /** spark.ml equivalents of the reference's sklearn estimators
@@ -110,41 +111,81 @@ object MlQueries {
         ("r2", model.summary.r2)).toDF("metric", "value")
   }
 
-  /** q9l — ROC curve points (ref `roc_curve` `PythonAnalysis.py:301-302`,
-    * M6): (fpr, tpr) per distinct score threshold from the held-out
-    * predictions, computed relationally — cumulative positives /
-    * negatives over descending score — no RDD detour, no driver math.
+  /** ROC curve points (ref `roc_curve` `PythonAnalysis.py:301-302`,
+    * M6) as a pure RELATIONAL operator over a `(score: double,
+    * label: double ∈ {0,1})` frame: one (fpr, tpr) row per distinct
+    * score threshold, descending. Splitting this from the model fit
+    * makes the curve math oracle-gatable (the fit is statistical; the
+    * curve is not) — the registered q9l gates it on planted
+    * deterministic scores, and MlSpec feeds it real predictions.
+    *
+    * Scale shape: the input first collapses to SCORE grain (one hash
+    * agg — at 100 TB the raw predictions never reach a window), then
+    * the two cumulative counts ride [[PrefixSum]]'s distributed
+    * two-pass skeleton instead of the single-task empty-partition
+    * window the naive form uses. The grand totals are one broadcast
+    * row. Requires at least one positive and one negative label
+    * (fpr/tpr are undefined otherwise — division yields null).
     */
-  val q9lRocPoints: GraftQuery = GraftQuery.noOracle("q9l_roc_points") {
-    (spark, dir) =>
-      import spark.implicits._
-      import org.apache.spark.ml.functions.vector_to_array
-      val data = withBalancedWeights(churnDataset(spark, dir))
-      val fractions = Map(0.0 -> 0.7, 1.0 -> 0.7)
-      val train = data.stat.sampleBy("label", fractions, 42L)
-      val test  = data.join(train.select($"c_custkey".as("tk")),
-        $"c_custkey" === $"tk", "left_anti")
-      val assembler = new VectorAssembler()
-        .setInputCols(FeatureCols.toArray).setOutputCol("features")
-      val model = new RandomForestClassifier()
-        .setNumTrees(200).setSeed(42L).setWeightCol("w")
-        .setLabelCol("label").setFeaturesCol("features")
-        .fit(assembler.transform(train))
-      val scored = model.transform(assembler.transform(test))
-        .select(vector_to_array($"probability")(1).as("score"), $"label")
-      val nPos = scored.filter($"label" === 1.0).count().toDouble
-      val nNeg = scored.filter($"label" === 0.0).count().toDouble
-      val w = org.apache.spark.sql.expressions.Window
-        .orderBy($"score".desc)
-        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-      scored
-        .withColumn("cum_tp", sum(when($"label" === 1.0, 1).otherwise(0)).over(w))
-        .withColumn("cum_fp", sum(when($"label" === 0.0, 1).otherwise(0)).over(w))
-        .groupBy($"score")
-        .agg(max($"cum_tp").as("tp"), max($"cum_fp").as("fp"))
-        .select($"score".as("threshold"),
-          ($"fp" / nNeg).as("fpr"), ($"tp" / nPos).as("tpr"))
-        .orderBy($"threshold".desc)
+  def rocPoints(scored: DataFrame): DataFrame = {
+    import scored.sparkSession.implicits._
+    val grain = scored.groupBy($"score")
+      .agg(sum(when($"label" === 1.0, 1L).otherwise(0L)).as("pos"),
+        sum(when($"label" === 1.0, 0L).otherwise(1L)).as("neg"))
+    val totals = grain.agg(sum($"pos").as("np"), sum($"neg").as("nn"))
+    val cum = PrefixSum.exclusivePrefixSum(
+      PrefixSum.exclusivePrefixSum(grain,
+        Seq(col("score").desc), col("pos"), "ctp"),
+      Seq(col("score").desc), col("neg"), "cfp")
+    cum.crossJoin(broadcast(totals))
+      .select($"score".as("threshold"),
+        (($"cfp" + $"neg").cast("double") / $"nn").as("fpr"),
+        (($"ctp" + $"pos").cast("double") / $"np").as("tpr"))
+      .orderBy($"threshold".desc)
+  }
+
+  /** q9l — [[rocPoints]] hash-gated on PLANTED deterministic scores:
+    * label = (custkey mod 3 = 0), score = (m mod 1000) + label·250
+    * with m the md5 52-bit integer (the q12q device) — overlapping
+    * score distributions (an informative but imperfect scorer), and
+    * the whole pipeline is INTEGER math until the final fpr/tpr
+    * divisions (int/int, exact-rounded identically). A first cut
+    * blended doubles (u·¾ + label·¼) and DuckDB's decimal-literal
+    * arithmetic diverged from Spark's by one ulp on 1 of ~300
+    * thresholds — the integer-ranking rule applies to GROUP KEYS as
+    * much as to sort keys. The oracle recomputes the cumulative
+    * counts with DuckDB's window SUM — independently validating that
+    * PrefixSum's two-pass form ≡ the textbook cumulative window. The
+    * MODEL-fed curve (statistical input) lives in MlSpec, not the
+    * registry.
+    */
+  val q9lRocPoints: GraftQuery = GraftQuery(
+    "q9l_roc_points",
+    """WITH s AS (
+      |  SELECT CAST(('0x' || SUBSTR(md5(CAST(c_custkey AS VARCHAR) || '|roc'),
+      |               1, 13)) AS BIGINT) % 1000
+      |           + CASE WHEN c_custkey % 3 = 0 THEN 250 ELSE 0 END AS score,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS lbl
+      |  FROM customer),
+      |g AS (SELECT score,
+      |             CAST(SUM(lbl) AS BIGINT) AS pos,
+      |             CAST(SUM(1 - lbl) AS BIGINT) AS neg
+      |      FROM s GROUP BY 1),
+      |c AS (SELECT score, pos, neg,
+      |             CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
+      |             CAST(SUM(neg) OVER (ORDER BY score DESC) AS BIGINT) AS fp
+      |      FROM g)
+      |SELECT CAST(score AS BIGINT) AS threshold,
+      |       CAST(fp AS DOUBLE) / (SELECT SUM(neg) FROM g) AS fpr,
+      |       CAST(tp AS DOUBLE) / (SELECT SUM(pos) FROM g) AS tpr
+      |FROM c ORDER BY threshold DESC""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val m52 = conv(substring(md5(concat($"c_custkey".cast("string"),
+      lit("|roc"))), 1, 13), 16, 10).cast("long")
+    val isPos = $"c_custkey" % 3 === 0
+    rocPoints(graft.Tables(spark, dir).customer
+      .select((m52 % 1000 + when(isPos, 250L).otherwise(0L)).as("score"),
+        when(isPos, 1.0).otherwise(0.0).as("label")))
   }
 
   val all: Seq[GraftQuery] = Seq(q9jChurnModel, q9kElasticityLr, q9lRocPoints)

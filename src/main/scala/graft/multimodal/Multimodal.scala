@@ -40,32 +40,6 @@ object Multimodal {
       $"text")
   }
 
-  /** STUB decode: a real implementation would hand `payload` to an
-    * image/audio codec here (per partition, one codec instance).
-    * The deterministic fake derives "decoded" dimensions from the
-    * payload hash and a checksum from the payload bytes, preserving
-    * the exact batch shape a real decoder would have.
-    */
-  def decodeStub(rows: Iterator[MediaRow]): Iterator[MediaFeatures] = {
-    // per-partition "codec init" would happen here
-    rows.map { r =>
-      val hex = java.security.MessageDigest.getInstance("MD5")
-        .digest(r.payload).map("%02x".format(_)).mkString
-      val w = 1 + Integer.parseInt(hex.substring(0, 2), 16) % 64
-      val h = 1 + Integer.parseInt(hex.substring(2, 4), 16) % 64
-      val checksum = r.payload.foldLeft(0L)((a, b) => a + (b & 0xff))
-      MediaFeatures(r.media_id, r.kind, r.payload.length, w, h, checksum)
-    }
-  }
-
-  /** Typed mapPartitions pipeline — the real plumbing under the stub. */
-  def decodeAll(spark: SparkSession, dir: String): Dataset[MediaFeatures] = {
-    import spark.implicits._
-    mediaTable(spark, dir)
-      .select($"media_id", $"kind", $"payload").as[MediaRow]
-      .mapPartitions(decodeStub _)
-  }
-
   /** q16a — SQL-visible metadata extraction over the binary column
     * (octet_length + md5-derived dims), oracle-checked. The md5 runs
     * on the source text (DuckDB's md5 is VARCHAR-only) — same bytes.
@@ -88,20 +62,13 @@ object Multimodal {
         % 64 + 1).as("width_stub"))
   }
 
-  /** q16b — the typed mapPartitions decode pipeline (rows-only check;
-    * the stub's determinism is asserted in MultimodalSpec).
-    */
-  val q16bDecodeStub: GraftQuery = GraftQuery.noOracle("q16b_decode_stub") {
-    (spark, dir) => decodeAll(spark, dir).toDF()
-  }
-
   /** q16c — resize planning (builder contract "resize"): target-fit
     * dimensions for every image/video under a 32×32 bound, aspect
     * preserved, never upscaled. The DIMENSION math is the real
     * operator output (what a batch resizer needs per row) and is
     * fully oracle-checked; the pixel transform itself would sit in
-    * the same mapPartitions batch shape as [[decodeStub]] and is
-    * stubbed for the same environment reason. Dims derive from the
+    * the same mapPartitions batch shape as [[decodePng]] (the real
+    * pixel resize chain is q16g). Dims derive from the
     * payload hash exactly as the decode stub derives them, so the
     * chain decode → resize is consistent. The fit is INTEGER math —
     * `dim * 32 div max(w, h)` — because the double form
@@ -196,8 +163,8 @@ object Multimodal {
     bos.toByteArray
   }
 
-  /** REAL decode via ImageIO — the non-stub sibling of [[decodeStub]]
-    * with the identical per-partition batch shape. Corrupt payloads
+  /** REAL decode via ImageIO — one codec instance per partition, the
+    * batch shape every decoder here follows. Corrupt payloads
     * fail fast with the offending media_id (ImageIO returns null on
     * undecodable bytes; silently skipping rows would corrupt counts).
     */
@@ -536,7 +503,7 @@ object Multimodal {
   }
 
   val all: Seq[GraftQuery] =
-    Seq(q16aMediaMeta, q16bDecodeStub, q16cResizePlan, q16dFrameSample,
+    Seq(q16aMediaMeta, q16cResizePlan, q16dFrameSample,
       q16ePngRoundtrip, q16fWavRoundtrip, q16gPngResize, q16hGifFrames,
       q16iPixelFeatures)
 }

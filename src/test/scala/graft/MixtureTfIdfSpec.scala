@@ -93,6 +93,10 @@ class MixtureTfIdfSpec extends SparkTestBase {
       .split("== Initial Plan ==").head
     assert("Generate explode".r.findAllIn(plan).length === 1,
       s"cf branch must reuse tf's exchange, not re-tokenize:\n$plan")
+    assert(plan.contains("ReusedExchange"),
+      s"no exchange reuse in xent plan — the tokenize-once contract " +
+        s"is broken (move to the q12s eager-checkpoint staging if AQE " +
+        s"reuse regresses):\n$plan")
     // split("", '\s+') yields one empty token on BOTH engines, so even
     // an empty text produces a scored row — one row per document
     val rows = df.collect()

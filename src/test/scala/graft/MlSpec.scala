@@ -20,6 +20,46 @@ class MlSpec extends SparkTestBase {
     assert(!rows.contains("importance_days_since_last"))
   }
 
+  test("rocPoints on real model scores: well-formed monotone curve") {
+    import spark.implicits._
+    import org.apache.spark.ml.classification.RandomForestClassifier
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.functions.vector_to_array
+    // the MODEL-fed curve: statistical input, so range/shape asserts
+    // here — the curve MATH is hash-gated separately by q9l's planted
+    // deterministic scores
+    val data = MlQueries.churnDataset(spark, sfDir)
+    val assembler = new VectorAssembler()
+      .setInputCols(MlQueries.FeatureCols.toArray).setOutputCol("features")
+    val model = new RandomForestClassifier()
+      .setNumTrees(20).setSeed(42L)
+      .setLabelCol("label").setFeaturesCol("features")
+      .fit(assembler.transform(data))
+    val scored = model.transform(assembler.transform(data))
+      .select(vector_to_array($"probability")(1).as("score"), $"label")
+    val pts = MlQueries.rocPoints(scored)
+      .collect().map(r => (r.getDouble(0), r.getDouble(1), r.getDouble(2)))
+    assert(pts.nonEmpty)
+    // thresholds strictly descending; fpr/tpr monotone non-decreasing
+    // along the curve, all within [0, 1], terminating at (1, 1)
+    pts.sliding(2).foreach {
+      case Array((t1, f1, p1), (t2, f2, p2)) =>
+        assert(t1 > t2, s"thresholds not descending: $t1 then $t2")
+        assert(f2 >= f1 && p2 >= p1, "curve must be monotone")
+      case _ =>
+    }
+    pts.foreach { case (_, f, p) =>
+      assert(f >= 0 && f <= 1 && p >= 0 && p <= 1) }
+    val (_, fLast, pLast) = pts.last
+    assert(fLast === 1.0 && pLast === 1.0,
+      "lowest threshold must classify everything positive")
+    // trapezoidal AUC over the curve beats chance on training data
+    val auc = (Seq((0.0, 0.0)) ++ pts.map(p => (p._2, p._3)))
+      .sliding(2).collect { case Seq((f1, p1), (f2, p2)) =>
+        (f2 - f1) * (p1 + p2) / 2 }.sum
+    assert(auc > 0.5, s"trapezoid AUC $auc not better than chance")
+  }
+
   test("elasticity LR matches the closed-form q9h on the same bins") {
     val lr = MlQueries.q9kElasticityLr.fn(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap

@@ -6,22 +6,35 @@ import graft.multimodal.Multimodal
 
 class MultimodalSpec extends SparkTestBase {
 
-  test("decode stub: deterministic, bounded dims, full coverage") {
+  test("real decode pipeline: typed batch shape, full coverage, determinism") {
     import spark.implicits._
-    val feats = Multimodal.decodeAll(spark, sfDir).toDF().cache()
-    val docs = Tables(spark, sfDir).documents.count()
-    assert(feats.count() == docs)
-    assert(feats.filter($"width" < 1 || $"width" > 64 ||
-      $"height" < 1 || $"height" > 64).count() == 0)
-    // payload length must equal the source text byte length
-    val joined = feats.join(Tables(spark, sfDir).documents,
-      $"media_id" === $"doc_id")
-    assert(joined.filter($"n_bytes" =!= octet_length($"text")).count() == 0)
-    // determinism: a second run produces identical rows
-    val again = Multimodal.decodeAll(spark, sfDir).toDF()
-    assert(feats.exceptAll(again).count() == 0 &&
-      again.exceptAll(feats).count() == 0)
-    feats.unpersist()
+    // the distributed decode contract on the REAL codec (the q16b
+    // stub this test used to cover is retired — q16e's ImageIO path
+    // supersedes it): Dataset[MediaRow] → mapPartitions(decodePng) →
+    // Dataset[MediaFeatures], one decoded row per input row
+    def pipeline = Tables(spark, sfDir).documents
+      .select($"doc_id".as("media_id"),
+        (lit(1) + pmod($"doc_id", lit(16))).cast("int").as("w"),
+        (lit(1) + pmod($"doc_id", lit(13))).cast("int").as("h"))
+      .as[(Long, Int, Int)]
+      .mapPartitions(_.map { case (id, w, h) =>
+        Multimodal.MediaRow(id, "image", Multimodal.pngBytes(w, h, seed = id))
+      })
+      .mapPartitions(Multimodal.decodePng _)
+    val feats = pipeline.toDF().cache()
+    try {
+      val docs = Tables(spark, sfDir).documents.count()
+      assert(feats.count() == docs, "one decoded row per media row")
+      // decoded dims must equal the encoded dims — through real bytes
+      assert(feats.filter($"width" =!= (pmod($"media_id", lit(16)) + 1) ||
+        $"height" =!= (pmod($"media_id", lit(13)) + 1)).count() == 0)
+      assert(feats.filter($"n_bytes" <= 8).count() == 0,
+        "every payload must be a non-trivial PNG")
+      // determinism: a second distributed run produces identical rows
+      val again = pipeline.toDF()
+      assert(feats.exceptAll(again).count() == 0 &&
+        again.exceptAll(feats).count() == 0)
+    } finally feats.unpersist()
   }
 
   test("media table keeps payload as binary with typed metadata") {
