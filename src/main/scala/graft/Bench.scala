@@ -29,6 +29,37 @@ object Bench {
     // isn't charged JVM startup cost.
     SparkEntry.queries("q1a_yoy_growth")(spark, sfDir).count()
 
+    // FULL-REGISTRY mode (SPARK_GRAFT_BENCH_FULL=1): time every
+    // registered query once, in name order, and exit. Not part of the
+    // driver contract — a measurement surface for the SURVEY §10
+    // decision on shared-scan materialization (whether staging
+    // lineitem⋈orders once would pay across the whole registry). One
+    // pass, no min-of-n: this answers "what does the registry cost",
+    // not "what is the per-query floor".
+    if (sys.env.get("SPARK_GRAFT_BENCH_FULL").contains("1")) {
+      val names = SparkEntry.queries.keys.toSeq.sorted
+      val timed = names.map { n =>
+        val t0 = System.nanoTime()
+        val ok =
+          try { SparkEntry.queries(n)(spark, sfDir).count(); true }
+          catch { case t: Throwable =>
+            System.err.println(s"BENCH FAILURE $n: ${t.getMessage}"); false
+          }
+        (n, (System.nanoTime() - t0) / 1e9, ok)
+      }
+      val total = timed.collect { case (_, t, true) => t }.sum
+      def q(n: String, t: Double) = "\"" + n + "\":" + t
+      println(
+        s"""{"metric":"full_registry","value":$total,"unit":"sec",""" +
+          s""""n_queries":${names.size},""" +
+          s""""failed":[${timed.collect { case (n, _, false) => "\"" + n + "\"" }
+            .mkString(",")}],""" +
+          s""""queries":{${timed.map(x => q(x._1, x._2)).mkString(",")}},""" +
+          s""""sf":"$sfDir"}""")
+      spark.stop()
+      return
+    }
+
     // Headline set: the 10 reference analytical queries — stable
     // round-over-round so BENCH_r{N} totals stay comparable.
     val headline = Seq(

@@ -172,9 +172,17 @@ object Sources {
       StructField("l_linenumber", IntegerType),
       StructField("l_quantity", DoubleType),
       StructField("l_returnflag", StringType)))
+    // Eager localCheckpoint: a pruned downstream query (count(),
+    // select of no data columns) would otherwise push a scan that
+    // references ONLY _corrupt_record, which Spark rejects at plan
+    // time (QUERY_ONLY_CORRUPT_RECORD_COLUMN — surfaced by the
+    // full-registry bench, whose count() tripped it). Materializing
+    // the slice-sized parse result decouples every consumer from the
+    // corrupt-column scan; no CacheManager entry (CacheSpec rule).
     csv(spark, CsvOut, schema)
       .filter($"_corrupt_record".isNull)
       .drop("_corrupt_record")
+      .localCheckpoint(true)
   }
 
   /** q17c — JSONL round trip, ORACLE-GATED: the de-facto
@@ -209,12 +217,14 @@ object Sources {
       StructField("lang", StringType),
       StructField("n_chars", LongType),
       StructField("_corrupt_record", StringType)))
+    // same QUERY_ONLY_CORRUPT_RECORD_COLUMN decoupling as q17b
     spark.read.schema(schema)
       .option("mode", "PERMISSIVE")
       .option("columnNameOfCorruptRecord", "_corrupt_record")
       .json(JsonlOut)
       .filter($"_corrupt_record".isNull)
       .drop("_corrupt_record")
+      .localCheckpoint(true)
   }
 
   val all: Seq[GraftQuery] =

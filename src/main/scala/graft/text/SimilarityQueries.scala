@@ -260,7 +260,7 @@ object SimilarityQueries {
     * #1 fix). Input `v` must carry (vec_id, embedding, n2); output
     * adds `cell`.
     */
-  private def assignCells(v: DataFrame, k: Int): DataFrame = {
+  private[graft] def assignCells(v: DataFrame, k: Int): DataFrame = {
     import v.sparkSession.implicits._
     val hashOrd = md5($"vec_id".cast("string").cast("binary"))
     // top-k by hash plans as TakeOrderedAndProject (no global sort);

@@ -44,6 +44,64 @@ class SaltSpec extends SparkTestBase {
       salted.exceptAll(plain).count() == 0)
   }
 
+  test("planted hot orderkey on the headline lineitem⋈orders join: " +
+      "AQE splits it and the salt fallback matches the oracle") {
+    import spark.implicits._
+    // The q5a/q4a headline queries share this exact join shape; the
+    // synthetic test below proves the mechanism, but nothing pinned
+    // skew behavior on the REAL tables until now. Plant a hot
+    // orderkey carrying ~3× the organic fact mass at sf0.01 and
+    // assert (a) AQE's skew-split fires on the finalized plan, and
+    // (b) the manual Salt fallback reproduces the unsalted oracle
+    // aggregate on the same skewed input.
+    val sf = "/root/testdata/sf0.01"
+    val ord = Tables(spark, sf).orders
+      .select($"o_orderkey", $"o_custkey")
+    val hotKey = ord.agg(min($"o_orderkey")).first().getLong(0)
+    val li = Tables(spark, sf).lineitem
+      .select($"l_orderkey", $"l_extendedprice")
+    val hot = spark.range(0, 200000)
+      .select(lit(hotKey).as("l_orderkey"),
+        ($"id" % 1000).cast("double").as("l_extendedprice"))
+    val skewed = li.unionByName(hot)
+
+    val conf = Seq(
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor" -> "2",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes" -> "64KB",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes" -> "64KB")
+    val saved = conf.map { case (k, _) => k -> spark.conf.getOption(k) }
+    try {
+      conf.foreach { case (k, v) => spark.conf.set(k, v) }
+      val joined = skewed
+        .join(ord, skewed("l_orderkey") === ord("o_orderkey"))
+        .select($"o_custkey", $"l_extendedprice")
+      joined.collect() // materialize THIS plan so AQE finalizes it
+      val plan = joined.queryExecution.executedPlan.toString
+        .split("== Initial Plan ==").head
+      assert(plan.contains("skew=true"),
+        s"AQE did not split the skewed headline join:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None)    => spark.conf.unset(k)
+    }
+
+    // Salt fallback ≡ oracle: per-customer revenue from the skewed
+    // fact, decimal-exact so equality is bitwise
+    val price = $"l_extendedprice".cast(DecimalType(38, 6))
+    val direct = skewed
+      .join(ord, skewed("l_orderkey") === ord("o_orderkey"))
+      .groupBy($"o_custkey").agg(sum(price).as("rev"))
+    val salted = Salt.saltedJoin(skewed,
+        ord.select($"o_orderkey".as("l_orderkey"), $"o_custkey"),
+        Seq("l_orderkey"), n = 8)
+      .groupBy($"o_custkey").agg(sum(price).as("rev"))
+    assert(direct.exceptAll(salted).count() == 0 &&
+      salted.exceptAll(direct).count() == 0,
+      "salted headline join diverged from the unsalted oracle")
+  }
+
   test("AQE splits a skewed sort-merge join before salting is needed") {
     import spark.implicits._
     // salting (above) is the MANUAL fallback; the engine's first-line

@@ -149,6 +149,14 @@ class SourcesSpec extends SparkTestBase {
     assert(back.exceptAll(orig).count() == 0 &&
       orig.exceptAll(back).count() == 0,
       "jsonl roundtrip changed document values")
+    // a COLUMN-PRUNED consumer must work too: count() once pushed a
+    // scan referencing only _corrupt_record, which Spark rejects
+    // (QUERY_ONLY_CORRUPT_RECORD_COLUMN — caught by the full-registry
+    // bench); both roundtrips now stage eagerly to decouple consumers
+    assert(graft.sources.Sources.q17cJsonlRoundtrip.fn(spark, sfDir)
+      .count() > 0)
+    assert(graft.sources.Sources.q17bCsvRoundtrip.fn(spark, sfDir)
+      .count() > 0)
     // corrupt-line capture: a malformed line lands in _corrupt_record
     // with the data columns null, and valid lines still parse
     val dir = java.nio.file.Files.createTempDirectory("graft-jsonl-bad")

@@ -158,6 +158,70 @@ class TextDedupSpec extends SparkTestBase {
     }
   }
 
+  test("decade-up corpus (10×): LSH recall holds, IVF cells bounded, " +
+      "baselines stay inside their guards") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    // One decade above the fixture (500 → 5000 vectors, same dim 64):
+    // the properties the scale paths are judged on must be functions
+    // of the DESIGN, not of the fixture size. Deterministic synthetic
+    // corpus via xxhash64 so the test reproduces exactly.
+    val n = 5000L
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-decade").toString
+    try {
+      spark.range(0, n).select($"id".as("vec_id"),
+        transform(sequence(lit(0), lit(63)), i =>
+          (pmod(xxhash64($"id", i), lit(1000L)).cast("double") / lit(500.0)
+            - lit(1.0)).cast("float")).as("embedding"))
+        .write.mode("overwrite").parquet(s"$tmp/embeddings.parquet")
+      val v = Tables(spark, tmp).embeddings
+        .select($"vec_id", $"embedding",
+          VectorOps.norm2($"embedding").as("n2"))
+
+      // (a) OBSERVED IVF occupancy at 10×, not just the k formula:
+      // every vector lands in exactly one cell, the mean cell honors
+      // the 128-vector target, and no cell degenerates into a scan
+      val k = SimilarityQueries.ivfK(n)
+      assert(n.toDouble / k <= 128.0, s"mean cell target broken: n=$n k=$k")
+      val occ = SimilarityQueries.assignCells(v, k)
+        .groupBy($"cell").count().collect().map(_.getLong(1))
+      assert(occ.sum == n, "each vector must be assigned exactly one cell")
+      assert(occ.length >= k / 2,
+        s"quantizer collapsed: ${occ.length} of $k cells used")
+      assert(occ.max <= 10L * 128L,
+        s"hot cell ${occ.max} — probe cost no longer ~1/k of the corpus")
+
+      // (b) multi-probe LSH recall vs brute-force truth at 10×
+      val q = v.filter($"vec_id" < 50).toDF("query_id", "emb_q", "n2_q")
+      val truth = broadcast(q)
+        .join(v.toDF("cand_id", "emb_c", "n2_c"), $"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id",
+          VectorOps.cosineFrom(VectorOps.dot($"emb_q", $"emb_c"),
+            $"n2_q", $"n2_c").as("cosine"))
+        .withColumn("rnk", row_number().over(
+          org.apache.spark.sql.expressions.Window
+            .partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+        .filter($"rnk" <= 3).select($"query_id", $"cand_id")
+      val lsh = SimilarityQueries.q14bAnnLsh.fn(spark, tmp)
+        .select($"query_id", $"cand_id")
+      val hit = truth.join(lsh, Seq("query_id", "cand_id"), "left_semi")
+        .count()
+      val recall = hit.toDouble / truth.count()
+      assert(recall >= 0.4,
+        f"multi-probe LSH recall $recall%.3f < 0.4 at 10× corpus")
+
+      // (c) the brute-force baselines are still INSIDE their
+      // documented bounds at 10× — the guards must not false-trip
+      // (the over-bound trip itself is pinned in the test above)
+      assert(SimilarityQueries.q14aAnnBruteTopk.fn(spark, tmp).count() > 0)
+      DedupQueries.q13eEmbedNeardup.fn(spark, tmp).count() // runs, no throw
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(tmp))
+    }
+  }
+
   test("ivfK keeps the mean IVF cell bounded as the corpus doubles") {
     // doubling N doubles k (above the floor), so N/k — the mean cell —
     // never exceeds the 128-vector target anywhere below the
