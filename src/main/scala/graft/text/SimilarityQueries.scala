@@ -235,15 +235,14 @@ object SimilarityQueries {
        |  SELECT CAST(rn - 1 AS INTEGER) AS cell,
        |         embedding AS cemb, n2 AS cn2
        |  FROM ranked, kk WHERE rn <= kk.k),
-       |best AS (
-       |  SELECT vec_id, cell FROM (
-       |    SELECT v.vec_id, c.cell,
-       |           row_number() OVER (PARTITION BY v.vec_id
-       |             ORDER BY ${VectorOps.dotSql("v.embedding", "c.cemb")}
-       |                      / (sqrt(v.n2) * sqrt(c.cn2)) DESC,
-       |                      c.cell) AS arn
-       |    FROM v CROSS JOIN cent c)
-       |  WHERE arn = 1),
+       |allrank AS (
+       |  SELECT v.vec_id, c.cell,
+       |         row_number() OVER (PARTITION BY v.vec_id
+       |           ORDER BY ${VectorOps.dotSql("v.embedding", "c.cemb")}
+       |                    / (sqrt(v.n2) * sqrt(c.cn2)) DESC,
+       |                    c.cell) AS arn
+       |  FROM v CROSS JOIN cent c),
+       |best AS (SELECT vec_id, cell FROM allrank WHERE arn = 1),
        |assigned AS (
        |  SELECT v.vec_id, v.embedding, v.n2, b.cell
        |  FROM v JOIN best b ON v.vec_id = b.vec_id)""".stripMargin
@@ -260,16 +259,25 @@ object SimilarityQueries {
     * #1 fix). Input `v` must carry (vec_id, embedding, n2); output
     * adds `cell`.
     */
-  private[graft] def assignCells(v: DataFrame, k: Int): DataFrame = {
+  /** The deterministic md5-medoid centroid table (cell, cemb, cn2) —
+    * shared by [[assignCells]] (candidate home cells) and q14f's
+    * top-2 query probes.
+    */
+  private[graft] def centroids(v: DataFrame, k: Int): DataFrame = {
     import v.sparkSession.implicits._
     val hashOrd = md5($"vec_id".cast("string").cast("binary"))
     // top-k by hash plans as TakeOrderedAndProject (no global sort);
     // the unpartitioned window below runs over k rows only
-    val cent = v.orderBy(hashOrd.asc, $"vec_id".asc).limit(k)
+    v.orderBy(hashOrd.asc, $"vec_id".asc).limit(k)
       .withColumn("cell",
         (row_number().over(Window.orderBy(hashOrd.asc, $"vec_id".asc)) - 1)
           .cast("int"))
       .select($"cell", $"embedding".as("cemb"), $"n2".as("cn2"))
+  }
+
+  private[graft] def assignCells(v: DataFrame, k: Int): DataFrame = {
+    import v.sparkSession.implicits._
+    val cent = centroids(v, k)
     val cs = VectorOps.cosineFrom(VectorOps.dot($"embedding", $"cemb"),
       $"n2", $"cn2")
     // argmax cell per vector: broadcast fan-out collapses in the
@@ -320,6 +328,67 @@ object SimilarityQueries {
         VectorOps.cosineFrom(VectorOps.dot($"emb_q", $"emb_c"),
           $"n2_q", $"n2_c").as("cosine"))
     scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+      .filter($"rank" <= 3)
+  }
+
+  /** q14f — IVF with MULTI-PROBE (nprobe=2): each query probes its 2
+    * nearest cells instead of 1, the standard recall/latency dial of
+    * production IVF (nprobe=1 misses true neighbors that sit just
+    * across a cell boundary — the same failure mode q14b's Hamming-1
+    * multi-probe corrects for LSH). Candidates keep their single home
+    * cell, so every (query, candidate) pair arises from at most ONE
+    * probed cell — exactly-once with no dedup pass, the RangeJoin
+    * argument applied to cells.
+    *
+    * Scale shape: candidate assignment is [[assignCells]]' map-side
+    * argmax (one row per vector shuffled, nothing cached); the top-2
+    * probe ranking is a per-QUERY window over the k broadcast
+    * centroids — bounded by k per query and by the query batch size
+    * in partitions, both ≪ corpus by contract (a query BATCH is
+    * small even when the corpus is 100 TB). Probes then equi-join
+    * candidates on cell: each query touches ~2/k of the corpus.
+    * TextDedupSpec asserts recall(nprobe=2) ≥ recall(nprobe=1) —
+    * a superset candidate pool can only add true-top-3 hits.
+    */
+  val q14fAnnIvfMultiprobe: GraftQuery = GraftQuery(
+    "q14f_ann_ivf_multiprobe",
+    s"""WITH ${ivfAssignSql("embeddings")},
+       |probe AS (
+       |  SELECT vec_id, cell FROM allrank
+       |  WHERE arn <= 2 AND vec_id < 50),
+       |scored AS (
+       |  SELECT p.vec_id AS query_id, c.vec_id AS cand_id, c.cell,
+       |         ${VectorOps.dotSql("q.embedding", "c.embedding")}
+       |           / (sqrt(q.n2) * sqrt(c.n2)) AS cosine
+       |  FROM probe p
+       |  JOIN assigned c ON p.cell = c.cell AND p.vec_id <> c.vec_id
+       |  JOIN v q ON q.vec_id = p.vec_id)
+       |SELECT query_id, cand_id, cell, cosine, CAST(rnk AS INTEGER) AS rank
+       |FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+       |        ORDER BY cosine DESC, cand_id) AS rnk FROM scored)
+       |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val v = Tables(spark, dir).embeddings
+      .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
+    val k = ivfK(Tables(spark, dir).embeddings.select($"vec_id").count())
+    val cent = centroids(v, k)
+    val cs = VectorOps.cosineFrom(VectorOps.dot($"embedding", $"cemb"),
+      $"n2", $"cn2")
+    val probes = v.filter($"vec_id" < 50)
+      .crossJoin(broadcast(cent))
+      .withColumn("arn", row_number().over(
+        Window.partitionBy($"vec_id").orderBy(cs.desc, $"cell")))
+      .filter($"arn" <= 2)
+      .select($"vec_id".as("query_id"), $"cell")
+    val cand = assignCells(v, k).toDF("cand_id", "emb_c", "n2_c", "cell")
+    probes.join(cand, Seq("cell"))
+      .filter($"query_id" =!= $"cand_id")
+      .join(v.toDF("qid", "emb_q", "n2_q"), $"query_id" === $"qid")
+      .select($"query_id", $"cand_id", $"cell",
+        VectorOps.cosineFrom(VectorOps.dot($"emb_q", $"emb_c"),
+          $"n2_q", $"n2_c").as("cosine"))
       .withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
       .filter($"rank" <= 3)
@@ -443,5 +512,5 @@ object SimilarityQueries {
 
   val all: Seq[GraftQuery] =
     Seq(q14aAnnBruteTopk, q14bAnnLsh, q14cAnnIvf, q14dEmbedQuantize,
-      q14eSemanticDedup)
+      q14eSemanticDedup, q14fAnnIvfMultiprobe)
 }

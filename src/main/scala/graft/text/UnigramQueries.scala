@@ -3,6 +3,7 @@ package graft.text
 import org.apache.spark.sql.functions._
 
 import graft.Tables
+import graft.operators.DistributedRank
 import graft.queries.GraftQuery
 
 /** Unigram language-model quality scoring — the perplexity-proxy
@@ -29,9 +30,12 @@ import graft.queries.GraftQuery
   */
 object UnigramQueries {
 
-  val q12rUnigramLogprob: GraftQuery = GraftQuery(
-    "q12r_unigram_logprob",
-    """WITH toks AS (
+  /** Shared CTE chain producing the per-doc xent at (doc_id,
+    * n_tokens, xent) grain — reused verbatim by q12t's oracle so the
+    * bucket query runs on EXACTLY the scores q12r hash-gates.
+    */
+  private val xentCtes: String =
+    """toks AS (
       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -43,12 +47,18 @@ object UnigramQueries {
       |              ORDER BY t.term) AS xs,
       |         CAST(SUM(t.tf) AS BIGINT) AS n_tokens
       |  FROM tf t JOIN cf c USING (term) CROSS JOIN tot
-      |  GROUP BY 1)
-      |SELECT doc_id, n_tokens,
-      |       ROUND(-list_reduce(xs, (a, b) -> a + b) / n_tokens, 6) AS xent
-      |FROM doc""".stripMargin) { (spark, dir) =>
-    import spark.implicits._
-    val docs = Tables(spark, dir).documents
+      |  GROUP BY 1),
+      |x AS (
+      |  SELECT doc_id, n_tokens,
+      |         ROUND(-list_reduce(xs, (a, b) -> a + b) / n_tokens, 6) AS xent
+      |  FROM doc)""".stripMargin
+
+  /** The Spark twin of [[xentCtes]]: per-doc cross-entropy under the
+    * corpus unigram model, ordered-fold exact (see q12r doc).
+    */
+  private[graft] def xentPerDoc(docs: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    import docs.sparkSession.implicits._
     val tf = docs
       .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
       .groupBy($"doc_id", $"term")
@@ -65,6 +75,55 @@ object UnigramQueries {
         round(-aggregate($"xs", lit(0.0),
             (acc, s) => acc + s.getField("x")) / $"n_tokens", 6)
           .as("xent"))
+  }
+
+  val q12rUnigramLogprob: GraftQuery = GraftQuery(
+    "q12r_unigram_logprob",
+    s"WITH $xentCtes\nSELECT doc_id, n_tokens, xent FROM x") { (spark, dir) =>
+    xentPerDoc(Tables(spark, dir).documents)
+  }
+
+  /** q12t — CCNet-style perplexity bucketing: within each source,
+    * rank documents by their q12r cross-entropy and cut into terciles
+    * — head (most corpus-fluent), middle, tail — keeping head+middle,
+    * the classic "perplexity filter with per-source thresholds" (a
+    * GLOBAL xent cut would simply drop whole unusual sources; the
+    * per-source tercile is the reference design precisely because the
+    * threshold adapts to each source's own distribution).
+    *
+    * Determinism: xent is the ROUND(..., 6) value q12r already
+    * hash-gates bitwise, and ties (common after rounding) break on
+    * doc_id — so the tercile boundaries are identical on both
+    * engines. Scale shape: per-source ranking rides
+    * [[DistributedRank]] (NOT `Window.partitionBy(source)` — few
+    * strata by construction, one task per stratum at 100 TB);
+    * everything upstream is q12r's one-tokenize-pass plan.
+    */
+  val q12tPerplexityBuckets: GraftQuery = GraftQuery(
+    "q12t_perplexity_buckets",
+    s"""WITH $xentCtes,
+       |j AS (
+       |  SELECT d.doc_id, d.source, x.xent
+       |  FROM documents d JOIN x ON d.doc_id = x.doc_id),
+       |b AS (
+       |  SELECT doc_id, source, xent,
+       |         NTILE(3) OVER (PARTITION BY source
+       |                        ORDER BY xent, doc_id) AS bucket
+       |  FROM j)
+       |SELECT doc_id, source, xent, CAST(bucket AS INTEGER) AS bucket,
+       |       bucket <= 2 AS keep
+       |FROM b""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val j = docs.select($"doc_id", $"source")
+      .join(xentPerDoc(docs).select($"doc_id", $"xent"), Seq("doc_id"))
+    DistributedRank.rankNtile(j,
+        groupCols = Seq("source"),
+        orderCols = Seq(col("xent"), col("doc_id")),
+        ntiles = 3, rankName = "__xrank", ntileName = "bucket")
+      .select($"doc_id", $"source", $"xent",
+        $"bucket".cast("int").as("bucket"),
+        ($"bucket" <= 2).as("keep"))
   }
 
   /** q12s — per-source KL divergence from the corpus unigram model,
@@ -145,5 +204,6 @@ object UnigramQueries {
         round(sum($"fx") / lit(1e12), 6).as("kl"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q12rUnigramLogprob, q12sSourceKl)
+  val all: Seq[GraftQuery] =
+    Seq(q12rUnigramLogprob, q12sSourceKl, q12tPerplexityBuckets)
 }

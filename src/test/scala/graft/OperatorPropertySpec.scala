@@ -183,6 +183,36 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("rocPoints agrees with a driver-side ROC sweep on random scores") {
+    import spark.implicits._
+    // integer scores with deliberate ties + at least one row of each
+    // label (the operator's documented precondition)
+    val caseGen = for {
+      n <- Gen.chooseNum(2, 40)
+      scores <- Gen.listOfN(n, Gen.chooseNum(0L, 12L))
+      labels <- Gen.listOfN(n, Gen.oneOf(0.0, 1.0))
+    } yield scores.zip(labels)
+    sample(caseGen, 8)
+      .map(c => if (c.map(_._2).distinct.size < 2)
+        (1L, 1.0) :: (0L, 0.0) :: c else c)
+      .foreach { rows =>
+        val got = graft.analytics.MlQueries
+          .rocPoints(rows.toDF("score", "label"))
+          .collect()
+          .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+          .toList
+        // reference: descending-threshold sweep over the score grain
+        val nPos = rows.count(_._2 == 1.0).toDouble
+        val nNeg = rows.size - nPos
+        val expected = rows.map(_._1).distinct.sorted.reverse
+          .map { thr =>
+            val in = rows.filter(_._1 >= thr)
+            (thr, in.count(_._2 == 0.0) / nNeg, in.count(_._2 == 1.0) / nPos)
+          }
+        assert(got == expected, s"roc mismatch on $rows")
+      }
+  }
+
   test("proximity join agrees with a driver-side band scan") {
     import spark.implicits._
     val caseGen = for {

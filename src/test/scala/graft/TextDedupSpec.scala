@@ -128,6 +128,40 @@ class TextDedupSpec extends SparkTestBase {
     res.unpersist()
   }
 
+  test("multi-probe IVF: recall never below single-probe, pairs unique") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    // brute-force top-3 truth for the shared query set (vec_id < 50)
+    val v = Tables(spark, sfDir).embeddings
+      .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
+    val q = v.filter($"vec_id" < 50).toDF("query_id", "emb_q", "n2_q")
+    val truth = broadcast(q)
+      .join(v.toDF("cand_id", "emb_c", "n2_c"), $"query_id" =!= $"cand_id")
+      .select($"query_id", $"cand_id",
+        VectorOps.cosineFrom(VectorOps.dot($"emb_q", $"emb_c"),
+          $"n2_q", $"n2_c").as("cosine"))
+      .withColumn("rnk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy($"query_id").orderBy($"cosine".desc, $"cand_id")))
+      .filter($"rnk" <= 3).select($"query_id", $"cand_id")
+    def hits(df: org.apache.spark.sql.DataFrame): Long =
+      truth.join(df.select($"query_id", $"cand_id"),
+        Seq("query_id", "cand_id"), "left_semi").count()
+    val one = SimilarityQueries.q14cAnnIvf.fn(spark, sfDir)
+    val two = SimilarityQueries.q14fAnnIvfMultiprobe.fn(spark, sfDir)
+    // nprobe=2's candidate pool is a superset per query, and truth
+    // members always out-rank non-truth in a top-3 cut — recall is
+    // monotone in the probe count
+    assert(hits(two) >= hits(one),
+      "nprobe=2 recall fell below nprobe=1")
+    // exactly-once: a candidate has ONE home cell, so no (query,
+    // candidate) pair may arise from both probed cells
+    val dup = two.groupBy($"query_id", $"cand_id").count()
+      .filter($"count" > 1).count()
+    assert(dup == 0, "duplicate pair emitted across probe cells")
+    assert(two.filter($"rank" > 3).count() == 0)
+  }
+
   test("brute-force baselines refuse oversized corpora") {
     import spark.implicits._
     import graft.text.BruteForceGuard
