@@ -187,6 +187,48 @@ class MixtureTfIdfSpec extends SparkTestBase {
     }
   }
 
+  test("perplexity buckets: no per-source window, one tokenize pass, " +
+      "terciles partition each source") {
+    import spark.implicits._
+    val df = UnigramQueries.q12tPerplexityBuckets.fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // per-source ranking rides DistributedRank, never
+    // Window.partitionBy(source) — q12p's scale rule. (A window
+    // rewrite would surface here; the upstream xent plan sits behind
+    // DistributedRank's RDD boundary, and its tokenize-once pin lives
+    // in the q12r test — same shared xentPerDoc helper.)
+    assert(!plan.contains("Window"),
+      s"per-source bucketing fell back to a window:\n$plan")
+    // tercile sanity: buckets ∈ {1,2,3}, sizes within 1 per source,
+    // and keep ⇔ bucket ≤ 2
+    val rows = df.collect().map(r =>
+      (r.getString(1), r.getInt(3), r.getBoolean(4)))
+    assert(rows.forall { case (_, b, k) => b >= 1 && b <= 3 &&
+      k == (b <= 2) })
+    rows.groupBy(_._1).foreach { case (src, rs) =>
+      val sizes = rs.groupBy(_._2).values.map(_.size)
+      assert(sizes.max - sizes.min <= 1,
+        s"$src terciles unbalanced: ${rs.groupBy(_._2).view
+          .mapValues(_.size).toMap}")
+    }
+  }
+
+  test("multi-probe IVF plans equi-joins on the cell — no cartesian, " +
+      "no cache") {
+    val df = graft.text.SimilarityQueries.q14fAnnIvfMultiprobe
+      .fn(spark, sfDir)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"),
+      s"cell probe fell back to a cartesian:\n$plan")
+    assert(!plan.contains("InMemoryRelation") &&
+      !plan.contains("InMemoryTableScan"),
+      s"q14f pinned the corpus:\n$plan")
+  }
+
   test("tfidf tokenizes the corpus once: df branch reuses tf's exchange") {
     val df = TfIdfQueries.q12oTfidfTopk.fn(spark, sfDir)
     df.collect()
