@@ -76,14 +76,19 @@ object AsofJoin {
 
   /** Deterministic-dedup helper: reduces `right` to one row per
     * (keys, ts) by taking the MIN of every carry column — the cheapest
-    * total-order tiebreak that both engines reproduce. Use when the
-    * right side may violate the distinct-(keys, ts) precondition.
+    * total-order tiebreak that both engines reproduce (carry columns
+    * must be orderable: numeric/string/timestamp). Use when the right
+    * side may violate the distinct-(keys, ts) precondition.
     */
   def dedupRight(right: DataFrame, keys: Seq[String], tsCol: String,
-                 carryCols: Seq[String]): DataFrame =
+                 carryCols: Seq[String]): DataFrame = {
+    require(carryCols.nonEmpty,
+      "dedupRight needs at least one carry column; with none, use " +
+        "right.dropDuplicates(keys :+ tsCol)")
     right.groupBy((keys :+ tsCol).map(col): _*)
       .agg(carryCols.head -> "min", carryCols.tail.map(_ -> "min"): _*)
       .toDF((keys :+ tsCol) ++ carryCols: _*)
+  }
 
   /** For each left row, attach the latest right payload with
     * right.ts ≤ left.ts on the same keys (inclusive ties — right rows

@@ -31,6 +31,13 @@ import graft.queries.GraftQuery
   * shuffle mass is |L| + 3·|R| rows, AQE's skew-split applies to hot
   * bins, and the pair count is bounded by the band's true selectivity
   * rather than |L|·|R|.
+  *
+  * Cost note: the 3× replication falls on the RIGHT side regardless
+  * of which side is larger — that asymmetry is what buys the
+  * exactly-once null-extension, and left-outer semantics fix which
+  * side is which. A caller who needs only the INNER band join on a
+  * much larger right side can swap the inputs (the band predicate is
+  * symmetric) to put the 3× on the smaller table.
   */
 object RangeJoin {
 

@@ -57,6 +57,27 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out("e3").isEmpty, "match after the last right row must be null")
   }
 
+  test("dedupRight restores the distinct-(keys, ts) precondition") {
+    import spark.implicits._
+    // two right rows on the same (user, ts): the raw join's carry is
+    // an arbitrary pick; after dedupRight it is the deterministic MIN
+    val t0 = ts("2024-01-01 09:00:00")
+    val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1"))
+      .toDF("user_id", "ts", "tag")
+    val dupRight = Seq((1L, t0, 7L), (1L, t0, 3L), (1L, t0, 9L))
+      .toDF("user_id", "ts", "rid")
+    val deduped = AsofJoin.dedupRight(dupRight,
+      keys = Seq("user_id"), tsCol = "ts", carryCols = Seq("rid"))
+    assert(deduped.count() === 1L)
+    val out = AsofJoin.asofBackward(left, deduped,
+      keys = Seq("user_id"), tsCol = "ts", carryCols = Seq("rid"))
+      .select($"asof_rid").collect().map(_.getLong(0)).toList
+    assert(out === List(3L), "carry must be the deterministic minimum")
+    intercept[IllegalArgumentException] {
+      AsofJoin.dedupRight(dupRight, Seq("user_id"), "ts", Nil)
+    }
+  }
+
   test("asof nearest evaluates both directions in one window stage") {
     import spark.implicits._
     val left = Seq((1L, ts("2024-01-01 10:00:00"), "e1"))
