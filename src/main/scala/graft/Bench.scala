@@ -78,6 +78,7 @@ object Bench {
       "q12k_curation_pipeline", "q12l_pack_chunks", "q12m_chunk_windows",
       "q12o_tfidf_topk", "q12p_mixture_sample", "q12q_weighted_sample",
       "q12r_unigram_logprob", "q12s_source_kl", "q12t_perplexity_buckets",
+      "q12u_nfc_normalize",
       "q13a_exact_dedup",
       "q13b_ngram_jaccard", "q13c_minhash_lsh", "q13d_simhash",
       "q13g_contamination", "q14b_ann_lsh", "q14d_embed_quantize",

@@ -3,14 +3,16 @@ package graft
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.GraftColumnBridge
 
-import graft.functions.{NGramExpressions, VectorExpressions}
+import graft.functions.{NGramExpressions, NormalizeText, VectorExpressions}
 import graft.plans.{GeoRules, Norm2Rewrite}
 
 /** THE session extension for the graft engine — registers everything
   * the library adds to a Spark session in one place:
   *
   *  - SQL functions: `graft_dot`, `graft_norm2` (native codegen
-  *    vector expressions, [[graft.functions.VectorExpressions]])
+  *    vector expressions, [[graft.functions.VectorExpressions]]),
+  *    `graft_ngrams`, and `graft_nfc` / `graft_nfkc` Unicode
+  *    normalization ([[graft.functions.NormalizeText]])
   *  - optimizer rules: [[graft.plans.Norm2Rewrite]] (`graft_dot(e,e)`
   *    → `graft_norm2(e)`) and
   *    [[graft.plans.GeoRules.RewriteWithinRadius]] (geo-radius marker
@@ -30,6 +32,8 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectFunction(VectorExpressions.dotDescriptor)
     ext.injectFunction(VectorExpressions.norm2Descriptor)
     ext.injectFunction(NGramExpressions.ngramsDescriptor)
+    ext.injectFunction(NormalizeText.nfcDescriptor)
+    ext.injectFunction(NormalizeText.nfkcDescriptor)
     ext.injectOptimizerRule(_ => Norm2Rewrite)
     ext.injectOptimizerRule(_ => GeoRules.RewriteWithinRadius)
   }
@@ -39,7 +43,8 @@ object GraftExtensions {
   def install(spark: SparkSession): Unit = {
     val reg = GraftColumnBridge.functionRegistry(spark)
     Seq(VectorExpressions.dotDescriptor, VectorExpressions.norm2Descriptor,
-        NGramExpressions.ngramsDescriptor)
+        NGramExpressions.ngramsDescriptor,
+        NormalizeText.nfcDescriptor, NormalizeText.nfkcDescriptor)
       .foreach { case (ident, info, builder) =>
         if (!reg.functionExists(ident))
           reg.registerFunction(ident, info, builder)

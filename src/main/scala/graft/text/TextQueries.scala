@@ -340,7 +340,50 @@ object TextQueries {
           coalesce($"winnow_fp", md5($"text")).as("winnow_fp"))
   }
 
+  /** q12u — Unicode NFC normalization over the corpus, the curation
+    * step that must precede ANY byte-level dedup/fingerprint: the
+    * same logical text arrives composed (é = U+00E9) and decomposed
+    * (e + U+0301) and hashes differently until normalized. The
+    * synthetic corpus is ASCII (the fast path), so decomposed
+    * sequences are PLANTED deterministically (doc_id%5 → e+combining
+    * acute, doc_id%7 → A+combining ring) and the gate proves the
+    * [[graft.functions.NormalizeText]] codegen expression recomposes
+    * them exactly as DuckDB's independent `nfc_normalize`:
+    * changed-flag, codepoint counts before/after, and the md5 of the
+    * normalized text all hash-match. Map-only at any scale.
+    */
+  val q12uNfcNormalize: GraftQuery = GraftQuery(
+    "q12u_nfc_normalize",
+    """WITH planted AS (
+      |  SELECT doc_id,
+      |         text || CASE WHEN doc_id % 5 = 0 THEN ' cafe' || chr(769)
+      |                      WHEN doc_id % 7 = 0 THEN ' A' || chr(778)
+      |                      ELSE '' END AS t
+      |  FROM documents)
+      |SELECT doc_id,
+      |       t <> nfc_normalize(t) AS changed,
+      |       CAST(length(t) AS BIGINT) AS n_before,
+      |       CAST(length(nfc_normalize(t)) AS BIGINT) AS n_after,
+      |       md5(nfc_normalize(t)) AS norm_md5
+      |FROM planted""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import graft.functions.NormalizeText.nfc
+    // DECOMPOSED plant strings (e + U+0301, A + U+030A) — spelled as
+    // escapes so no editor/encoding pass can silently recompose them
+    val planted = Tables(spark, dir).documents
+      .select($"doc_id",
+        concat($"text",
+          when($"doc_id" % 5 === 0, lit(" cafe\u0301"))
+            .when($"doc_id" % 7 === 0, lit(" A\u030A"))
+            .otherwise(lit(""))).as("t"))
+    planted.select($"doc_id",
+      ($"t" =!= nfc($"t")).as("changed"),
+      length($"t").cast("long").as("n_before"),
+      length(nfc($"t")).cast("long").as("n_after"),
+      md5(nfc($"t")).as("norm_md5"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q12aTokenStats, q12bQualityScore, q12cLangId, q12dFingerprint,
-      q12eBpeTokens, q12fCorpusRebalance)
+      q12eBpeTokens, q12fCorpusRebalance, q12uNfcNormalize)
 }
