@@ -128,6 +128,37 @@ class TextDedupSpec extends SparkTestBase {
     res.unpersist()
   }
 
+  test("IVF cells partition-prune at read time — the write-time scale path") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    // q14c/q14f's scale story says "cell = write-time partition key:
+    // each probe touches ~1/k of the corpus". Pin it: write the
+    // assigned corpus partitioned BY CELL, probe one cell, and assert
+    // the scan applies a PartitionFilter (reads only that cell's
+    // files) rather than scanning the corpus and filtering after.
+    val v = Tables(spark, sfDir).embeddings
+      .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
+    val k = SimilarityQueries.ivfK(v.count())
+    val assigned = SimilarityQueries.assignCells(v, k)
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-ivf-cells").toString
+    try {
+      graft.sources.Sources.writePartitioned(
+        assigned.select($"vec_id", $"embedding", $"cell"), dir, Seq("cell"))
+      val probe = spark.read.parquet(dir).filter($"cell" === 3)
+      assert(probe.count() ===
+        assigned.filter($"cell" === 3).count())
+      val scanStr = probe.queryExecution.executedPlan
+        .collectLeaves().head.toString
+      assert(scanStr.contains("PartitionFilters") &&
+        scanStr.contains("cell"),
+        s"cell probe did not partition-prune:\n$scanStr")
+    } finally {
+      org.apache.commons.io.FileUtils
+        .deleteDirectory(new java.io.File(dir))
+    }
+  }
+
   test("multi-probe IVF: recall never below single-probe, pairs unique") {
     import spark.implicits._
     import graft.functions.VectorOps
