@@ -49,10 +49,22 @@ class NormalizeSpec extends SparkTestBase {
     assert(rows.flatMap(r => Option(r.getString(0))).toList ===
       List(eAcuteComposed))
     // codegen pin on a parquet-backed frame — a local relation is
-    // constant-folded into LocalTableScan before codegen ever runs
-    val scan = Tables(spark, sfDir).documents
-      .select(NormalizeText.nfc($"text").as("n"))
-    scan.collect()
+    // constant-folded into LocalTableScan before codegen ever runs.
+    // fallback=false makes a Janino compile failure of the generated
+    // static call throw instead of silently running interpreted (the
+    // star marker alone would not catch that).
+    val saved = spark.conf.getOption("spark.sql.codegen.fallback")
+    spark.conf.set("spark.sql.codegen.fallback", "false")
+    val scan =
+      try {
+        val sc = Tables(spark, sfDir).documents
+          .select(NormalizeText.nfc($"text").as("n"))
+        sc.collect()
+        sc
+      } finally saved match {
+        case Some(v) => spark.conf.set("spark.sql.codegen.fallback", v)
+        case None    => spark.conf.unset("spark.sql.codegen.fallback")
+      }
     val plan = scan.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     // the *(n) star prefix is the whole-stage-codegen marker in the
