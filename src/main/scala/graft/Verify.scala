@@ -16,7 +16,17 @@ object Verify {
     spark.sparkContext.setLogLevel("WARN")
     GraftConf.tune(spark)
     new java.io.File(outDir).mkdirs()
-    SparkEntry.queries.foreach { case (name, fn) =>
+    // Local-iteration filter (comma-separated name substrings). The
+    // driver never sets it, so the driver contract is unchanged; when
+    // set, oracle_sql.json is filtered to match so check_oracle.py
+    // compares exactly the dumped subset.
+    val only: String => Boolean = sys.env.get("SPARK_GRAFT_ONLY") match {
+      case Some(pats) =>
+        val ps = pats.split(',').map(_.trim).filter(_.nonEmpty)
+        name => ps.exists(name.contains)
+      case None => _ => true
+    }
+    SparkEntry.queries.filter(kv => only(kv._1)).foreach { case (name, fn) =>
       try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
         .parquet(s"$outDir/$name")
       catch { case e: Throwable =>
@@ -35,7 +45,7 @@ object Verify {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val json = SparkEntry.oracleSql
+    val json = SparkEntry.oracleSql.filter(kv => only(kv._1))
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
     spark.stop()

@@ -394,7 +394,105 @@ object DedupQueries {
         .filter($"cosine" >= 0.4)
   }
 
+  /** Chunk size for q13h: docs split into NON-overlapping runs of 8
+    * whitespace tokens ("lines" — the synthetic corpus has no real
+    * newlines). 8 matches the planted boilerplate header length so
+    * the header lands exactly on chunk 0 and the doc's own chunks
+    * keep their alignment.
+    */
+  private val ChunkTokens = 8
+
+  /** A chunk shared by ≥ this many docs is boilerplate (the planted
+    * header reaches ~N/3 docs; organic 8-token runs over the ~31-word
+    * vocabulary never approach 30 — and the cap is applied identically
+    * in both engines, so the gate is semantics-proof either way).
+    */
+  private val BoilerplateDf = 30
+
+  /** Eight-token boilerplate header prepended to every third doc —
+    * the corpus positive for chunk-level dedup (none of these words
+    * occur in the synthetic vocabulary, so the plant cannot collide
+    * with organic chunks).
+    */
+  private val Boiler = "please read these terms of service all rights"
+
+  /** q13h — chunk-level dedup (the CCNet/RefinedWeb "line dedup"
+    * shape; reference has no analogue — LLM-pipeline extension):
+    * split each doc into non-overlapping [[ChunkTokens]]-token
+    * chunks, count each chunk's document frequency across the
+    * corpus, mark chunks with DF ≥ [[BoilerplateDf]] as boilerplate,
+    * and report per-doc retention. The keep verdict is pure integer
+    * arithmetic (kept·100 ≥ 95·total) — no float comparison in the
+    * gate; `kept_ratio` is a rounded VALUE column only.
+    *
+    * Scale shape: ONE corpus scan into a (chunk, doc)-grain
+    * aggregate, eagerly checkpointed (the q12k staging pattern — a
+    * multi-consumer frame must not re-scan the corpus, and a library
+    * call must not pin corpus-scale state in the CacheManager); the
+    * chunk-DF aggregate and the DF join both run over that
+    * chunk-grain frame, never the raw corpus. Every shuffle is keyed
+    * (chunk or doc_id); nothing is quadratic.
+    */
+  val q13hChunkDedup: GraftQuery = GraftQuery(
+    "q13h_chunk_dedup",
+    s"""WITH base AS (
+       |  SELECT doc_id,
+       |         CASE WHEN doc_id % 3 = 0 THEN '$Boiler ' || text
+       |              ELSE text END AS text
+       |  FROM documents),
+       |toks AS (
+       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  FROM base),
+       |chunks AS (
+       |  SELECT doc_id,
+       |         unnest(list_transform(
+       |           range(CAST(ceil(len(w) / $ChunkTokens.0) AS BIGINT)),
+       |           ci -> array_to_string(
+       |             w[ci * $ChunkTokens + 1 : ci * $ChunkTokens + $ChunkTokens],
+       |             ' '))) AS chunk
+       |  FROM toks),
+       |g1 AS (SELECT doc_id, chunk, COUNT(*) AS occ FROM chunks GROUP BY 1, 2),
+       |df AS (SELECT chunk, COUNT(*) AS df FROM g1 GROUP BY 1)
+       |SELECT doc_id,
+       |       CAST(SUM(occ) AS BIGINT) AS n_chunks,
+       |       CAST(SUM(CASE WHEN df >= $BoilerplateDf THEN occ ELSE 0 END)
+       |            AS BIGINT) AS n_dropped,
+       |       ROUND(CAST(SUM(CASE WHEN df < $BoilerplateDf THEN occ ELSE 0 END)
+       |                  AS DOUBLE) / SUM(occ), 6) AS kept_ratio,
+       |       SUM(CASE WHEN df < $BoilerplateDf THEN occ ELSE 0 END) * 100
+       |         >= 95 * SUM(occ) AS keep
+       |FROM g1 JOIN df USING (chunk)
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val base = docs.select($"doc_id",
+      when($"doc_id" % 3 === 0, concat(lit(Boiler + " "), $"text"))
+        .otherwise($"text").as("text"))
+    val chunks = base
+      .withColumn("w", split(trim($"text"), "\\s+"))
+      .select($"doc_id", explode(expr(
+        s"""transform(
+           |  sequence(0, cast(ceil(size(w) / $ChunkTokens.0) as int) - 1),
+           |  ci -> array_join(slice(w, ci * $ChunkTokens + 1, $ChunkTokens),
+           |                   ' '))""".stripMargin)).as("chunk"))
+    // (chunk, doc)-grain occurrence counts: the single corpus-derived
+    // frame both downstream consumers read. Eager checkpoint, not
+    // .cache() — see scaladoc.
+    val g1 = chunks.groupBy($"chunk", $"doc_id")
+      .agg(count(lit(1)).as("occ"))
+      .localCheckpoint(true)
+    val df = g1.groupBy($"chunk").agg(count(lit(1)).as("df"))
+    val dropped = when($"df" >= BoilerplateDf, $"occ").otherwise(0L)
+    val kept    = when($"df" < BoilerplateDf, $"occ").otherwise(0L)
+    g1.join(df, "chunk")
+      .groupBy($"doc_id")
+      .agg(sum($"occ").as("n_chunks"),
+        sum(dropped).as("n_dropped"),
+        round(sum(kept).cast(DoubleType) / sum($"occ"), 6).as("kept_ratio"),
+        (sum(kept) * 100 >= sum($"occ") * 95).as("keep"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q13aExactDedup, q13bNgramJaccard, q13cMinhashLsh, q13dSimhash,
-    q13eEmbedNeardup, q13fDedupComponents)
+    q13eEmbedNeardup, q13fDedupComponents, q13hChunkDedup)
 }

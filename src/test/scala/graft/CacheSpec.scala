@@ -44,6 +44,12 @@ class CacheSpec extends SparkTestBase {
     }
   }
 
+  test("q13h chunk-grain staging pins no CacheManager entries") {
+    assertCacheNeutral("q13h") {
+      graft.text.DedupQueries.q13hChunkDedup.fn(spark, sfDir).collect()
+    }
+  }
+
   test("q9b moment staging pins no CacheManager entries") {
     assertCacheNeutral("q9b") {
       graft.analytics.AnalyticsQueries.q9bCorrelations.fn(spark, sfDir)

@@ -330,6 +330,22 @@ class TextDedupSpec extends SparkTestBase {
     assert(sh.count(_.getLong(0) == 5L) == 2)
   }
 
+  test("chunk dedup drops exactly the planted boilerplate header") {
+    import spark.implicits._
+    val out = DedupQueries.q13hChunkDedup.fn(spark, sfDir).cache()
+    // every third doc carries the planted 8-token header = exactly one
+    // boilerplate chunk; all other chunks are organic (DF far below
+    // the cap) and must be retained.
+    assert(out.filter($"doc_id" % 3 === 0 && $"n_dropped" =!= 1).count() == 0)
+    assert(out.filter($"doc_id" % 3 =!= 0 && $"n_dropped" =!= 0).count() == 0)
+    // the keep verdict is the integer rule, not a float comparison
+    val badKeep = out.filter(
+      $"keep" =!= (($"n_chunks" - $"n_dropped") * 100 >= $"n_chunks" * 95))
+    assert(badKeep.count() == 0)
+    assert(out.filter($"kept_ratio" <= 0 || $"kept_ratio" > 1).count() == 0)
+    out.unpersist()
+  }
+
   test("connected components merge chains transitively") {
     import spark.implicits._
     // A~B, B~C (A~C never scored) must form ONE cluster; {10,11}
