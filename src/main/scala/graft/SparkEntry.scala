@@ -26,6 +26,7 @@ object SparkEntry {
       graft.text.TfIdfQueries.all ++
       graft.text.MixtureQueries.all ++
       graft.text.UnigramQueries.all ++
+      graft.text.HeavyHitterQueries.all ++
       graft.text.CurationQueries.all ++
       graft.text.DedupQueries.all ++
       graft.text.SimilarityQueries.all ++
