@@ -492,7 +492,57 @@ object DedupQueries {
         (sum(kept) * 100 >= sum($"occ") * 95).as("keep"))
   }
 
+  /** q13i — canonical-doc selection: the keep-BEST step a real
+    * pipeline runs after q13f's keep-min clustering (min-id keeps an
+    * arbitrary member; curation wants the richest one). Per near-dup
+    * component: canonical = the member with the longest text,
+    * tie-broken by smallest doc_id. The argmax is ONE groupBy over a
+    * lexicographic struct max — max(struct(len, -doc_id)) — so there
+    * is no per-component window and partial aggregation combines
+    * map-side; component count and sizes are bounded by the q13b pair
+    * graph, and the doc-length join touches only clustered docs
+    * (semi-join-sized, ≪ corpus).
+    */
+  val q13iCanonicalDocs: GraftQuery = GraftQuery(
+    "q13i_canonical_docs",
+    s"""WITH RECURSIVE $jaccardCtes,
+       |pairs AS ($jaccardSelect),
+       |e AS (SELECT doc_a AS src, doc_b AS dst FROM pairs
+       |      UNION SELECT doc_b, doc_a FROM pairs),
+       |reach(v, r) AS (
+       |  SELECT src, src FROM e
+       |  UNION
+       |  SELECT e.dst, reach.r FROM reach JOIN e ON e.src = reach.v),
+       |comp AS (SELECT v AS doc_id, MIN(r) AS component FROM reach GROUP BY v),
+       |j AS (
+       |  SELECT component, comp.doc_id, length(text) AS len
+       |  FROM comp JOIN documents USING (doc_id)),
+       |rn AS (
+       |  SELECT *, ROW_NUMBER() OVER (
+       |    PARTITION BY component ORDER BY len DESC, doc_id ASC) AS rk
+       |  FROM j)
+       |SELECT component,
+       |       CAST(COUNT(*) AS BIGINT) AS n_members,
+       |       CAST(MAX(CASE WHEN rk = 1 THEN doc_id END) AS BIGINT)
+       |         AS canonical_doc_id,
+       |       CAST(MAX(CASE WHEN rk = 1 THEN len END) AS BIGINT) AS canon_len
+       |FROM rn GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val comp = q13fDedupComponents.fn(spark, dir)
+      .select($"doc_id", $"component")
+    val lens = Tables(spark, dir).documents
+      .select($"doc_id", length($"text").cast(LongType).as("len"))
+    comp.join(lens, "doc_id")
+      .groupBy($"component")
+      .agg(count(lit(1)).as("n_members"),
+        max(struct($"len", (-$"doc_id").as("neg_id"))).as("m"))
+      .select($"component", $"n_members",
+        (-$"m.neg_id").as("canonical_doc_id"),
+        $"m.len".as("canon_len"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q13aExactDedup, q13bNgramJaccard, q13cMinhashLsh, q13dSimhash,
-    q13eEmbedNeardup, q13fDedupComponents, q13hChunkDedup)
+    q13eEmbedNeardup, q13fDedupComponents, q13hChunkDedup,
+    q13iCanonicalDocs)
 }

@@ -346,6 +346,30 @@ class TextDedupSpec extends SparkTestBase {
     out.unpersist()
   }
 
+  test("canonical doc is the longest member of its component") {
+    import spark.implicits._
+    val comp = DedupQueries.q13fDedupComponents.fn(spark, sfDir)
+      .select($"doc_id", $"component")
+    val lens = Tables(spark, sfDir).documents
+      .select($"doc_id", length($"text").cast("long").as("len"))
+    val members = comp.join(lens, "doc_id").cache()
+    val canon = DedupQueries.q13iCanonicalDocs.fn(spark, sfDir).cache()
+    // canonical is a member of its own component
+    assert(canon.join(members,
+      canon("canonical_doc_id") === members("doc_id") &&
+        canon("component") === members("component"), "left_anti").count() == 0)
+    // no member of the component is strictly longer than the canonical
+    val longer = canon.join(members, Seq("component"))
+      .filter($"len" > $"canon_len")
+    assert(longer.count() == 0)
+    // member counts agree with q13f and every component has ≥ 2 docs
+    val sizes = members.groupBy($"component").count()
+    assert(canon.join(sizes, Seq("component"))
+      .filter($"n_members" =!= $"count").count() == 0)
+    assert(canon.filter($"n_members" < 2).count() == 0)
+    members.unpersist(); canon.unpersist()
+  }
+
   test("connected components merge chains transitively") {
     import spark.implicits._
     // A~B, B~C (A~C never scored) must form ONE cluster; {10,11}
