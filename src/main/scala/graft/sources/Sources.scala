@@ -227,6 +227,55 @@ object Sources {
       .localCheckpoint(true)
   }
 
+  private val OrcOut = s"$RoundtripRoot/q17d_orc"
+
+  /** q17d — ORC round trip, ORACLE-GATED without DuckDB reading ORC
+    * (it cannot): the gate is in-plan. A deterministic lineitem slice
+    * (bigint/int/double/date/varchar columns (incl. l_linestatus) — the type spread ORC
+    * must preserve bit-for-bit) writes to ORC and reads back; the
+    * output carries (a) per-flag row counts and EXACT decimal
+    * quantity sums computed FROM THE READ-BACK, and (b) two
+    * `exceptAll` cardinalities between read-back and source — a
+    * full-row, every-column multiset equivalence, not a sampled or
+    * aggregate-only check. The DuckDB twin computes the same
+    * aggregates straight from the parquet table with literal-zero
+    * mismatch columns: any value ORC mangles (a flipped double bit, a
+    * shifted date, a truncated string) surfaces either as an aggregate
+    * divergence or a nonzero exceptAll count, and the hash gate
+    * fails. Dates cross the output boundary as ISO strings (driver
+    * dtype parity).
+    */
+  val q17dOrcRoundtrip: GraftQuery = GraftQuery(
+    "q17d_orc_roundtrip",
+    """SELECT l_returnflag,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR)
+      |            AS DOUBLE) AS total_qty,
+      |       CAST(MAX(l_shipdate) AS VARCHAR) AS max_ship,
+      |       CAST(0 AS BIGINT) AS n_extra,
+      |       CAST(0 AS BIGINT) AS n_missing
+      |FROM lineitem
+      |WHERE l_orderkey % 100 = 0
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val slice = Tables(spark, dir).lineitem
+      .filter($"l_orderkey" % 100 === 0)
+      .select($"l_orderkey", $"l_linenumber", $"l_quantity",
+        $"l_returnflag", $"l_shipdate", $"l_linestatus")
+    slice.write.mode("overwrite").orc(OrcOut)
+    val back = spark.read.orc(OrcOut).localCheckpoint(true)
+    // full-row multiset equivalence, both directions
+    val extra = back.exceptAll(slice).agg(count(lit(1)).as("n_extra"))
+    val missing = slice.exceptAll(back).agg(count(lit(1)).as("n_missing"))
+    back.groupBy($"l_returnflag")
+      .agg(count(lit(1)).as("n_rows"),
+        graft.functions.Exact.dsum($"l_quantity").as("total_qty"),
+        max($"l_shipdate").cast(StringType).as("max_ship"))
+      .crossJoin(broadcast(extra))
+      .crossJoin(broadcast(missing))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q17aJsonProps, q17bCsvRoundtrip, q17cJsonlRoundtrip)
+    Seq(q17aJsonProps, q17bCsvRoundtrip, q17cJsonlRoundtrip,
+      q17dOrcRoundtrip)
 }

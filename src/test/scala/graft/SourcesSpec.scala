@@ -139,6 +139,26 @@ class SourcesSpec extends SparkTestBase {
       s"z-order partkey avg range $zA vs global ${maxP - minP}")
   }
 
+  test("orc roundtrip is lossless and the read side pushes filters") {
+    import spark.implicits._
+    // running the query performs the write + read-back + equivalence;
+    // n_extra/n_missing are the in-plan full-row multiset check
+    val out = Sources.q17dOrcRoundtrip.fn(spark, sfDir).cache()
+    assert(out.filter($"n_extra" =!= 0 || $"n_missing" =!= 0).count() == 0)
+    assert(out.count() > 0)
+    out.unpersist()
+    // predicate pushdown reaches the ORC scan (the format engages the
+    // same scan machinery as parquet — not a post-scan Filter only)
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val read = spark.read.orc(s"$tmp/graft_roundtrip/q17d_orc")
+      .filter($"l_orderkey" === 100L)
+    val scanStr =
+      read.queryExecution.executedPlan.collectLeaves().head.toString
+    assert(scanStr.contains("PushedFilters") &&
+      scanStr.contains("l_orderkey"),
+      s"no pushed filter in ORC scan:\n$scanStr")
+  }
+
   test("jsonl roundtrip preserves values; corrupt lines are captured") {
     import spark.implicits._
     // value-level parity through the write→read cycle
