@@ -510,7 +510,148 @@ object SimilarityQueries {
           coalesce($"is_dup", lit(false)).as("dropped"))
   }
 
+  /** PQ codebook size (codes per subspace) and subspace count:
+    * dim-64 embeddings split into 8 contiguous 8-dim subspaces, each
+    * quantized to 16 codes → an 8-byte code replaces a 256-byte
+    * float vector (32× compression — the reason PQ exists at 100 TB:
+    * the candidate side of the scan fits in memory as codes).
+    */
+  private val PqCodes     = 16
+  private val PqSubspaces = 8
+
+  /** q14g — IVF-PQ: product quantization INSIDE the q14c IVF cells.
+    * Candidates are stored as 8 sub-codes; each subspace's codebook
+    * is the first [[PqCodes]] md5-medoid vectors (the q14c centroid
+    * device reused as a code source), and a vector's code per
+    * subspace is its L2-nearest code centroid on that 8-dim slice
+    * (ties → smallest code). Scoring is asymmetric (ADC): the query
+    * keeps its exact embedding, the candidate is RECONSTRUCTED from
+    * its codes (concatenated codebook slices), and cosine is computed
+    * exact-vs-reconstruction. Candidate generation stays the q14c
+    * cell equi-join — no brute scan, no guard needed; PQ adds the
+    * compression axis on top of IVF's sub-linear probing. Raw vectors
+    * (not residuals) are encoded — the IVFFlat→IVFPQ step a real
+    * system tunes further with residual encoding.
+    *
+    * Every distance term is composed from the same [[VectorOps]]
+    * fold twins on both engines ((n2a − 2·dot) + n2b, identical
+    * association), so encode argmins, reconstruction, and ADC scores
+    * are bitwise-identical → full hash gate. The top-3 audit carries
+    * `exact_cos` beside `pq_cos`, the quantization-error witness
+    * (the q14d audit idea applied to PQ).
+    */
+  val q14gAnnIvfPq: GraftQuery = {
+    val subDistSql = (emb: String, cemb: String) =>
+      s"""(${VectorOps.norm2Sql(s"$emb[s.m * 8 + 1 : s.m * 8 + 8]")}
+         | - 2 * ${VectorOps.dotSql(s"$emb[s.m * 8 + 1 : s.m * 8 + 8]",
+                                     s"$cemb[s.m * 8 + 1 : s.m * 8 + 8]")})
+         | + ${VectorOps.norm2Sql(s"$cemb[s.m * 8 + 1 : s.m * 8 + 8]")}"""
+        .stripMargin
+    GraftQuery(
+      "q14g_ann_ivfpq",
+      s"""WITH ${ivfAssignSql("embeddings")},
+         |cb AS (
+         |  SELECT CAST(rn - 1 AS INTEGER) AS code, embedding AS cemb
+         |  FROM ranked WHERE rn <= $PqCodes),
+         |sub AS (SELECT unnest(range($PqSubspaces)) AS m),
+         |enc0 AS (
+         |  SELECT a.vec_id, s.m, cb.code,
+         |         row_number() OVER (PARTITION BY a.vec_id, s.m
+         |           ORDER BY ${subDistSql("a.embedding", "cb.cemb")},
+         |                    cb.code) AS ern
+         |  FROM assigned a CROSS JOIN cb CROSS JOIN sub s),
+         |enc AS (SELECT vec_id, m, code FROM enc0 WHERE ern = 1),
+         |rec AS (
+         |  SELECT e.vec_id,
+         |         flatten(list(cb.cemb[e.m * 8 + 1 : e.m * 8 + 8]
+         |                      ORDER BY e.m)) AS rec
+         |  FROM enc e JOIN cb USING (code) GROUP BY 1),
+         |recn AS (
+         |  SELECT a.vec_id, a.cell, r.rec,
+         |         ${VectorOps.norm2Sql("r.rec")} AS rn2
+         |  FROM rec r JOIN assigned a USING (vec_id)),
+         |scored AS (
+         |  SELECT q.vec_id AS query_id, r.vec_id AS cand_id, q.cell,
+         |         ${VectorOps.dotSql("q.embedding", "r.rec")}
+         |           / (sqrt(q.n2) * sqrt(r.rn2)) AS pq_cos
+         |  FROM assigned q JOIN recn r
+         |    ON q.cell = r.cell AND q.vec_id <> r.vec_id
+         |  WHERE q.vec_id < 50),
+         |top AS (
+         |  SELECT *, row_number() OVER (PARTITION BY query_id
+         |            ORDER BY pq_cos DESC, cand_id) AS rk
+         |  FROM scored)
+         |SELECT t.query_id, t.cand_id, t.cell,
+         |       CAST(t.rk AS INTEGER) AS rank, t.pq_cos,
+         |       ${VectorOps.dotSql("a.embedding", "b.embedding")}
+         |         / (sqrt(a.n2) * sqrt(b.n2)) AS exact_cos
+         |FROM top t
+         |JOIN v a ON t.query_id = a.vec_id
+         |JOIN v b ON t.cand_id = b.vec_id
+         |WHERE t.rk <= 3""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val emb = Tables(spark, dir).embeddings
+      val v = emb.select($"vec_id", $"embedding",
+        VectorOps.norm2($"embedding").as("n2"))
+      val k = ivfK(emb.select($"vec_id").count())
+      val assigned = assignCells(v, k)
+      // PQ codebook: the first 16 md5-medoids, code = rank
+      val cb = centroids(v, PqCodes)
+        .select($"cell".as("code"), $"cemb")
+      def subv(c: org.apache.spark.sql.Column, m: Int) =
+        slice(c, m * PqSubspaces + 1, PqSubspaces)
+      def subDist(m: Int) =
+        (VectorOps.norm2(subv($"embedding", m))
+          - lit(2.0) * VectorOps.dot(subv($"embedding", m), subv($"cemb", m))
+          ) + VectorOps.norm2(subv($"cemb", m))
+      // encode: 16-code fan-out collapses in the partial aggregate —
+      // the shuffle carries ONE row per vector with its 8 argmins
+      val encoded = assigned.crossJoin(broadcast(cb))
+        .groupBy($"vec_id")
+        .agg(min(struct(subDist(0).as("d"), $"code".as("code"))).as("e0"),
+          ((1 until PqSubspaces).map(m =>
+            min(struct(subDist(m).as("d"), $"code".as("code"))).as(s"e$m"))
+            :+ first($"cell").as("cell")): _*)
+        .select($"vec_id", $"cell",
+          array((0 until PqSubspaces).map(m => col(s"e$m.code")): _*)
+            .as("codes"))
+      // reconstruction: one 1-row broadcast of the ordered codebook,
+      // rec = concat of the coded slices (≡ ADC: dot(q, rec) is the
+      // sum of per-subspace lookup dots)
+      val cbs = cb.agg(expr(
+        "transform(sort_array(collect_list(struct(code, cemb))), s -> s.cemb)")
+        .as("cbs"))
+      val recn = encoded.crossJoin(broadcast(cbs))
+        .withColumn("rec", expr(
+          s"""flatten(transform(codes,
+             |  (cd, m) -> slice(element_at(cbs, cd + 1),
+             |                   m * $PqSubspaces + 1, $PqSubspaces)))"""
+            .stripMargin))
+        .select($"vec_id".as("cand_id"), $"cell", $"rec",
+          VectorOps.norm2($"rec").as("rn2"))
+      val q = assigned.filter($"vec_id" < 50)
+        .select($"vec_id".as("query_id"), $"embedding".as("emb_q"),
+          $"n2".as("n2_q"), $"cell")
+      val scored = q.join(recn, Seq("cell"))
+        .filter($"query_id" =!= $"cand_id")
+        .select($"query_id", $"cand_id", $"cell",
+          VectorOps.cosineFrom(VectorOps.dot($"emb_q", $"rec"),
+            $"n2_q", $"rn2").as("pq_cos"))
+      val top = scored.withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id").orderBy($"pq_cos".desc, $"cand_id")))
+        .filter($"rank" <= 3)
+      val va = v.select($"vec_id".as("query_id"), $"embedding".as("ea"),
+        $"n2".as("na"))
+      val vb = v.select($"vec_id".as("cand_id"), $"embedding".as("eb"),
+        $"n2".as("nb"))
+      top.join(va, "query_id").join(vb, "cand_id")
+        .select($"query_id", $"cand_id", $"cell", $"rank", $"pq_cos",
+          VectorOps.cosineFrom(VectorOps.dot($"ea", $"eb"), $"na", $"nb")
+            .as("exact_cos"))
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q14aAnnBruteTopk, q14bAnnLsh, q14cAnnIvf, q14dEmbedQuantize,
-      q14eSemanticDedup, q14fAnnIvfMultiprobe)
+      q14eSemanticDedup, q14fAnnIvfMultiprobe, q14gAnnIvfPq)
 }

@@ -193,6 +193,31 @@ class TextDedupSpec extends SparkTestBase {
     assert(two.filter($"rank" > 3).count() == 0)
   }
 
+  test("PQ: medoid candidates reconstruct exactly; ranks well-formed") {
+    import spark.implicits._
+    val out = SimilarityQueries.q14gAnnIvfPq.fn(spark, sfDir).cache()
+    // ranks are 1..3 per query, cosines in range
+    assert(out.filter($"rank" < 1 || $"rank" > 3).count() == 0)
+    assert(out.groupBy($"query_id").count().filter($"count" > 3).count() == 0)
+    assert(out.filter(abs($"pq_cos") > 1.0001 || abs($"exact_cos") > 1.0001)
+      .count() == 0)
+    // a vector that IS one of the 16 code medoids has per-subspace
+    // distance 0 to its own code, so it PQ-encodes to itself and its
+    // reconstruction is bit-exact: pq_cos must equal exact_cos
+    val v = Tables(spark, sfDir).embeddings.select($"vec_id")
+    val hashOrd = md5($"vec_id".cast("string").cast("binary"))
+    val medoids = v.orderBy(hashOrd.asc, $"vec_id".asc).limit(16)
+      .as[Long].collect().toSet
+    val medoidRows = out.filter($"cand_id".isin(medoids.toSeq: _*)).cache()
+    if (medoidRows.count() > 0) {
+      assert(medoidRows.filter($"pq_cos" =!= $"exact_cos").count() == 0,
+        "medoid reconstruction not exact")
+    }
+    // non-medoid reconstructions are lossy but must stay sane
+    assert(out.agg(avg(abs($"pq_cos" - $"exact_cos"))).head.getDouble(0) < 0.5)
+    medoidRows.unpersist(); out.unpersist()
+  }
+
   test("brute-force baselines refuse oversized corpora") {
     import spark.implicits._
     import graft.text.BruteForceGuard
