@@ -79,10 +79,13 @@ object Bench {
       "q12o_tfidf_topk", "q12p_mixture_sample", "q12q_weighted_sample",
       "q12r_unigram_logprob", "q12s_source_kl", "q12t_perplexity_buckets",
       "q12u_nfc_normalize",
+      "q12v_heavy_hitters",
       "q13a_exact_dedup",
       "q13b_ngram_jaccard", "q13c_minhash_lsh", "q13d_simhash",
-      "q13g_contamination", "q14b_ann_lsh", "q14d_embed_quantize",
-      "q14f_ann_ivf_multiprobe",
+      "q13g_contamination", "q13h_chunk_dedup",
+      "q14b_ann_lsh", "q14d_embed_quantize",
+      "q14f_ann_ivf_multiprobe", "q14g_ann_ivfpq",
+      "q17d_orc_roundtrip",
       "q15a_event_kpis_tumbling", "q15c_sessionization",
       "q15f_asof_join", "q15h_asof_nearest", "q15g_stream_dedup",
       "q23_proximity_join",
@@ -91,7 +94,9 @@ object Bench {
       // the bounded-heap top-k vs q5a/q3a's sort-based forms
       "q21_topk_per_nation")
     // q13f (components) stays out: its dominant cost is recomputing the
-    // q13b pair graph, which is already tracked above.
+    // q13b pair graph, which is already tracked above. q13i (canonical
+    // docs) stays out for the same reason — it re-runs the q13f chain
+    // and adds only a struct-max groupBy of its own.
 
     // (seconds, succeeded) — a failed run must NOT feed the min: a
     // query that dies fast would otherwise win its per-query min and

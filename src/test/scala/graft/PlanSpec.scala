@@ -201,6 +201,51 @@ class PlanSpec extends SparkTestBase {
       s"a dim lookup fell back to sort-merge:\n${dimSmj.mkString("\n")}")
   }
 
+  test("q12v heavy hitters: one keyed shuffle, candidates broadcast") {
+    val df = graft.text.HeavyHitterQueries.q12vHeavyHitters.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // pass 1 (the MG sketch) aggregates inside the broadcast subtree;
+    // the ONLY hash shuffle is the pass-2 candidate recount. The
+    // 1-row candidate frame rides a BroadcastNestedLoopJoin — a full
+    // CartesianProduct would mean the broadcast was lost.
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 1,
+      s"expected exactly 1 keyed shuffle (candidate recount), got $exchanges:\n$plan")
+    assert(plan.contains("BroadcastNestedLoopJoin"),
+      s"candidate frame not broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"),
+      s"cartesian in heavy-hitter plan:\n$plan")
+  }
+
+  test("q13h chunk dedup: corpus decoupled by staging, keyed shuffles only") {
+    val df = graft.text.DedupQueries.q13hChunkDedup.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // the (chunk, doc)-grain checkpoint decouples the returned plan
+    // from the corpus: the parquet scan happened ONCE at staging time
+    assert(!plan.contains("Scan parquet"),
+      s"returned plan re-scans the corpus:\n$plan")
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 3 && !plan.contains("CartesianProduct"),
+      s"unexpected shuffle shape ($exchanges exchanges):\n$plan")
+  }
+
+  test("q14g IVF-PQ: no cache, no cartesian, bounded keyed shuffles") {
+    val df = graft.text.SimilarityQueries.q14gAnnIvfPq.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // cell assign + encode + top-3 window: three keyed shuffles; the
+    // 16-row codebook, 1-row reconstruction table and 50-row query
+    // side all broadcast; the corpus is never cached or cross-joined
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges == 3,
+      s"expected exactly 3 keyed shuffles (assign, encode, top-k), got $exchanges:\n$plan")
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("InMemoryTableScan"),
+      s"cartesian or cache in IVF-PQ plan:\n$plan")
+  }
+
   test("q14c IVF never pins the corpus: no cache in the plan") {
     // the r5/r6 verdicts' #1 fix — the deterministic-medoid IVF must
     // scan the corpus, not cache() it (a corpus-sized InMemoryRelation
