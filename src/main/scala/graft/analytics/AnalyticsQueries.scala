@@ -808,9 +808,117 @@ object AnalyticsQueries {
       ok(0.75, "b75", "a75").as("p75_ok"))
   }
 
+  /** q9p — TWO-feature OLS (demand on price AND discount) solved in
+    * closed form from the normal equations via Cramer's rule — the
+    * multivariate extension of q9h's single-feature fit (M5). The ten
+    * sufficient statistics (n, Σx₁, Σx₂, Σy, Σx₁², Σx₂², Σx₁x₂,
+    * Σx₁y, Σx₂y, Σy²) aggregate once over the band points with the
+    * same decimal-snap device as q9h, so they are order-free and
+    * cross-engine exact; the 3×3 solve then runs on ONE row. The
+    * determinant/solve arithmetic is ONE shared SQL string evaluated
+    * by `expr()` in Spark and interpolated into the DuckDB twin —
+    * textually identical expressions parse to the same operation tree
+    * in both engines, so the double results are bitwise equal.
+    * At scale this is the map-reduce regression recipe: sufficient
+    * statistics are a partial-aggregable SUM, the solve is O(1).
+    */
+  val q9pMultiReg: GraftQuery = {
+    // shared solve arithmetic over the sufficient-statistic columns
+    val det =
+      "(n * (s11 * s22 - s12 * s12) - s1 * (s1 * s22 - s12 * s2) + s2 * (s1 * s12 - s11 * s2))"
+    val det0 =
+      "(sy * (s11 * s22 - s12 * s12) - s1 * (s1y * s22 - s12 * s2y) + s2 * (s1y * s12 - s11 * s2y))"
+    val det1 =
+      "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))"
+    val det2 =
+      "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))"
+    val b0 = s"$det0 / $det"
+    val b1 = s"$det1 / $det"
+    val b2 = s"$det2 / $det"
+    val sse = s"(syy - (($b0) * sy + ($b1) * s1y + ($b2) * s2y))"
+    val sst = "(syy - sy * sy / n)"
+    val selectSql =
+      s"""SELECT n AS n_points,
+         |       $b0 AS intercept,
+         |       $b1 AS beta_price,
+         |       $b2 AS beta_discount,
+         |       1 - $sse / $sst AS r2""".stripMargin
+    GraftQuery(
+      "q9p_multireg",
+      s"""WITH bands AS (
+         |  SELECT CAST(floor(l_extendedprice / 5000) AS BIGINT) AS band,
+         |         CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |           / COUNT(*) AS avg_price,
+         |         CAST(CAST(SUM(CAST(l_discount AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |           / COUNT(*) AS avg_disc,
+         |         CAST(CAST(SUM(CAST(l_quantity AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |           AS demand
+         |  FROM lineitem GROUP BY 1),
+         |pts AS (
+         |  SELECT CAST(ln(avg_price) AS DECIMAL(38,9)) AS x1,
+         |         CAST(avg_disc AS DECIMAL(38,9)) AS x2,
+         |         CAST(ln(demand) AS DECIMAL(38,9)) AS y
+         |  FROM bands WHERE avg_price > 0 AND demand > 0),
+         |m AS (
+         |  SELECT COUNT(*) AS n,
+         |         CAST(CAST(SUM(x1) AS VARCHAR) AS DOUBLE) AS s1,
+         |         CAST(CAST(SUM(x2) AS VARCHAR) AS DOUBLE) AS s2,
+         |         CAST(CAST(SUM(y) AS VARCHAR) AS DOUBLE) AS sy,
+         |         CAST(CAST(SUM(CAST(CAST(x1 AS DOUBLE) * CAST(x1 AS DOUBLE)
+         |           AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS s11,
+         |         CAST(CAST(SUM(CAST(CAST(x2 AS DOUBLE) * CAST(x2 AS DOUBLE)
+         |           AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS s22,
+         |         CAST(CAST(SUM(CAST(CAST(x1 AS DOUBLE) * CAST(x2 AS DOUBLE)
+         |           AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS s12,
+         |         CAST(CAST(SUM(CAST(CAST(x1 AS DOUBLE) * CAST(y AS DOUBLE)
+         |           AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS s1y,
+         |         CAST(CAST(SUM(CAST(CAST(x2 AS DOUBLE) * CAST(y AS DOUBLE)
+         |           AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS s2y,
+         |         CAST(CAST(SUM(CAST(CAST(y AS DOUBLE) * CAST(y AS DOUBLE)
+         |           AS DECIMAL(38,9))) AS VARCHAR) AS DOUBLE) AS syy
+         |  FROM pts)
+         |$selectSql
+         |FROM m""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val li = Tables(spark, dir).lineitem
+      val bands = li
+        .groupBy(floor($"l_extendedprice" / 5000).as("band"))
+        .agg(Exact.davg($"l_extendedprice").as("avg_price"),
+          Exact.davg($"l_discount").as("avg_disc"),
+          Exact.dsum($"l_quantity").as("demand"))
+      val pts = bands
+        .filter($"avg_price" > 0 && $"demand" > 0)
+        .select(log($"avg_price").cast(DecimalType(38, 9)).as("x1"),
+          $"avg_disc".cast(DecimalType(38, 9)).as("x2"),
+          log($"demand").cast(DecimalType(38, 9)).as("y"))
+      def dprod(a: String, b: String) =
+        sum((col(a).cast(DoubleType) * col(b).cast(DoubleType))
+          .cast(DecimalType(38, 9)))
+      val m = pts.agg(
+        count(lit(1)).as("n"),
+        Exact.toDouble(sum($"x1")).as("s1"),
+        Exact.toDouble(sum($"x2")).as("s2"),
+        Exact.toDouble(sum($"y")).as("sy"),
+        Exact.toDouble(dprod("x1", "x1")).as("s11"),
+        Exact.toDouble(dprod("x2", "x2")).as("s22"),
+        Exact.toDouble(dprod("x1", "x2")).as("s12"),
+        Exact.toDouble(dprod("x1", "y")).as("s1y"),
+        Exact.toDouble(dprod("x2", "y")).as("s2y"),
+        Exact.toDouble(dprod("y", "y")).as("syy"))
+      // the SAME arithmetic string the oracle runs — identical
+      // operation tree, identical doubles
+      m.select(expr("n").as("n_points"),
+        expr(b0).as("intercept"),
+        expr(b1).as("beta_price"),
+        expr(b2).as("beta_discount"),
+        expr(s"1 - $sse / $sst").as("r2"))
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q9aDescriptiveStats, q9aApproxDescriptiveStats, q9bCorrelations,
     q9cBinnedAgg, q9dSegmentation, q9dApproxSegmentation,
     q9eChurnFeatures, q9fRevenueShare, q9gHaversine, q9hElasticity,
-    q9iFreightOpt, q9mDeliveryRisk, q9nOrderExtract, q9oGroupedQuantiles)
+    q9iFreightOpt, q9mDeliveryRisk, q9nOrderExtract, q9oGroupedQuantiles,
+    q9pMultiReg)
 }

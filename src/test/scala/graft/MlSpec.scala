@@ -60,6 +60,34 @@ class MlSpec extends SparkTestBase {
     assert(auc > 0.5, s"trapezoid AUC $auc not better than chance")
   }
 
+  test("two-feature OLS matches spark.ml LinearRegression coefficients") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.ml.feature.VectorAssembler
+    import org.apache.spark.ml.regression.LinearRegression
+    val cf = graft.analytics.AnalyticsQueries.q9pMultiReg
+      .fn(spark, sfDir).head()
+    val li = Tables(spark, sfDir).lineitem
+    val pts = li
+      .groupBy(floor($"l_extendedprice" / 5000).as("band"))
+      .agg(avg($"l_extendedprice").as("avg_price"),
+        avg($"l_discount").as("avg_disc"),
+        sum($"l_quantity").as("demand"))
+      .filter($"avg_price" > 0 && $"demand" > 0)
+      .select(log($"avg_price").as("x1"), $"avg_disc".as("x2"),
+        log($"demand").as("label"))
+    val assembled = new VectorAssembler().setInputCols(Array("x1", "x2"))
+      .setOutputCol("features").transform(pts)
+    val model = new LinearRegression().setFeaturesCol("features")
+      .setLabelCol("label").fit(assembled)
+    assert(math.abs(model.coefficients(0) - cf.getAs[Double]("beta_price")) < 1e-4,
+      s"beta_price ml=${model.coefficients(0)} cf=${cf.getAs[Double]("beta_price")}")
+    assert(math.abs(model.coefficients(1) - cf.getAs[Double]("beta_discount")) < 1e-3,
+      s"beta_discount ml=${model.coefficients(1)} cf=${cf.getAs[Double]("beta_discount")}")
+    assert(math.abs(model.intercept - cf.getAs[Double]("intercept")) < 1e-3)
+    assert(math.abs(model.summary.r2 - cf.getAs[Double]("r2")) < 1e-4)
+  }
+
   test("elasticity LR matches the closed-form q9h on the same bins") {
     val lr = MlQueries.q9kElasticityLr.fn(spark, sfDir)
       .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
