@@ -43,6 +43,31 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  test("Misra-Gries candidates cover heavy keys on random zipf-ish streams") {
+    val agg = graft.functions.MisraGries.MgAggregator(8)
+    val streamGen = for {
+      n <- Gen.chooseNum(50, 400)
+      // skewed alphabet: small ints are much likelier → real heavies
+      xs <- Gen.listOfN(n, Gen.frequency(
+        (8, Gen.chooseNum(0, 2)), (3, Gen.chooseNum(3, 9)),
+        (1, Gen.chooseNum(10, 200))))
+    } yield xs.map(i => s"k$i")
+    sample(streamGen, 12).foreach { xs =>
+      val exact = xs.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val floor = xs.size / 9.0 // n/(k+1)
+      val heavy = exact.collect { case (k, c) if c > floor => k }.toSet
+      // arbitrary 3-way split merged in arbitrary order — the
+      // distributed shape the guarantee must survive
+      val (a, rest) = xs.splitAt(xs.size / 3)
+      val (b, c)    = rest.splitAt(rest.size / 2)
+      val parts = Seq(a, b, c).map(_.foldLeft(agg.zero)(agg.reduce))
+      val merged = agg.merge(parts(2), agg.merge(parts(0), parts(1)))
+      assert(merged.size <= 8, s"capacity violated: ${merged.size}")
+      assert(heavy.subsetOf(merged.keySet),
+        s"missed heavy keys ${heavy -- merged.keySet} in ${merged.keySet}")
+    }
+  }
+
   test("prefix sum agrees with a driver-side scan") {
     import spark.implicits._
     val rowsGen = for {
