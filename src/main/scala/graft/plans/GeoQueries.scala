@@ -41,5 +41,79 @@ object GeoQueries {
       .agg(count(lit(1)).as("n_lines_in_radius"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q19GeoRadius)
+  /** q19b — grid-cell proximity SELF-join (the 2D analogue of
+    * `operators/RangeJoin`'s tolerance buckets): all customer pairs
+    * within [[GridRadiusKm]] km. The shared 1°-lattice demo coords
+    * make every near pair an exact-coordinate twin (the lattice's
+    * key-period is 600), so q19b adds deterministic sub-degree jitter
+    * (integer-mod formula, identical in both engines) to get a real
+    * distance distribution. Cells are sized so the radius spans at
+    * most one cell of latitude (Δlat = 2.7° ≥ 300 km / 111.19) and —
+    * with |lat| < 61° ⇒ cos(lat) > 0.48 — at most one cell of
+    * longitude at ~2.5× margin (Δlon = 6.75°). One side keeps its home
+    * cell, the other explodes to its 3×3 neighborhood, so the cell
+    * equi-join sees every qualifying pair EXACTLY once (a has one
+    * home cell; b emits each neighbor cell once — the RangeJoin/q14f
+    * exactly-once device in 2D) and never compares points from
+    * non-adjacent cells. The oracle is the BRUTE all-pairs haversine:
+    * a hash match proves the grid candidate generation lossless. At
+    * scale the equi-join shuffles by cell while brute is quadratic —
+    * the same index-beats-scan asymmetry as q23.
+    */
+  val GridRadiusKm = 300.0
+  private val DLatDeg = "2.7"
+  private val DLonDeg = "6.75"
+
+  private def jLatSql(k: String) =
+    s"(((($k * 31) % 97 + 97) % 97) / 100.0 - 0.485)"
+  private def jLngSql(k: String) =
+    s"(((($k * 17) % 89 + 89) % 89) / 100.0 - 0.44)"
+
+  val q19bGeoGridJoin: GraftQuery = GraftQuery(
+    "q19b_geo_gridjoin",
+    s"""WITH c AS (
+       |  SELECT c_custkey AS k,
+       |         ${Geo.demoLatSql("c_custkey")} + ${jLatSql("c_custkey")}
+       |           AS lat,
+       |         ${Geo.demoLngSql("c_custkey")} + ${jLngSql("c_custkey")}
+       |           AS lon
+       |  FROM customer)
+       |SELECT a.k AS cust_a, b.k AS cust_b,
+       |       ROUND(${Geo.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")},
+       |             6) AS dist_km
+       |FROM c a JOIN c b ON a.k < b.k
+       |WHERE ${Geo.haversineSql("a.lat", "a.lon", "b.lat", "b.lon")}
+       |        <= $GridRadiusKm""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val c = Tables(spark, dir).customer.select(
+      $"c_custkey".as("k"),
+      (Geo.demoLat($"c_custkey")
+        + (pmod($"c_custkey" * 31, lit(97)) / 100.0 - 0.485)).as("lat"),
+      (Geo.demoLng($"c_custkey")
+        + (pmod($"c_custkey" * 17, lit(89)) / 100.0 - 0.44)).as("lon"))
+    val binned = c
+      .withColumn("clat", floor($"lat" / expr(DLatDeg)))
+      .withColumn("clon", floor($"lon" / expr(DLonDeg)))
+    val probes = binned.select(
+      $"k".as("kb"), $"lat".as("latb"), $"lon".as("lonb"),
+      explode(expr(
+        """flatten(transform(array(-1, 0, 1),
+          |  dy -> transform(array(-1, 0, 1),
+          |    dx -> struct(clat + dy AS clat, clon + dx AS clon))))"""
+          .stripMargin)).as("nb"))
+      .select($"kb", $"latb", $"lonb", $"nb.clat", $"nb.clon")
+    // dist_km is ROUNDED to 6 digits as a VALUE column only (libm
+    // asin/sin differ by 1 ulp on isolated inputs across engines —
+    // the documented float-value flake class); the radius predicate
+    // runs on each engine's own unrounded value, where a boundary
+    // flip would need a distance within 1 ulp of the radius itself.
+    binned.join(probes, Seq("clat", "clon"))
+      .filter($"k" < $"kb")
+      .select($"k".as("cust_a"), $"kb".as("cust_b"),
+        Geo.haversineKm($"lat", $"lon", $"latb", $"lonb").as("d"))
+      .filter($"d" <= GridRadiusKm)
+      .select($"cust_a", $"cust_b", round($"d", 6).as("dist_km"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q19GeoRadius, q19bGeoGridJoin)
 }

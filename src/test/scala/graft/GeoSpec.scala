@@ -19,6 +19,56 @@ class GeoSpec extends SparkTestBase {
         $"l_orderkey", $"l_linenumber")
   }
 
+  test("grid-cell join is lossless vs brute force on random points") {
+    import spark.implicits._
+    // seeded random points over the full demo coordinate range —
+    // independent of testdata, including |lat| up to 60.8° where the
+    // longitude-cell margin is tightest
+    val rnd = new scala.util.Random(42)
+    val pts = (1L to 400L)
+      .map(k => (k, rnd.nextDouble() * 121.6 - 60.8,
+        rnd.nextDouble() * 300.0 - 150.0))
+    val df = spark.createDataset(pts).toDF("k", "lat", "lon")
+    val d = 300.0
+    val brute = df.as("a").join(df.as("b"), $"a.k" < $"b.k")
+      .filter(Geo.haversineKm($"a.lat", $"a.lon", $"b.lat", $"b.lon") <= d)
+      .select($"a.k".as("ka"), $"b.k".as("kb"))
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val binned = df
+      .withColumn("clat", floor($"lat" / 2.7))
+      .withColumn("clon", floor($"lon" / 6.75))
+    val probes = binned.select($"k".as("kb2"), $"lat".as("latb"),
+      $"lon".as("lonb"),
+      explode(expr(
+        """flatten(transform(array(-1, 0, 1),
+          |  dy -> transform(array(-1, 0, 1),
+          |    dx -> struct(clat + dy AS clat, clon + dx AS clon))))"""
+          .stripMargin)).as("nb"))
+      .select($"kb2", $"latb", $"lonb", $"nb.clat", $"nb.clon")
+    val grid = binned.join(probes, Seq("clat", "clon"))
+      .filter($"k" < $"kb2")
+      .filter(Geo.haversineKm($"lat", $"lon", $"latb", $"lonb") <= d)
+      .select($"k", $"kb2")
+    val gridList = grid.collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(gridList.length == gridList.toSet.size,
+      "grid join emitted a duplicate pair (exactly-once violated)")
+    assert(gridList.toSet == brute,
+      s"grid != brute: missing=${brute -- gridList.toSet} " +
+        s"extra=${gridList.toSet -- brute}")
+    assert(brute.nonEmpty, "test setup: brute set must be non-empty")
+  }
+
+  test("q19b produces pairs and respects the radius at sf0.01") {
+    import spark.implicits._
+    val out = graft.plans.GeoQueries.q19bGeoGridJoin
+      .fn(spark, "/root/testdata/sf0.01").cache()
+    assert(out.count() > 0)
+    assert(out.filter($"dist_km" > graft.plans.GeoQueries.GridRadiusKm)
+      .count() == 0)
+    assert(out.filter($"cust_a" >= $"cust_b").count() == 0)
+    out.unpersist()
+  }
+
   test("withinRadiusKm rewrite preserves the naive haversine result") {
     import spark.implicits._
     GeoRules.install(spark)
