@@ -582,9 +582,79 @@ object CurationQueries {
         least(lit(64L), $"n_tokens" - $"start_tok").as("chunk_len"))
   }
 
+  /** q12w — filter-funnel attribution (the RefinedWeb/Gopher-style
+    * curation report; no reference analogue — LLM-pipeline
+    * extension): each doc is attributed to the FIRST rule it fails in
+    * a fixed priority order (too_short → bad_lang → low_diversity),
+    * and the output is the funnel — one row per stage with docs
+    * entering, dropped here, and surviving. Every verdict is an
+    * integer rule (the diversity threshold is distinct·100 <
+    * total·35, never a float ratio compare), so the gate is
+    * arithmetic-exact. ONE corpus scan into a doc-grain token
+    * aggregate, ONE global count row, and the 4 funnel rows explode
+    * from that single row map-side.
+    */
+  val q12wFilterFunnel: GraftQuery = GraftQuery(
+    "q12w_filter_funnel",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |tt AS (
+      |  SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_dis
+      |  FROM toks GROUP BY 1),
+      |lab AS (
+      |  SELECT CASE WHEN d.n_chars < 150 THEN 1
+      |              WHEN d.lang = 'zh' THEN 2
+      |              WHEN tt.n_dis * 100 < tt.n_tok * 35 THEN 3
+      |              ELSE 0 END AS label
+      |  FROM documents d JOIN tt USING (doc_id)),
+      |m AS (
+      |  SELECT COUNT(*) AS n,
+      |         CAST(SUM(CASE WHEN label = 1 THEN 1 ELSE 0 END) AS BIGINT) AS d1,
+      |         CAST(SUM(CASE WHEN label = 2 THEN 1 ELSE 0 END) AS BIGINT) AS d2,
+      |         CAST(SUM(CASE WHEN label = 3 THEN 1 ELSE 0 END) AS BIGINT) AS d3
+      |  FROM lab)
+      |SELECT 1 AS stage, 'too_short' AS rule,
+      |       n AS n_in, d1 AS n_dropped, n - d1 AS n_out FROM m
+      |UNION ALL SELECT 2, 'bad_lang', n - d1, d2, n - d1 - d2 FROM m
+      |UNION ALL SELECT 3, 'low_diversity', n - d1 - d2, d3,
+      |       n - d1 - d2 - d3 FROM m
+      |UNION ALL SELECT 4, 'kept', n - d1 - d2 - d3, CAST(0 AS BIGINT),
+      |       n - d1 - d2 - d3 FROM m""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val tt = docs
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_dis"))
+    val lab = docs.join(tt, "doc_id").select(
+      when($"n_chars" < 150, 1)
+        .when($"lang" === "zh", 2)
+        .when($"n_dis" * 100 < $"n_tok" * 35, 3)
+        .otherwise(0).as("label"))
+    val m = lab.agg(
+      count(lit(1)).as("n"),
+      sum(when($"label" === 1, 1L).otherwise(0L)).as("d1"),
+      sum(when($"label" === 2, 1L).otherwise(0L)).as("d2"),
+      sum(when($"label" === 3, 1L).otherwise(0L)).as("d3"))
+    m.select(explode(array(
+      struct(lit(1).as("stage"), lit("too_short").as("rule"),
+        $"n".as("n_in"), $"d1".as("n_dropped"), ($"n" - $"d1").as("n_out")),
+      struct(lit(2).as("stage"), lit("bad_lang").as("rule"),
+        ($"n" - $"d1").as("n_in"), $"d2".as("n_dropped"),
+        ($"n" - $"d1" - $"d2").as("n_out")),
+      struct(lit(3).as("stage"), lit("low_diversity").as("rule"),
+        ($"n" - $"d1" - $"d2").as("n_in"), $"d3".as("n_dropped"),
+        ($"n" - $"d1" - $"d2" - $"d3").as("n_out")),
+      struct(lit(4).as("stage"), lit("kept").as("rule"),
+        ($"n" - $"d1" - $"d2" - $"d3").as("n_in"), lit(0L).as("n_dropped"),
+        ($"n" - $"d1" - $"d2" - $"d3").as("n_out")))).as("s"))
+      .select($"s.stage", $"s.rule", $"s.n_in", $"s.n_dropped", $"s.n_out")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q12gPiiScrub, q12hRepetitionStats, q12iShuffleOrder,
     q12jVocabStats, q12jVocabApprox, q12kCurationPipeline,
     q12lPackChunks, q12mChunkWindows, q12nSplitAssign,
-    q13gContamination)
+    q12wFilterFunnel, q13gContamination)
 }

@@ -10,6 +10,29 @@ import graft.text.CurationQueries
   */
 class CurationSpec extends SparkTestBase {
 
+  test("q12w funnel chains and matches an independent first-fail count") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val rows = graft.text.CurationQueries.q12wFilterFunnel
+      .fn(spark, sfDir).collect().sortBy(_.getAs[Int]("stage"))
+    assert(rows.length == 4)
+    // conservation: out = in - dropped, and each stage feeds the next
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_out") ==
+        r.getAs[Long]("n_in") - r.getAs[Long]("n_dropped"))
+    }
+    rows.sliding(2).foreach { case Array(a, b) =>
+      assert(b.getAs[Long]("n_in") == a.getAs[Long]("n_out"))
+    }
+    // independent recount of the first failing rule per doc
+    val docs = Tables(spark, sfDir).documents
+    val tooShort = docs.filter($"n_chars" < 150).count()
+    assert(rows(0).getAs[Long]("n_dropped") == tooShort)
+    val badLang = docs.filter($"n_chars" >= 150 && $"lang" === "zh").count()
+    assert(rows(1).getAs[Long]("n_dropped") == badLang)
+    assert(rows(0).getAs[Long]("n_in") == docs.count())
+  }
+
   test("q12g finds exactly the planted PII and leaves the rest clean") {
     import spark.implicits._
     val out = CurationQueries.q12gPiiScrub.fn(spark, sfDir).cache()
