@@ -79,13 +79,13 @@ object Bench {
       "q12o_tfidf_topk", "q12p_mixture_sample", "q12q_weighted_sample",
       "q12r_unigram_logprob", "q12s_source_kl", "q12t_perplexity_buckets",
       "q12u_nfc_normalize",
-      "q12v_heavy_hitters",
+      "q12v_heavy_hitters", "q12w_filter_funnel",
       "q13a_exact_dedup",
       "q13b_ngram_jaccard", "q13c_minhash_lsh", "q13d_simhash",
       "q13g_contamination", "q13h_chunk_dedup",
       "q14b_ann_lsh", "q14d_embed_quantize",
       "q14f_ann_ivf_multiprobe", "q14g_ann_ivfpq",
-      "q17d_orc_roundtrip",
+      "q17d_orc_roundtrip", "q19b_geo_gridjoin", "q9p_multireg",
       "q15a_event_kpis_tumbling", "q15c_sessionization",
       "q15f_asof_join", "q15h_asof_nearest", "q15g_stream_dedup",
       "q23_proximity_join",
