@@ -22,6 +22,7 @@ object SparkEntry {
       graft.analytics.AnalyticsQueries.all ++
       graft.analytics.MlQueries.all ++
       graft.analytics.DaxMeasures.all ++
+      graft.analytics.BehaviorQueries.all ++
       graft.text.TextQueries.all ++
       graft.text.TfIdfQueries.all ++
       graft.text.MixtureQueries.all ++

@@ -1,0 +1,157 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** Behavioral analytics extension (q24 family): cohort retention,
+  * ordered funnels, and event-transition counts — the three classic
+  * user-journey analyses a BI stack layers over an event/orders store
+  * (the reference's DAX rolling-active / churn measures stop at
+  * per-month actives; these complete the journey toolkit).
+  *
+  * All three follow the integer-ranking discipline: every output
+  * column is a BIGINT count, an integer month-offset, or a label —
+  * no float arithmetic, so the DuckDB twin hashes bitwise-identically
+  * by construction.
+  *
+  * At scale: every join/window here is keyed on the entity id
+  * (o_custkey / user_id), so the whole family is one co-keyed shuffle
+  * per stage over monotonically SHRINKING inputs — cohort assignment
+  * is a groupBy(custkey) that reduces to one row per customer before
+  * anything joins it; funnel stage k joins only the survivors of
+  * stage k-1; transitions is a single user_id window then a
+  * 36-key hash-agg with map-side combine.
+  */
+object BehaviorQueries {
+
+  private def ym(d: Column): Column =
+    (year(d) * 12 + month(d)).cast("long")
+
+  /** q24a — cohort retention matrix over orders: customers bucketed
+    * by first-order month, activity counted per month offset.
+    */
+  val q24aCohortRetention: GraftQuery = GraftQuery(
+    "q24a_cohort_retention",
+    """WITH f AS (
+      |  SELECT o_custkey, MIN(o_orderdate) AS fd FROM orders GROUP BY 1),
+      |sizes AS (
+      |  SELECT strftime(fd, '%Y-%m') AS cohort_month,
+      |         COUNT(*) AS cohort_size
+      |  FROM f GROUP BY 1),
+      |act AS (
+      |  SELECT DISTINCT o_custkey,
+      |         CAST(year(o_orderdate)*12 + month(o_orderdate) AS BIGINT) AS am
+      |  FROM orders),
+      |j AS (
+      |  SELECT a.o_custkey, strftime(f.fd, '%Y-%m') AS cohort_month,
+      |         a.am - CAST(year(f.fd)*12 + month(f.fd) AS BIGINT) AS offset_m
+      |  FROM act a JOIN f USING (o_custkey))
+      |SELECT j.cohort_month, j.offset_m,
+      |       COUNT(DISTINCT j.o_custkey) AS n_active, s.cohort_size
+      |FROM j JOIN sizes s ON s.cohort_month = j.cohort_month
+      |GROUP BY 1, 2, 4""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val o = Tables(spark, dir).orders.select($"o_custkey", $"o_orderdate")
+    val firstOrd = o.groupBy($"o_custkey")
+      .agg(min($"o_orderdate").as("fd"))
+    val sizes = firstOrd
+      .groupBy(date_format($"fd", "yyyy-MM").as("cohort_month"))
+      .agg(count(lit(1)).as("cohort_size"))
+    val act = o
+      .select($"o_custkey", ym($"o_orderdate").as("am"))
+      .distinct()
+    act.join(firstOrd, "o_custkey")
+      .select($"o_custkey",
+        date_format($"fd", "yyyy-MM").as("cohort_month"),
+        ($"am" - ym($"fd")).as("offset_m"))
+      .groupBy($"cohort_month", $"offset_m")
+      .agg(countDistinct($"o_custkey").as("n_active"))
+      .join(sizes, "cohort_month")
+  }
+
+  /** One funnel stage: earliest event of `stage` strictly after the
+    * previous stage's timestamp, per user still in the funnel.
+    */
+  private def nextStage(
+      events: DataFrame, prev: DataFrame, stage: String): DataFrame = {
+    import events.sparkSession.implicits._
+    events.filter($"event_type" === stage)
+      .join(prev.select($"user_id", $"t"), "user_id")
+      .filter($"ts" > $"t")
+      .groupBy($"user_id")
+      .agg(min($"ts").as("t"))
+  }
+
+  /** q24b — ordered funnel signup → view → click → purchase: a user
+    * counts at stage k only with events in strictly increasing time
+    * order (min-ts chaining, the standard funnel semantics).
+    */
+  val q24bEventFunnel: GraftQuery = GraftQuery(
+    "q24b_event_funnel",
+    """WITH s1 AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events
+      |  WHERE event_type = 'signup' GROUP BY 1),
+      |s2 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s1 USING (user_id)
+      |  WHERE e.event_type = 'view' AND e.ts > s1.t GROUP BY 1),
+      |s3 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s2 USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > s2.t GROUP BY 1),
+      |s4 AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN s3 USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > s3.t GROUP BY 1)
+      |SELECT CAST(1 AS BIGINT) AS stage_id, 'signup' AS stage,
+      |       COUNT(*) AS n_users FROM s1
+      |UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
+      |UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
+      |UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val ev = Tables(spark, dir).events
+        .select($"user_id", $"event_type", $"ts")
+      val s1 = ev.filter($"event_type" === "signup")
+        .groupBy($"user_id").agg(min($"ts").as("t"))
+      val s2 = nextStage(ev, s1, "view")
+      val s3 = nextStage(ev, s2, "click")
+      val s4 = nextStage(ev, s3, "purchase")
+      Seq(("signup", 1L, s1), ("view", 2L, s2),
+          ("click", 3L, s3), ("purchase", 4L, s4))
+        .map { case (name, id, df) =>
+          df.agg(count(lit(1)).as("n_users"))
+            .select(lit(id).as("stage_id"), lit(name).as("stage"),
+              $"n_users")
+        }
+        .reduce(_ unionAll _)
+  }
+
+  /** q24c — event-transition counts (first-order Markov structure):
+    * per-user LAG over (ts, event_id) — the unique event_id breaks
+    * ts ties so the previous-event assignment is deterministic —
+    * then a tiny (|types|+1)² hash-agg.
+    */
+  val q24cEventTransitions: GraftQuery = GraftQuery(
+    "q24c_event_transitions",
+    """WITH lagged AS (
+      |  SELECT COALESCE(lag(event_type) OVER w, 'START') AS prev_type,
+      |         event_type
+      |  FROM events
+      |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
+      |SELECT prev_type, event_type, COUNT(*) AS n
+      |FROM lagged GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
+    Tables(spark, dir).events
+      .select($"user_id", $"ts", $"event_id", $"event_type")
+      .withColumn("prev_type",
+        coalesce(lag($"event_type", 1).over(w), lit("START")))
+      .groupBy($"prev_type", $"event_type")
+      .agg(count(lit(1)).as("n"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q24aCohortRetention, q24bEventFunnel, q24cEventTransitions)
+}

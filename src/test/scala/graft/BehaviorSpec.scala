@@ -1,0 +1,90 @@
+package graft
+
+import graft.analytics.BehaviorQueries
+
+class BehaviorSpec extends SparkTestBase {
+
+  private def funnel() =
+    BehaviorQueries.q24bEventFunnel.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+
+  test("funnel counts are monotone and match an independent recount") {
+    import spark.implicits._
+    val got = funnel()
+    assert(got.keySet == Set(1L, 2L, 3L, 4L))
+    assert(got(1L) >= got(2L) && got(2L) >= got(3L) && got(3L) >= got(4L))
+    assert(got(1L) > 0, "test setup: no users entered the funnel")
+
+    // independent recount: greedy min-ts chaining per user in plain Scala
+    val ev = Tables(spark, sfDir).events
+      .select($"user_id", $"event_type", unix_micros_col($"ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val stages = Seq("signup", "view", "click", "purchase")
+    val reached = Array.fill(4)(0L)
+    ev.groupBy(_._1).foreach { case (_, rows) =>
+      var t = Long.MinValue
+      var k = 0
+      var continue = true
+      while (k < 4 && continue) {
+        val nxt = rows.filter(r => r._2 == stages(k) && r._3 > t)
+        if (nxt.isEmpty) continue = false
+        else { t = nxt.map(_._3).min; reached(k) += 1; k += 1 }
+      }
+    }
+    // greedy-min chaining is exactly the query's semantics
+    assert(got(1L) == reached(0) && got(2L) == reached(1) &&
+      got(3L) == reached(2) && got(4L) == reached(3),
+      s"funnel=$got recount=${reached.toSeq}")
+  }
+
+  private def unix_micros_col(c: org.apache.spark.sql.Column) =
+    org.apache.spark.sql.functions.unix_micros(c)
+
+  test("transitions conserve events; START rows count distinct users") {
+    import spark.implicits._
+    val t = BehaviorQueries.q24cEventTransitions.fn(spark, sfDir)
+      .collect().map(r => ((r.getString(0), r.getString(1)), r.getLong(2)))
+    val events = Tables(spark, sfDir).events
+    val total = events.count()
+    val users = events.select($"user_id").distinct().count()
+    assert(t.map(_._2).sum == total, "every event appears in exactly one pair")
+    assert(t.filter(_._1._1 == "START").map(_._2).sum == users,
+      "one START transition per user")
+    assert(t.map(_._1).distinct.length == t.length, "pair keys are unique")
+  }
+
+  test("cohort matrix: offset 0 equals cohort size, actives bounded") {
+    val rows = BehaviorQueries.q24aCohortRetention.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(rows.nonEmpty)
+    rows.foreach { case (cm, off, active, size) =>
+      assert(off >= 0, s"negative offset in cohort $cm")
+      assert(active >= 1 && active <= size,
+        s"cohort $cm offset $off: n_active=$active outside [1, $size]")
+    }
+    rows.groupBy(_._1).foreach { case (cm, rs) =>
+      val at0 = rs.filter(_._2 == 0L)
+      assert(at0.length == 1, s"cohort $cm missing its offset-0 row")
+      assert(at0.head._3 == at0.head._4,
+        s"cohort $cm: offset-0 actives ${at0.head._3} != size ${at0.head._4}")
+    }
+  }
+
+  test("plan: funnel stage scans push the event_type literal to parquet") {
+    val plan = BehaviorQueries.q24bEventFunnel.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("EqualTo(event_type,signup)"),
+      "event_type filter did not reach the parquet scan:\n" + plan.take(2000))
+  }
+
+  test("plan: transitions = one window shuffle + one agg shuffle") {
+    val plan = BehaviorQueries.q24cEventTransitions.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
+    assert(exchanges <= 2,
+      s"expected <=2 shuffles (user window + pair agg), got $exchanges:\n" +
+        plan.take(2000))
+  }
+}
