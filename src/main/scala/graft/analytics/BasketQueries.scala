@@ -1,0 +1,101 @@
+package graft.analytics
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** Market-basket analysis (q25): association rules over order baskets
+  * — support / confidence / lift for brand pairs bought together, the
+  * classic BI co-purchase operator the reference's DAX layer implies
+  * but never materializes.
+  *
+  * Scale design (100 TB): the quadratic step is bounded per basket,
+  * not per corpus. Items are deduped to (basket, item) grain FIRST
+  * (one keyed shuffle), baskets collapse to one sorted item array
+  * each (second keyed shuffle), and pairs are generated MAP-SIDE from
+  * each array — fanout ≤ C(items-per-basket, 2), which the basket
+  * grain bounds (brand grain: ≤ C(25,2)); the pair aggregation is the
+  * only further shuffle and map-side combines first. Item frequencies
+  * and the basket total are tiny aggregates broadcast back onto the
+  * pair rows — no shuffle touches the pair frame again.
+  *
+  * Determinism: every mining RULE is pure integer cross-
+  * multiplication (support: n_ab·1000 ≥ 5·n_baskets; high-lift:
+  * n_ab·n_baskets·100 ≥ 105·n_a·n_b) — no float ever decides
+  * membership. confidence/lift are emitted as ROUND(,6) VALUE
+  * columns only: int/int double division at the end is exact-rounded
+  * identically in both engines (the q9l lesson).
+  */
+object BasketQueries {
+
+  /** q25 — brand-pair association rules over order baskets. */
+  val q25BasketRules: GraftQuery = GraftQuery(
+    "q25_basket_rules",
+    """WITH items AS (
+      |  SELECT DISTINCT l.l_orderkey, p.p_brand
+      |  FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey),
+      |nb AS (SELECT COUNT(DISTINCT l_orderkey) AS n_baskets FROM items),
+      |freq AS (SELECT p_brand, COUNT(*) AS n FROM items GROUP BY 1),
+      |pairs AS (
+      |  SELECT a.p_brand AS brand_a, b.p_brand AS brand_b,
+      |         COUNT(*) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.p_brand < b.p_brand
+      |  GROUP BY 1, 2)
+      |SELECT pr.brand_a, pr.brand_b, fa.n AS n_a, fb.n AS n_b,
+      |       pr.n_ab, nb.n_baskets,
+      |       ROUND(CAST(pr.n_ab AS DOUBLE) / fa.n, 6) AS confidence,
+      |       ROUND((CAST(pr.n_ab AS DOUBLE) * nb.n_baskets)
+      |             / (fa.n * fb.n), 6) AS lift,
+      |       pr.n_ab * nb.n_baskets * 100 >= 105 * fa.n * fb.n
+      |         AS high_lift
+      |FROM pairs pr
+      |JOIN freq fa ON fa.p_brand = pr.brand_a
+      |JOIN freq fb ON fb.p_brand = pr.brand_b
+      |CROSS JOIN nb
+      |WHERE pr.n_ab * 1000 >= 5 * nb.n_baskets""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      // three consumers (pairs, freq, nb) — stage the deduped item
+      // grain once; eager localCheckpoint leaves no CacheManager entry
+      val items = t.lineitem.select($"l_orderkey", $"l_partkey")
+        .join(t.part.select($"p_partkey", $"p_brand"),
+          $"l_partkey" === $"p_partkey")
+        .select($"l_orderkey", $"p_brand")
+        .distinct()
+        .localCheckpoint()
+      // one sorted item array per basket; pairs emitted map-side
+      val pairs = items
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"p_brand")).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)), y ->
+            |    struct(x AS brand_a, y AS brand_b))))""".stripMargin))
+          .as("p"))
+        .select($"p.brand_a", $"p.brand_b")
+        .groupBy($"brand_a", $"brand_b")
+        .agg(count(lit(1)).as("n_ab"))
+      val freq = items.groupBy($"p_brand").agg(count(lit(1)).as("n"))
+      val nb = items.select(
+        countDistinct($"l_orderkey").as("n_baskets"))
+      pairs
+        .join(broadcast(freq.select($"p_brand".as("brand_a"),
+          $"n".as("n_a"))), "brand_a")
+        .join(broadcast(freq.select($"p_brand".as("brand_b"),
+          $"n".as("n_b"))), "brand_b")
+        .crossJoin(broadcast(nb))
+        .filter($"n_ab" * 1000 >= lit(5) * $"n_baskets")
+        .select($"brand_a", $"brand_b", $"n_a", $"n_b", $"n_ab",
+          $"n_baskets",
+          round($"n_ab".cast("double") / $"n_a", 6).as("confidence"),
+          round(($"n_ab".cast("double") * $"n_baskets")
+            / ($"n_a" * $"n_b"), 6).as("lift"),
+          ($"n_ab" * $"n_baskets" * 100 >= lit(105) * $"n_a" * $"n_b")
+            .as("high_lift"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q25BasketRules)
+}

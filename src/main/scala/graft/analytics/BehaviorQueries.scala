@@ -152,6 +152,58 @@ object BehaviorQueries {
       .agg(count(lit(1)).as("n"))
   }
 
+  /** q24d — last-touch attribution: each purchase attributed to the
+    * user's most recent preceding click via [[graft.operators.AsofJoin
+    * .asofBackward]] (clicks deduped to (user, ts) grain first — the
+    * operator's documented precondition), then bucketed by click
+    * recency: within 1 h / older / organic (no prior click). Revenue
+    * per channel uses the exact-decimal sum, so the 3-row rollup
+    * hash-matches DuckDB's native ASOF twin bitwise. Scale shape: one
+    * (user, ts) shuffle + sort for the as-of carry, then a 3-key
+    * hash-agg with map-side combine.
+    */
+  val q24dAttribution: GraftQuery = GraftQuery(
+    "q24d_attribution",
+    """WITH p AS (
+      |  SELECT user_id, ts, value FROM events
+      |  WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts, MIN(event_id) AS click_id FROM events
+      |  WHERE event_type = 'click' GROUP BY 1, 2),
+      |a AS (
+      |  SELECT p.value, c.click_id,
+      |         epoch_us(p.ts) - epoch_us(c.ts) AS age_us
+      |  FROM p ASOF LEFT JOIN c
+      |    ON p.user_id = c.user_id AND c.ts <= p.ts)
+      |SELECT CASE WHEN click_id IS NULL THEN 'organic'
+      |            WHEN age_us <= 3600000000 THEN 'click_1h'
+      |            ELSE 'click_older' END AS channel,
+      |       COUNT(*) AS n_purchases,
+      |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR)
+      |            AS DOUBLE) AS revenue
+      |FROM a GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val purchases = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts", $"value")
+    val clicks = ev.filter($"event_type" === "click")
+      .groupBy($"user_id", $"ts")
+      .agg(min($"event_id").as("click_id"))
+      .withColumn("cus", unix_micros($"ts"))
+    graft.operators.AsofJoin
+      .asofBackward(purchases, clicks, keys = Seq("user_id"),
+        tsCol = "ts", carryCols = Seq("click_id", "cus"))
+      .withColumn("age_us", unix_micros($"ts") - $"asof_cus")
+      .withColumn("channel",
+        when($"asof_click_id".isNull, "organic")
+          .when($"age_us" <= 3600000000L, "click_1h")
+          .otherwise("click_older"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_purchases"),
+        graft.functions.Exact.dsum($"value").as("revenue"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q24aCohortRetention, q24bEventFunnel, q24cEventTransitions)
+    Seq(q24aCohortRetention, q24bEventFunnel, q24cEventTransitions,
+      q24dAttribution)
 }

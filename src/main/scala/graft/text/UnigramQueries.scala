@@ -204,6 +204,84 @@ object UnigramQueries {
         round(sum($"fx") / lit(1e12), 6).as("kl"))
   }
 
+  /** q12x — bigram language-model scoring with add-one smoothing:
+    * per-doc cross-entropy under the corpus's own bigram model,
+    * xent2(d) = −Σ_{(w1,w2)} tf·ln((cb+1)/(cu+V)) / n_bigrams — the
+    * order-sensitive upgrade of q12r's unigram score (detects
+    * shuffled/templated text whose unigram profile looks fluent).
+    *
+    * Model vocabulary V is the CONTINUATION vocabulary (distinct w2
+    * over corpus bigrams): it derives from the bigram counts already
+    * in hand, so the corpus is tokenized exactly once — no second
+    * unigram pass; smoothing mass goes to tokens ever observed as a
+    * continuation, which is the space p(w2|w1) ranges over.
+    *
+    * Scale shape: bigrams are built MAP-SIDE from each doc's token
+    * array (zip-with-next — no positional self-join), reduced to
+    * (doc, w1, w2) grain in one keyed shuffle; the model tables cb/cu
+    * and the V scalar all derive from that one aggregate. The per-doc
+    * sum is q12r's ordered fold (sorted structs, left fold) so the
+    * doubles are bitwise-identical cross-engine; docs with < 2 tokens
+    * have no bigrams and drop out on both sides by construction.
+    */
+  val q12xBigramLogprob: GraftQuery = GraftQuery(
+    "q12x_bigram_logprob",
+    """WITH lists AS (
+      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  FROM documents),
+      |big AS (
+      |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
+      |  FROM lists, UNNEST(range(1, len(ws))) AS t(i)),
+      |tf AS (SELECT doc_id, w1, w2, COUNT(*) AS tf FROM big
+      |       GROUP BY 1, 2, 3),
+      |cb AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS cb FROM tf
+      |       GROUP BY 1, 2),
+      |cu AS (SELECT w1, CAST(SUM(cb) AS BIGINT) AS cu FROM cb GROUP BY 1),
+      |v AS (SELECT COUNT(DISTINCT w2) AS v FROM cb),
+      |doc AS (
+      |  SELECT t.doc_id,
+      |         LIST(t.tf * LN(CAST(c.cb + 1 AS DOUBLE) / (u.cu + v.v))
+      |              ORDER BY t.w1, t.w2) AS xs,
+      |         CAST(SUM(t.tf) AS BIGINT) AS n_bigrams
+      |  FROM tf t JOIN cb c USING (w1, w2) JOIN cu u USING (w1)
+      |  CROSS JOIN v
+      |  GROUP BY 1)
+      |SELECT doc_id, n_bigrams,
+      |       ROUND(-list_reduce(xs, (a, b) -> a + b) / n_bigrams, 6)
+      |         AS xent2
+      |FROM doc""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val tf = docs
+      .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      .select($"doc_id", explode(expr(
+        """transform(slice(ws, 1, size(ws) - 1),
+          |  (x, i) -> struct(x AS w1, ws[i + 1] AS w2))""".stripMargin))
+        .as("b"))
+      .select($"doc_id", $"b.w1", $"b.w2")
+      .groupBy($"doc_id", $"w1", $"w2")
+      .agg(count(lit(1)).as("tf"))
+      // three model consumers (cb→cu→V and the scoring join) over a
+      // vocab²-bounded frame — the q12s staging pattern
+      .localCheckpoint(true)
+    val cb = tf.groupBy($"w1", $"w2").agg(sum($"tf").as("cb"))
+    val cu = cb.groupBy($"w1").agg(sum($"cb").as("cu"))
+    val v = cb.agg(countDistinct($"w2").as("v"))
+    tf.join(cb, Seq("w1", "w2"))
+      .join(cu, Seq("w1"))
+      .crossJoin(broadcast(v))
+      .withColumn("x",
+        $"tf" * log(($"cb" + 1).cast("double") / ($"cu" + $"v")))
+      .groupBy($"doc_id")
+      .agg(sort_array(collect_list(struct($"w1", $"w2", $"x"))).as("xs"),
+        sum($"tf").as("n_bigrams"))
+      .select($"doc_id", $"n_bigrams",
+        round(-aggregate($"xs", lit(0.0),
+            (acc, s) => acc + s.getField("x")) / $"n_bigrams", 6)
+          .as("xent2"))
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q12rUnigramLogprob, q12sSourceKl, q12tPerplexityBuckets)
+    Seq(q12rUnigramLogprob, q12sSourceKl, q12tPerplexityBuckets,
+      q12xBigramLogprob)
 }

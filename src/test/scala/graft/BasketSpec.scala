@@ -1,0 +1,69 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.BasketQueries
+
+class BasketSpec extends SparkTestBase {
+
+  private lazy val rules =
+    BasketQueries.q25BasketRules.fn(spark, sfDir).collect()
+      .map(r => ((r.getString(0), r.getString(1)),
+        (r.getLong(2), r.getLong(3), r.getLong(4), r.getLong(5),
+          r.getDouble(6), r.getDouble(7), r.getBoolean(8))))
+
+  test("pair invariants: keys ordered+unique, counts bounded") {
+    assert(rules.nonEmpty)
+    assert(rules.map(_._1).distinct.length == rules.length)
+    rules.foreach { case ((a, b), (nA, nB, nAb, nBask, conf, lift, _)) =>
+      assert(a < b, s"pair ($a, $b) not in canonical order")
+      assert(nAb >= 1 && nAb <= math.min(nA, nB),
+        s"($a, $b): n_ab=$nAb outside [1, min($nA, $nB)]")
+      assert(nA <= nBask && nB <= nBask)
+      assert(conf > 0.0 && conf <= 1.0, s"($a, $b): confidence=$conf")
+      assert(lift > 0.0)
+    }
+    assert(rules.map(_._2._4).distinct.length == 1,
+      "n_baskets must be one constant across rows")
+  }
+
+  test("mining rules are the stated integer cross-multiplications") {
+    rules.foreach { case ((a, b), (nA, nB, nAb, nBask, _, _, highLift)) =>
+      assert(nAb * 1000 >= 5 * nBask, s"($a, $b) violates the support rule")
+      assert(highLift == (nAb * nBask * 100 >= 105 * nA * nB),
+        s"($a, $b): high_lift flag disagrees with the integer rule")
+    }
+  }
+
+  test("pair counts match a brute-force self-join recount") {
+    import spark.implicits._
+    val t = Tables(spark, sfDir)
+    val items = t.lineitem.select($"l_orderkey", $"l_partkey")
+      .join(t.part.select($"p_partkey", $"p_brand"),
+        $"l_partkey" === $"p_partkey")
+      .select($"l_orderkey", $"p_brand").distinct()
+    val brute = items.as("a")
+      .join(items.as("b"), col("a.l_orderkey") === col("b.l_orderkey") &&
+        col("a.p_brand") < col("b.p_brand"))
+      .groupBy(col("a.p_brand").as("brand_a"), col("b.p_brand").as("brand_b"))
+      .agg(count(lit(1)).as("n_ab"))
+      .collect().map(r => (r.getString(0), r.getString(1)) -> r.getLong(2))
+      .toMap
+    val nBaskets = rules.head._2._4
+    // the query's support filter applied to the brute counts
+    val expected = brute.filter { case (_, n) => n * 1000 >= 5 * nBaskets }
+    assert(rules.map { case (k, v) => k -> v._3 }.toMap == expected)
+  }
+
+  test("plan: map-side pair generation — no self-join, dims broadcast") {
+    val plan = BasketQueries.q25BasketRules.fn(spark, sfDir)
+      .queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(plan.contains("Generate explode"),
+      "pairs must come from a map-side array explode")
+    assert(plan.contains("BroadcastHashJoin"),
+      "frequency/scalar attachments must broadcast")
+    assert(!plan.contains("CartesianProduct"),
+      "no cartesian product may appear:\n" + plan.take(2000))
+  }
+}

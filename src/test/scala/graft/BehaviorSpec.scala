@@ -71,6 +71,33 @@ class BehaviorSpec extends SparkTestBase {
     }
   }
 
+  test("attribution conserves purchases and matches a last-click recount") {
+    import spark.implicits._
+    val got = BehaviorQueries.q24dAttribution.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got.keySet == Set("organic", "click_1h", "click_older"))
+
+    // driver-side recount: latest click ≤ purchase ts per user
+    val ev = Tables(spark, sfDir).events
+      .select($"user_id", $"event_type", unix_micros_col($"ts"))
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val clicksByUser = ev.filter(_._2 == "click")
+      .groupBy(_._1).map { case (u, rs) => u -> rs.map(_._3).sorted }
+    val counts = scala.collection.mutable.Map(
+      "organic" -> 0L, "click_1h" -> 0L, "click_older" -> 0L)
+    ev.filter(_._2 == "purchase").foreach { case (u, _, ts) =>
+      val prior = clicksByUser.get(u).iterator
+        .flatMap(_.takeWhile(_ <= ts)).toSeq
+      val ch =
+        if (prior.isEmpty) "organic"
+        else if (ts - prior.max <= 3600000000L) "click_1h"
+        else "click_older"
+      counts(ch) += 1L
+    }
+    assert(got == counts.toMap, s"got=$got recount=$counts")
+    assert(got.values.sum == ev.count(_._2 == "purchase"))
+  }
+
   test("plan: funnel stage scans push the event_type literal to parquet") {
     val plan = BehaviorQueries.q24bEventFunnel.fn(spark, sfDir)
       .queryExecution.executedPlan.toString

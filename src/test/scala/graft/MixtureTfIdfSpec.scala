@@ -240,4 +240,45 @@ class MixtureTfIdfSpec extends SparkTestBase {
         s"ReusedExchange over tf's (doc_id, term) shuffle:\n$plan")
     assert(plan.contains("ReusedExchange"), s"no exchange reuse:\n$plan")
   }
+
+  test("bigram xent: one tokenize pass, matches a driver-side reference") {
+    import spark.implicits._
+    val df = UnigramQueries.q12xBigramLogprob.fn(spark, sfDir)
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    // the bigram explode happens once inside the eager tf checkpoint;
+    // the model chain (cb, cu, V) and the scoring join all read the
+    // staged frame — the query plan proper must not re-tokenize
+    assert("Generate explode".r.findAllIn(plan).length === 0,
+      s"a model consumer re-tokenized instead of reading staged tf:\n$plan")
+    val got = df.collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getDouble(2))).toMap
+
+    // driver-side reference: independent bigram model + score
+    val docs = Tables(spark, sfDir).documents
+      .select($"doc_id", $"text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).trim.split("\\s+").toSeq)
+    val bigrams = docs.map { case (id, ws) => id -> ws.zip(ws.drop(1)) }
+    val cb = bigrams.flatMap(_._2).groupBy(identity).map {
+      case (k, v) => k -> v.size.toLong }
+    val cu = cb.groupBy(_._1._1).map { case (w1, m) => w1 -> m.values.sum }
+    val v = cb.keySet.map(_._2).size
+    val expected = bigrams.filter(_._2.nonEmpty).map { case (id, bs) =>
+      val tf = bs.groupBy(identity).map { case (k, g) => k -> g.size }
+      val n = bs.size.toLong
+      // same fold order as the query: sorted (w1, w2)
+      val s = tf.toSeq.sortBy(_._1).foldLeft(0.0) { case (acc, (k, f)) =>
+        acc + f * math.log((cb(k) + 1).toDouble / (cu(k._1) + v))
+      }
+      id -> (n, BigDecimal(-s / n).setScale(6,
+        BigDecimal.RoundingMode.HALF_UP).toDouble)
+    }.toMap
+    assert(got.keySet == expected.keySet)
+    got.foreach { case (id, (n, x)) =>
+      assert(n == expected(id)._1, s"doc $id: n_bigrams $n")
+      assert(math.abs(x - expected(id)._2) < 1e-9,
+        s"doc $id: xent2 $x vs reference ${expected(id)._2}")
+    }
+    got.values.foreach { case (_, x) => assert(x > 0 && x.isFinite) }
+  }
 }
