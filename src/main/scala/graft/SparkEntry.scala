@@ -32,6 +32,7 @@ object SparkEntry {
       graft.text.CurationQueries.all ++
       graft.text.DedupQueries.all ++
       graft.text.SimilarityQueries.all ++
+      graft.text.KMeansQueries.all ++
       graft.streaming.EventKpis.all ++
       graft.multimodal.Multimodal.all ++
       graft.sources.Sources.all ++
