@@ -23,6 +23,7 @@ object SparkEntry {
       graft.analytics.MlQueries.all ++
       graft.analytics.DaxMeasures.all ++
       graft.analytics.BehaviorQueries.all ++
+      graft.analytics.ProfileQueries.all ++
       graft.analytics.BasketQueries.all ++
       graft.text.TextQueries.all ++
       graft.text.TfIdfQueries.all ++

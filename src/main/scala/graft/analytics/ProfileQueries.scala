@@ -1,0 +1,161 @@
+package graft.analytics
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** Data-profiling + data-quality audit operators — the warehouse-side
+  * hygiene surface every BI stack in the reference's class ships
+  * (column profiles feed the report layer's field pickers; integrity
+  * audits gate the ETL loads, ref `Database/Database Creation.sql`
+  * foreign-key DDL at :40-180 which the star loads must satisfy).
+  *
+  * Scale notes (100 TB):
+  *  - [[profile]] is ONE aggregation pass over the table. The exact
+  *    per-column COUNT(DISTINCT) expands the input ×(#distinct-agg
+  *    columns) (Catalyst Expand) — acceptable to ~10 columns; the
+  *    sketch path (approx_count_distinct, mergeable fixed-size HLL
+  *    state, no expand) is computed alongside and VERIFIED in-plan
+  *    against the exact count with a 5% tolerance verdict, the q12j
+  *    device: at 100 TB you keep the sketch column and drop the exact
+  *    ones, and the verdict row proves the swap is sound at gate scale.
+  *  - [[integrityAudit]] is one LEFT ANTI join per relationship on the
+  *    natural key — AQE broadcasts the dim side whenever it fits, and
+  *    an anti join never multiplies rows, so each check is a single
+  *    bounded shuffle at worst.
+  */
+object ProfileQueries {
+
+  /** Canonical string form per type so min/max hash identically across
+    * engines: doubles via fixed-scale DECIMAL (both engines print all
+    * six scale digits), timestamps via an explicit second-grain format
+    * (engine-default renderings disagree on fractional seconds).
+    */
+  private def canon(c: Column, dt: DataType): Column = dt match {
+    case DoubleType    => c.cast(DecimalType(18, 6)).cast(StringType)
+    case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
+    case _             => c.cast(StringType)
+  }
+
+  /** Schema-driven column profiler: works on ANY DataFrame. One pass;
+    * per column: non-null count, exact + HLL-sketch distinct counts
+    * (with an in-plan ≤5% agreement verdict), canonical min/max.
+    */
+  def profile(df: DataFrame): DataFrame = {
+    val fields = df.schema.fields.toSeq
+    val aggs = fields.flatMap { f =>
+      val c = col(f.name)
+      Seq(
+        count(c).as(s"${f.name}__nn"),
+        countDistinct(c).as(s"${f.name}__nd"),
+        approx_count_distinct(c, 0.01).as(s"${f.name}__ad"),
+        canon(min(c), f.dataType).as(s"${f.name}__mn"),
+        canon(max(c), f.dataType).as(s"${f.name}__mx"))
+    }
+    val one = df.agg(count(lit(1)).as("__rows"), aggs: _*)
+    val entries = fields.map { f =>
+      struct(
+        lit(f.name).as("col_name"),
+        col("__rows").as("n_rows"),
+        col(s"${f.name}__nn").as("n_nonnull"),
+        col(s"${f.name}__nd").as("n_distinct"),
+        (abs(col(s"${f.name}__ad") - col(s"${f.name}__nd")) <=
+          col(s"${f.name}__nd") * 0.05).as("sketch_ok"),
+        col(s"${f.name}__mn").as("min_val"),
+        col(s"${f.name}__mx").as("max_val"))
+    }
+    one.select(explode(array(entries: _*)).as("p")).select("p.*")
+  }
+
+  /** The oracle twin is generated from the same (name, kind) list the
+    * profiler derives from the schema — metadata-driven on both sides.
+    */
+  private def profileOracle(table: String, cols: Seq[(String, String)]): String =
+    cols.map { case (name, kind) =>
+      def mm(f: String) = kind match {
+        case "double" => s"CAST(CAST($f($name) AS DECIMAL(18,6)) AS VARCHAR)"
+        case "ts"     => s"STRFTIME($f($name), '%Y-%m-%d %H:%M:%S')"
+        case _        => s"CAST($f($name) AS VARCHAR)"
+      }
+      s"""SELECT '$name' AS col_name,
+         |  CAST(COUNT(*) AS BIGINT) AS n_rows,
+         |  CAST(COUNT($name) AS BIGINT) AS n_nonnull,
+         |  CAST(COUNT(DISTINCT $name) AS BIGINT) AS n_distinct,
+         |  TRUE AS sketch_ok,
+         |  ${mm("MIN")} AS min_val,
+         |  ${mm("MAX")} AS max_val
+         |FROM $table""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val q26aProfile: GraftQuery = GraftQuery(
+    "q26a_profile",
+    profileOracle("orders", Seq(
+      "o_orderkey" -> "bigint", "o_custkey" -> "bigint",
+      "o_orderstatus" -> "varchar", "o_totalprice" -> "double",
+      "o_orderdate" -> "ts", "o_orderpriority" -> "varchar"))) {
+    (spark, dir) => profile(Tables(spark, dir).orders)
+  }
+
+  /** One referential-integrity relationship: child.fk → parent.pk. */
+  final case class FkCheck(rel: String, child: DataFrame, fk: String,
+      parent: DataFrame, pk: String)
+
+  /** Per relationship: child rows, NULL FKs, orphan rows (FK value
+    * absent from the parent), distinct orphan key values.
+    */
+  def integrityAudit(checks: Seq[FkCheck]): DataFrame =
+    checks.map { k =>
+      val nonNull = k.child.filter(col(k.fk).isNotNull)
+      val orphans = nonNull.join(k.parent.select(col(k.pk)),
+        col(k.fk) === col(k.pk), "left_anti")
+      val base = k.child.agg(
+        count(lit(1)).as("child_rows"),
+        count(when(col(k.fk).isNull, 1)).as("null_fks"))
+      val orph = orphans.agg(
+        count(lit(1)).as("orphan_rows"),
+        countDistinct(col(k.fk)).as("orphan_keys"))
+      base.crossJoin(orph).select(
+        lit(k.rel).as("rel"),
+        col("child_rows"), col("null_fks"),
+        col("orphan_rows"), col("orphan_keys"))
+    }.reduce(_ unionAll _)
+
+  private def fkOracle(rels: Seq[(String, String, String, String, String)]): String =
+    rels.map { case (rel, child, fk, parent, pk) =>
+      s"""SELECT '$rel' AS rel,
+         |  CAST(COUNT(*) AS BIGINT) AS child_rows,
+         |  CAST(COUNT(CASE WHEN $fk IS NULL THEN 1 END) AS BIGINT) AS null_fks,
+         |  CAST(COUNT(CASE WHEN $fk IS NOT NULL AND NOT EXISTS
+         |    (SELECT 1 FROM $parent WHERE $pk = $fk) THEN 1 END) AS BIGINT)
+         |    AS orphan_rows,
+         |  CAST(COUNT(DISTINCT CASE WHEN $fk IS NOT NULL AND NOT EXISTS
+         |    (SELECT 1 FROM $parent WHERE $pk = $fk) THEN $fk END) AS BIGINT)
+         |    AS orphan_keys
+         |FROM $child""".stripMargin
+    }.mkString("\nUNION ALL\n")
+
+  val q26bIntegrity: GraftQuery = GraftQuery(
+    "q26b_integrity",
+    fkOracle(Seq(
+      ("lineitem.l_orderkey->orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+      ("lineitem.l_partkey->part", "lineitem", "l_partkey", "part", "p_partkey"),
+      ("lineitem.l_suppkey->supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+      ("orders.o_custkey->customer", "orders", "o_custkey", "customer", "c_custkey"),
+      ("customer.c_nationkey->nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+      ("nation.n_regionkey->region", "nation", "n_regionkey", "region", "r_regionkey")))) {
+    (spark, dir) =>
+      val t = Tables(spark, dir)
+      integrityAudit(Seq(
+        FkCheck("lineitem.l_orderkey->orders", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+        FkCheck("lineitem.l_partkey->part", t.lineitem, "l_partkey", t.part, "p_partkey"),
+        FkCheck("lineitem.l_suppkey->supplier", t.lineitem, "l_suppkey", t.supplier, "s_suppkey"),
+        FkCheck("orders.o_custkey->customer", t.orders, "o_custkey", t.customer, "c_custkey"),
+        FkCheck("customer.c_nationkey->nation", t.customer, "c_nationkey", t.nation, "n_nationkey"),
+        FkCheck("nation.n_regionkey->region", t.nation, "n_regionkey", t.region, "r_regionkey")))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q26aProfile, q26bIntegrity)
+}

@@ -312,6 +312,57 @@ object AnalyticalQueries {
         $"moving_avg_7d", $"ytd_revenue")
   }
 
+  /** 3C — the rest of the rank-family window surface the reference's
+    * report queries lean on (`TASK 2A…sql` §3 uses RANK/NTILE; DAX §7.1
+    * uses percentile positions): DENSE_RANK, PERCENT_RANK, CUME_DIST,
+    * LEAD and NTH_VALUE over one shared window. Ordering is total and
+    * pure-integer (n_orders DESC, c_custkey) so every function is
+    * deterministic cross-engine; the fraction outputs are int/int
+    * divisions, which IEEE-round identically in both engines.
+    *
+    * Scale: one hash agg on o_custkey (the natural shuffle key), one
+    * window partitioned by mktsegment (5 groups). At 100 TB the
+    * per-segment sort is the bottleneck; the exact-rank scale path is
+    * [[graft.operators.DistributedRank]] as pinned for q3a — this query
+    * exists to cover the *function surface*, not a new plan shape.
+    */
+  val q3cWindowExtras: GraftQuery = GraftQuery(
+    "q3c_window_extras",
+    """WITH cnt AS (
+      |  SELECT c_mktsegment, c_custkey, CAST(COUNT(*) AS BIGINT) AS n_orders
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2)
+      |SELECT c_mktsegment, c_custkey, n_orders,
+      |       CAST(DENSE_RANK() OVER w AS INTEGER) AS drank,
+      |       PERCENT_RANK() OVER w AS pct_rank,
+      |       CUME_DIST() OVER w AS cume,
+      |       CAST(LEAD(n_orders, 1, 0) OVER w AS BIGINT) AS next_n,
+      |       CAST(NTH_VALUE(n_orders, 3) OVER (PARTITION BY c_mktsegment
+      |         ORDER BY n_orders DESC, c_custkey
+      |         ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+      |         AS BIGINT) AS third_n
+      |FROM cnt
+      |WINDOW w AS (PARTITION BY c_mktsegment
+      |             ORDER BY n_orders DESC, c_custkey)""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val cnt = t.orders
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment", $"c_custkey")
+        .agg(count(lit(1)).as("n_orders"))
+      val w = Window.partitionBy($"c_mktsegment")
+        .orderBy($"n_orders".desc, $"c_custkey")
+      val wFull = w.rowsBetween(Window.unboundedPreceding,
+        Window.unboundedFollowing)
+      cnt
+        .withColumn("drank", dense_rank().over(w))
+        .withColumn("pct_rank", percent_rank().over(w))
+        .withColumn("cume", cume_dist().over(w))
+        .withColumn("next_n", lead($"n_orders", 1, 0).over(w).cast(LongType))
+        .withColumn("third_n", nth_value($"n_orders", 3).over(wFull))
+  }
+
   /** 4A — triple EXISTS/semi-join chain: parts in ≥3 distinct orders ∧
     * high return rate ∧ bought by BUILDING-segment customers
     * (ref `TASK 2A…sql:170-203`: conjunctive CTE semi-joins + HAVING).
@@ -501,7 +552,7 @@ object AnalyticalQueries {
 
   val all: Seq[GraftQuery] = Seq(
     q1aYoyGrowth, q1bSeasonalIndex, q2aGroupingSets, q2bRollup,
-    q3aRankNtile, q3aRankNtileDist, q3bMovingAvgYtd,
+    q3aRankNtile, q3aRankNtileDist, q3bMovingAvgYtd, q3cWindowExtras,
     q4aSemiJoinChain, q4bPriceVsBrand,
     q5aTopLtv, q5bMonthlyKpis)
 }

@@ -1,0 +1,95 @@
+package graft
+
+import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions._
+
+import graft.analytics.ProfileQueries
+import graft.analytics.ProfileQueries.FkCheck
+
+/** Column profiler + integrity audit: semantics on hand-built frames
+  * with planted nulls/orphans, and the one-pass plan claim.
+  */
+class ProfileSpec extends SparkTestBase {
+  import spark.implicits._
+
+  test("profile reports counts, distincts, canonical min/max per column") {
+    val df = Seq(
+      (1L, Some(2.5), "b"),
+      (2L, None, "a"),
+      (3L, Some(2.5), "c"),
+      (3L, Some(10.0), "a")).toDF("k", "v", "s")
+    val p = ProfileQueries.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p.keySet == Set("k", "v", "s"))
+    val k = p("k")
+    assert(k.getLong(1) == 4 && k.getLong(2) == 4 && k.getLong(3) == 3)
+    assert(k.getString(5) == "1" && k.getString(6) == "3")
+    val v = p("v")
+    assert(v.getLong(2) == 3, "null excluded from non-null count")
+    assert(v.getLong(3) == 2, "null excluded from distinct count")
+    assert(v.getString(5) == "2.500000" && v.getString(6) == "10.000000",
+      "doubles canonicalized at fixed DECIMAL(18,6) scale")
+    assert(p("s").getString(5) == "a" && p("s").getString(6) == "c")
+    assert(Seq("k", "v", "s").forall(c => p(c).getBoolean(4)),
+      "HLL sketch within 5% of exact at this cardinality")
+  }
+
+  test("profile is one aggregation pass: a single scan of the input") {
+    val df = ProfileQueries.profile(Tables(spark, sfDir).orders)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    val scans = "Scan parquet".r.findAllIn(plan).length
+    assert(scans == 1, s"expected one orders scan, got $scans:\n$plan")
+    // exact multi-column COUNT(DISTINCT) is the documented Expand cost
+    assert(plan.contains("Expand"), "distinct aggs should plan via Expand")
+  }
+
+  test("integrity audit counts planted orphans and null FKs exactly once") {
+    val child = Seq((1L, "a"), (2L, "b"), (7L, "c"), (7L, "d"))
+      .toDF("fk", "pay")
+      .unionByName(Seq(("x")).toDF("pay").withColumn("fk", lit(null: java.lang.Long))
+        .select($"fk", $"pay"))
+    val parent = Seq(1L, 2L, 3L).toDF("pk")
+    val out = ProfileQueries.integrityAudit(
+      Seq(FkCheck("t", child, "fk", parent, "pk"))).collect()
+    assert(out.length == 1)
+    val r = out.head
+    assert(r.getLong(1) == 5, "child rows")
+    assert(r.getLong(2) == 1, "null FKs")
+    assert(r.getLong(3) == 2, "orphan rows (7 appears twice)")
+    assert(r.getLong(4) == 1, "distinct orphan keys")
+  }
+
+  test("integrity audit joins never multiply: anti joins only, no cartesian") {
+    val t = Tables(spark, sfDir)
+    val df = ProfileQueries.integrityAudit(Seq(
+      FkCheck("li->o", t.lineitem, "l_orderkey", t.orders, "o_orderkey"),
+      FkCheck("o->c", t.orders, "o_custkey", t.customer, "c_custkey")))
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert("LeftAnti".r.findAllIn(plan).length >= 2,
+      s"expected anti joins:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q3c window extras agree with first-principles ranks") {
+    val df = graft.queries.AnalyticalQueries.q3cWindowExtras
+      .fn(spark, sfDir)
+    val seg = df.filter($"c_mktsegment" === "BUILDING")
+      .orderBy($"n_orders".desc, $"c_custkey").collect()
+    val n = seg.length
+    assert(n > 3)
+    // percent_rank = (rank-1)/(n-1); rows here are rank-ordered and the
+    // ordering is total, so rank = position+1
+    seg.zipWithIndex.foreach { case (r, i) =>
+      assert(math.abs(r.getDouble(4) - i.toDouble / (n - 1)) < 1e-12)
+    }
+    // cume_dist with a total order = position/n; third_n is the
+    // 3rd-highest count, constant across the partition
+    assert(seg.forall(_.getLong(7) == seg(2).getLong(2)))
+    // lead default: last row's next_n is the 0 default
+    assert(seg.last.getLong(6) == 0L)
+  }
+}
