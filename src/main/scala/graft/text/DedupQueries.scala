@@ -541,8 +541,55 @@ object DedupQueries {
         $"m.len".as("canon_len"))
   }
 
+  /** q13j — typo-tolerant vocabulary reconciliation: all distinct
+    * token pairs within Levenshtein distance 1, found by
+    * [[graft.operators.EditDistanceJoin]] deletion-neighborhood
+    * blocking (equi-join on shared variants — linear fan-out) and
+    * gated against DuckDB's QUADRATIC `levenshtein` self-join, which
+    * proves the blocking lossless. The raw synthetic vocabulary has
+    * almost no near-miss pairs, so typos are planted with an integer
+    * rule both engines apply identically: docs with doc_id%7==0 drop
+    * the first character of every ≥5-char token (deletion), doc_id%11
+    * swaps it for 'z' (substitution). Vocabulary is capped at the top
+    * 600 tokens by (count DESC, token) — a total integer+string order,
+    * so the cut is deterministic at any scale.
+    */
+  val q13jEditdistJoin: GraftQuery = GraftQuery(
+    "q13j_editdist_join",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  FROM documents),
+      |typo AS (
+      |  SELECT CASE
+      |    WHEN doc_id % 7 = 0 AND length(tok) >= 5 THEN substr(tok, 2)
+      |    WHEN doc_id % 11 = 0 AND length(tok) >= 5 THEN 'z' || substr(tok, 2)
+      |    ELSE tok END AS tok
+      |  FROM toks),
+      |vocab AS (
+      |  SELECT tok, CAST(COUNT(*) AS BIGINT) AS cnt FROM typo
+      |  WHERE regexp_matches(tok, '^[a-z]{3,12}$') GROUP BY 1),
+      |top AS (SELECT tok, cnt FROM vocab ORDER BY cnt DESC, tok LIMIT 600)
+      |SELECT a.tok AS tok_a, b.tok AS tok_b, a.cnt AS cnt_a, b.cnt AS cnt_b
+      |FROM top a JOIN top b
+      |  ON a.tok < b.tok AND levenshtein(a.tok, b.tok) <= 1""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val toks = Tables(spark, dir).documents
+        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      val typo = toks.select(
+        when($"doc_id" % 7 === 0 && length($"tok") >= 5,
+          expr("substring(tok, 2)"))
+          .when($"doc_id" % 11 === 0 && length($"tok") >= 5,
+            concat(lit("z"), expr("substring(tok, 2)")))
+          .otherwise($"tok").as("tok"))
+      val vocab = typo.filter($"tok".rlike("^[a-z]{3,12}$"))
+        .groupBy($"tok").agg(count(lit(1)).as("cnt"))
+        .orderBy($"cnt".desc, $"tok").limit(600)
+      graft.operators.EditDistanceJoin.distance1Pairs(vocab, "tok", "cnt")
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q13aExactDedup, q13bNgramJaccard, q13cMinhashLsh, q13dSimhash,
     q13eEmbedNeardup, q13fDedupComponents, q13hChunkDedup,
-    q13iCanonicalDocs)
+    q13iCanonicalDocs, q13jEditdistJoin)
 }
