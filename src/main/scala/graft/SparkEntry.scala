@@ -33,6 +33,7 @@ object SparkEntry {
       graft.text.CurationQueries.all ++
       graft.text.DedupQueries.all ++
       graft.text.SimilarityQueries.all ++
+      graft.text.PcaQueries.all ++
       graft.text.KMeansQueries.all ++
       graft.streaming.EventKpis.all ++
       graft.multimodal.Multimodal.all ++
