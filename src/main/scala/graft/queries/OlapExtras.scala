@@ -220,7 +220,67 @@ object OlapExtras {
         Exact.toDouble(sum($"part")).as("total"))
   }
 
+  /** q27 — exponential smoothing (EMA) of monthly segment revenue:
+    * s₁ = r₁, sₜ = ¼·rₜ + ¾·sₜ₋₁. An ORDERED RECURRENCE — the one
+    * time-series shape window frames cannot express (each output
+    * depends on the previous OUTPUT, not a previous input) — so Spark
+    * runs it as a per-group array fold (the q12r ordered-fold device:
+    * sort the grouped months, fold left appending each smoothed value)
+    * while DuckDB runs a RECURSIVE CTE stepping t → t+1. α = ¼ and
+    * 1−α = ¾ are exact binary, the monthly revenue is an exact decimal
+    * sum string-roundtripped to double, and both engines evaluate the
+    * same `¼·r + ¾·s` expression tree — so the chains match bitwise.
+    *
+    * Scale: the fold runs at SEGMENT grain over month-count-bounded
+    * arrays (a few dozen elements — grain is fixed by the calendar,
+    * not the corpus), after a standard (segment, month) hash agg.
+    */
+  val q27ExpSmoothing: GraftQuery = GraftQuery(
+    "q27_exp_smoothing",
+    """WITH RECURSIVE monthly AS (
+      |  SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS mon,
+      |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+      |           AS DOUBLE) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT c_mktsegment, mon, rev,
+      |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY mon) AS t
+      |  FROM monthly),
+      |ema AS (
+      |  SELECT c_mktsegment, mon, rev, t, rev AS ema FROM idx WHERE t = 1
+      |  UNION ALL
+      |  SELECT i.c_mktsegment, i.mon, i.rev, i.t, 0.25 * i.rev + 0.75 * e.ema
+      |  FROM idx i JOIN ema e
+      |    ON i.c_mktsegment = e.c_mktsegment AND i.t = e.t + 1)
+      |SELECT c_mktsegment, mon, rev, ema FROM ema""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val monthly = t.orders
+        .join(t.customer, $"o_custkey" === $"c_custkey")
+        .groupBy($"c_mktsegment",
+          date_format($"o_orderdate", "yyyy-MM").as("mon"))
+        .agg(Exact.dsum($"o_totalprice").as("rev"))
+      monthly
+        .groupBy($"c_mktsegment")
+        .agg(array_sort(collect_list(struct($"mon", $"rev"))).as("arr"))
+        .select($"c_mktsegment", explode(expr(
+          """aggregate(
+            |  slice(arr, 2, size(arr) - 1),
+            |  array(named_struct(
+            |    'mon', element_at(arr, 1).mon,
+            |    'rev', element_at(arr, 1).rev,
+            |    'ema', element_at(arr, 1).rev)),
+            |  (acc, x) -> concat(acc, array(named_struct(
+            |    'mon', x.mon, 'rev', x.rev,
+            |    'ema', 0.25D * x.rev + 0.75D * element_at(acc, -1).ema))))"""
+            .stripMargin)).as("e"))
+        .select($"c_mktsegment", $"e.mon".as("mon"),
+          $"e.rev".as("rev"), $"e.ema".as("ema"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot, q21TopkPerNation,
-      q22IncrementalAgg)
+      q22IncrementalAgg, q27ExpSmoothing)
 }

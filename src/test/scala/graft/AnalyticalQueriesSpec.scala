@@ -62,4 +62,30 @@ class AnalyticalQueriesSpec extends SparkTestBase {
       .filter($"on_time_rate_pct" < 0 || $"on_time_rate_pct" > 100)
     assert(bad.count() == 0)
   }
+
+  test("q27: EMA recurrence replays exactly from the month sequence") {
+    import spark.implicits._
+    val rows = graft.queries.OlapExtras.q27ExpSmoothing.fn(spark, sfDir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getDouble(2), r.getDouble(3)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val ordered = rs.sortBy(_._2)
+      // s1 = r1; st = 0.25*rt + 0.75*st-1, replayed with the identical
+      // double arithmetic — must match BITWISE, not approximately
+      var ema = ordered.head._3
+      assert(ordered.head._4 == ema, s"$seg first month")
+      ordered.tail.foreach { case (_, mon, rev, got) =>
+        ema = 0.25d * rev + 0.75d * ema
+        assert(got == ema, s"$seg $mon recurrence diverged")
+      }
+      // smoothing must actually smooth: EMA variance below raw variance
+      def variance(xs: Seq[Double]) = {
+        val m = xs.sum / xs.size
+        xs.map(x => (x - m) * (x - m)).sum / xs.size
+      }
+      if (ordered.length > 12)
+        assert(variance(ordered.map(_._4).toSeq) <
+          variance(ordered.map(_._3).toSeq), s"$seg not smoothed")
+    }
+  }
 }
