@@ -25,6 +25,7 @@ object SparkEntry {
       graft.analytics.BehaviorQueries.all ++
       graft.analytics.ProfileQueries.all ++
       graft.analytics.BasketQueries.all ++
+      graft.analytics.GraphQueries.all ++
       graft.text.TextQueries.all ++
       graft.text.TfIdfQueries.all ++
       graft.text.MixtureQueries.all ++

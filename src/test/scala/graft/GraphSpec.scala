@@ -1,0 +1,81 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.analytics.GraphQueries
+
+/** PageRank: bitwise driver replay on a hand graph, exact symmetry on
+  * a regular graph, mass conservation on the real co-purchase graph.
+  */
+class GraphSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Driver-side replay with the operator's exact fixed-point steps. */
+  private def replay(edges: Seq[(Long, Long, Long)], iters: Int)
+      : Map[Long, Double] = {
+    val out = edges.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val ratio = edges.map { case (s, t, w) => (s, t, w.toDouble / out(s)) }
+    val n = out.keySet.size
+    val nD = n.toDouble
+    var pr = out.keySet.map(_ -> 1.0 / nD).toMap
+    for (_ <- 1 to iters) {
+      val s = ratio.groupBy(_._2).view.mapValues(
+        _.map { case (src, _, r) =>
+          math.floor(pr(src) * r * 1e15 + 0.5).toLong
+        }.sum).toMap
+      pr = s.map { case (node, acc) =>
+        node -> (0.15 / nD + 0.85 * (acc.toDouble / 1e15))
+      }
+    }
+    pr
+  }
+
+  test("pageRank matches a bitwise driver replay on an asymmetric graph") {
+    // weighted asymmetric triangle + pendant, symmetrized
+    val up = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 4L, 1L))
+    val directed = up ++ up.map { case (s, t, w) => (t, s, w) }
+    val df = directed.toDF("s", "t", "w")
+    val got = GraphQueries.pageRank(df, "s", "t", "w").collect()
+      .map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = replay(directed, 8)
+    assert(got.keySet == want.keySet)
+    got.foreach { case (node, pr) =>
+      assert(pr == want(node), s"node $node: $pr != ${want(node)}")
+    }
+    // hub (node 3: heaviest total weight) outranks the pendant leaf
+    assert(got(3L) > got(4L))
+  }
+
+  test("regular graph ranks are exactly uniform") {
+    // 6-cycle, unit weights: every node's arithmetic is identical, so
+    // quantized ranks must be EQUAL, not just close
+    val cyc = (0L to 5L).flatMap(i =>
+      Seq((i, (i + 1) % 6, 1L), ((i + 1) % 6, i, 1L)))
+    val got = GraphQueries.pageRank(cyc.toDF("s", "t", "w"), "s", "t", "w")
+      .collect().map(_.getDouble(1)).toSet
+    assert(got.size == 1, s"cycle ranks not uniform: $got")
+  }
+
+  test("q24e conserves rank mass on the real co-purchase graph") {
+    val rows = GraphQueries.q24ePagerank.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val total = rows.map(_.getDouble(1)).sum
+    // symmetric graph has no dangling mass; only quantization drift
+    assert(math.abs(total - 1.0) < 1e-6, s"mass $total")
+    assert(rows.map(_.getDouble(1)).min > 0)
+    // centrality must differentiate (not a degenerate uniform output)
+    assert(rows.map(_.getDouble(1)).distinct.length > rows.length / 10)
+  }
+
+  test("iteration plan is equi-join + hash agg — no cartesian") {
+    val up = Seq((1L, 2L, 1L), (2L, 3L, 1L))
+    val directed = up ++ up.map { case (s, t, w) => (t, s, w) }
+    val out = GraphQueries.pageRank(directed.toDF("s", "t", "w"),
+      "s", "t", "w", iters = 1)
+    out.collect()
+    val plan = out.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct") &&
+      !plan.contains("BroadcastNestedLoopJoin"), plan)
+  }
+}
