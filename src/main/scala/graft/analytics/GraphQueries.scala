@@ -118,5 +118,93 @@ object GraphQueries {
         .select($"node".as("l_partkey"), $"pr")
   }
 
-  val all: Seq[GraftQuery] = Seq(q24ePagerank)
+  /** q24f — per-part triangle counts in the co-purchase graph, via
+    * degree-ordered edge orientation (Schank–Wagner): every edge is
+    * directed from its (degree, id)-smaller endpoint, so wedges are
+    * enumerated only from low-degree centers — the device that keeps
+    * wedge fan-out bounded on power-law graphs (a hub of degree d
+    * contributes 0 wedges as a center once oriented away). Wedge
+    * spokes are ordered by the SAME (degree, id) rank the orientation
+    * uses, so a triangle's closing edge is always oriented spoke-b →
+    * spoke-c — making the closing check a single EQUI-join (an
+    * either-direction check would be an OR condition Catalyst can only
+    * nested-loop). Every count is an integer.
+    */
+  val q24fTriangles: GraftQuery = GraftQuery(
+    "q24f_triangles",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |up AS (
+      |  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+      |deg AS (
+      |  SELECT v, CAST(COUNT(*) AS BIGINT) AS d FROM (
+      |    SELECT s AS v FROM up UNION ALL SELECT t AS v FROM up) GROUP BY 1),
+      |or_e AS (
+      |  SELECT CASE WHEN (ds.d < dt.d) OR (ds.d = dt.d AND up.s < up.t)
+      |              THEN up.s ELSE up.t END AS lo,
+      |         CASE WHEN (ds.d < dt.d) OR (ds.d = dt.d AND up.s < up.t)
+      |              THEN up.t ELSE up.s END AS hi,
+      |         CASE WHEN (ds.d < dt.d) OR (ds.d = dt.d AND up.s < up.t)
+      |              THEN dt.d ELSE ds.d END AS dhi
+      |  FROM up JOIN deg ds ON up.s = ds.v JOIN deg dt ON up.t = dt.v),
+      |tri AS (
+      |  SELECT w1.lo AS a, w1.hi AS b, w2.hi AS c
+      |  FROM or_e w1 JOIN or_e w2 ON w1.lo = w2.lo
+      |  JOIN or_e cl ON cl.lo = w1.hi AND cl.hi = w2.hi
+      |  WHERE (w1.dhi < w2.dhi) OR (w1.dhi = w2.dhi AND w1.hi < w2.hi)),
+      |member AS (
+      |  SELECT a AS v FROM tri UNION ALL SELECT b FROM tri
+      |  UNION ALL SELECT c FROM tri)
+      |SELECT v AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
+      |FROM member GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val items = t.lineitem.select($"l_orderkey", $"l_partkey").distinct()
+    val up = items
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("bs"))
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs)), y ->
+          |    struct(x AS s, y AS t))))""".stripMargin)).as("p"))
+      .select($"p.s", $"p.t").distinct()
+    triangleCounts(up, "s", "t")
+      .select($"v".as("l_partkey"), $"n_triangles")
+  }
+
+  /** Per-node triangle counts. `edges` must be undirected-unique
+    * (one row per pair, s < t). Nodes in zero triangles are absent
+    * from the output. See q24f scaladoc for the orientation device.
+    */
+  def triangleCounts(edges: DataFrame, s: String, t: String): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val up = edges.select(col(s).as("s"), col(t).as("t"))
+      .localCheckpoint(true) // 3 consumers (deg ×2 sides + orientation)
+    val deg = up.select($"s".as("v")).unionAll(up.select($"t".as("v")))
+      .groupBy($"v").agg(count(lit(1)).as("d"))
+    val fwd = $"d_s" < $"d_t" || ($"d_s" === $"d_t" && $"s" < $"t")
+    val orE = up
+      .join(deg.toDF("v_s", "d_s"), $"s" === $"v_s")
+      .join(deg.toDF("v_t", "d_t"), $"t" === $"v_t")
+      .select(
+        when(fwd, $"s").otherwise($"t").as("lo"),
+        when(fwd, $"t").otherwise($"s").as("hi"),
+        when(fwd, $"d_t").otherwise($"d_s").as("dhi"))
+      .localCheckpoint(true) // 3 self-join consumers below
+    val w1 = orE.toDF("lo", "hi_b", "d_b")
+    val w2 = orE.toDF("lo", "hi_c", "d_c")
+    val wedges = w1.join(w2, "lo")
+      .filter($"d_b" < $"d_c" || ($"d_b" === $"d_c" && $"hi_b" < $"hi_c"))
+    val cl = orE.toDF("cl_lo", "cl_hi", "cl_d")
+    val tri = wedges.join(cl,
+      $"cl_lo" === $"hi_b" && $"cl_hi" === $"hi_c")
+      .select($"lo".as("a"), $"hi_b".as("b"), $"hi_c".as("c"))
+    tri.select(explode(array($"a", $"b", $"c")).as("v"))
+      .groupBy($"v").agg(count(lit(1)).as("n_triangles"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q24ePagerank, q24fTriangles)
 }

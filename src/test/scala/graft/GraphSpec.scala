@@ -67,6 +67,31 @@ class GraphSpec extends SparkTestBase {
     assert(rows.map(_.getDouble(1)).distinct.length > rows.length / 10)
   }
 
+  test("triangle counts: K4 + square + brute-force random parity") {
+    // K4 on 1..4: every node is in C(3,2)=3 triangles; square 10..13
+    // has none (its nodes must be ABSENT from the output)
+    val k4 = for (a <- 1L to 4L; b <- a + 1 to 4L) yield (a, b)
+    val square = Seq((10L, 11L), (11L, 12L), (12L, 13L), (10L, 13L))
+    val got = GraphQueries.triangleCounts(
+      (k4 ++ square).toDF("s", "t"), "s", "t").collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 3L, 2L -> 3L, 3L -> 3L, 4L -> 3L), s"$got")
+
+    // random graph vs driver-side brute force over all triples
+    val rnd = new scala.util.Random(7)
+    val edges = (for (a <- 1L to 25L; b <- a + 1 to 25L if rnd.nextInt(3) == 0)
+      yield (a, b)).toSeq
+    val es = edges.toSet
+    val want = (for {
+      a <- 1L to 25L; b <- a + 1 to 25L; c <- b + 1 to 25L
+      if es((a, b)) && es((b, c)) && es((a, c))
+    } yield Seq(a, b, c)).flatten
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val got2 = GraphQueries.triangleCounts(edges.toDF("s", "t"), "s", "t")
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got2 == want, s"missing=${want.toSet -- got2.toSet}")
+  }
+
   test("iteration plan is equi-join + hash agg — no cartesian") {
     val up = Seq((1L, 2L, 1L), (2L, 3L, 1L))
     val directed = up ++ up.map { case (s, t, w) => (t, s, w) }
