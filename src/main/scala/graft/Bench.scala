@@ -92,7 +92,14 @@ object Bench {
       // the W2/W3 scale path, tracked against q3a's window form
       "q3a_rank_ntile_dist",
       // the bounded-heap top-k vs q5a/q3a's sort-based forms
-      "q21_topk_per_nation")
+      "q21_topk_per_nation",
+      // round-8 session additions: one representative per new family —
+      // q14j times the whole PCA chain (covariance + projections), so
+      // q14i stays out; q24f's graph build is shared with q24e but its
+      // wedge join is a distinct cost, so both are timed
+      "q13j_editdist_join", "q14j_pca_project",
+      "q24e_copurchase_pagerank", "q24f_triangles",
+      "q26a_profile", "q27_exp_smoothing")
     // q13f (components) stays out: its dominant cost is recomputing the
     // q13b pair graph, which is already tracked above. q13i (canonical
     // docs) stays out for the same reason — it re-runs the q13f chain

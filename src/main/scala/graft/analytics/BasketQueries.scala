@@ -97,5 +97,81 @@ object BasketQueries {
             .as("high_lift"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q25BasketRules)
+  /** q25b — item-item collaborative filtering: for every part, the
+    * top-3 most-similar parts by co-occurrence cosine
+    * n_ab / √(n_a·n_b). Ranking rides the [[graft.functions.TopK]]
+    * bounded-heap aggregator (O(k) state, map-side combining — the
+    * per-group scale path, no window sort), keyed on the QUANTIZED
+    * integer ⌊cos·1e9 + ½⌋ with part-id tiebreak (the q12q device:
+    * float order keys are a cross-engine flake class; the cosine
+    * itself — integer counts through one √ and one ÷, both IEEE-exact
+    * — is emitted as a value column only). The top-3 skeleton joins
+    * back to the pair frame for its audit columns (6k rows vs the
+    * 240k-row pair side — AQE broadcasts the skeleton).
+    */
+  val q25bItemSimilarity: GraftQuery = GraftQuery(
+    "q25b_item_similarity",
+    """WITH items AS (
+      |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |up AS (
+      |  SELECT a.l_partkey AS s, b.l_partkey AS t, CAST(COUNT(*) AS BIGINT) AS n_ab
+      |  FROM items a JOIN items b
+      |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |  GROUP BY 1, 2),
+      |both_dir AS (
+      |  SELECT s, t, n_ab FROM up UNION ALL SELECT t, s, n_ab FROM up),
+      |freq AS (
+      |  SELECT l_partkey AS v, CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM items GROUP BY 1),
+      |cosd AS (
+      |  SELECT b.s, b.t, b.n_ab,
+      |         CAST(b.n_ab AS DOUBLE) / SQRT(CAST(fa.n * fb.n AS DOUBLE)) AS cosv
+      |  FROM both_dir b JOIN freq fa ON b.s = fa.v JOIN freq fb ON b.t = fb.v),
+      |ranked AS (
+      |  SELECT s, t, n_ab, cosv,
+      |         ROW_NUMBER() OVER (PARTITION BY s
+      |           ORDER BY CAST(FLOOR(cosv * 1e9 + 0.5) AS BIGINT) DESC, t) AS rk
+      |  FROM cosd)
+      |SELECT s AS l_partkey, t AS sim_partkey, n_ab,
+      |       ROUND(cosv, 6) AS cosine, CAST(rk AS INTEGER) AS rk
+      |FROM ranked WHERE rk <= 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val items = t.lineitem.select($"l_orderkey", $"l_partkey").distinct()
+      .localCheckpoint() // consumers: pair build + freq
+    val up = items
+      .groupBy($"l_orderkey")
+      .agg(sort_array(collect_set($"l_partkey")).as("bs"))
+      .select(explode(expr(
+        """flatten(transform(bs, (x, i) ->
+          |  transform(slice(bs, i + 2, size(bs)), y ->
+          |    struct(x AS s, y AS t))))""".stripMargin)).as("p"))
+      .select($"p.s", $"p.t")
+      .groupBy($"s", $"t").agg(count(lit(1)).as("n_ab"))
+    val bothDir = up.unionAll(up.select($"t".as("s"), $"s".as("t"), $"n_ab"))
+    val freq = items.groupBy($"l_partkey").agg(count(lit(1)).as("n"))
+    val cosd = bothDir
+      .join(broadcast(freq.toDF("v_a", "n_a")), $"s" === $"v_a")
+      .join(broadcast(freq.toDF("v_b", "n_b")), $"t" === $"v_b")
+      .select($"s", $"t", $"n_ab",
+        ($"n_ab".cast("double") /
+          sqrt(($"n_a" * $"n_b").cast("double"))).as("cosv"))
+      .localCheckpoint() // consumers: TopK skeleton + audit join-back
+    val top3 = udaf(graft.functions.TopK.TopKAggregator(3),
+      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val skeleton = cosd
+      // quantized keys are < 2^31 ≪ 2^53, so the Double score the
+      // aggregator heaps on represents the BIGINT key exactly
+      .groupBy($"s")
+      .agg(top3(floor($"cosv" * 1e9 + 0.5).cast("double"), $"t").as("top"))
+      .select($"s", posexplode($"top").as(Seq("pos", "e")))
+      .select($"s".as("sk_s"), $"e._2".as("sk_t"),
+        ($"pos" + 1).cast("int").as("rk"))
+    cosd.join(broadcast(skeleton),
+      $"s" === $"sk_s" && $"t" === $"sk_t")
+      .select($"s".as("l_partkey"), $"t".as("sim_partkey"), $"n_ab",
+        round($"cosv", 6).as("cosine"), $"rk")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q25BasketRules, q25bItemSimilarity)
 }

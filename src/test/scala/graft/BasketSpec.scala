@@ -66,4 +66,36 @@ class BasketSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"),
       "no cartesian product may appear:\n" + plan.take(2000))
   }
+
+  test("q25b: top-3 similar parts match a brute-force driver recount") {
+    import spark.implicits._
+    val got = BasketQueries.q25bItemSimilarity.fn(spark, sfDir).collect()
+      .map(r => (r.getLong(0), r.getInt(4)) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+    // independent recount: baskets → pair counts → cosine → quantized
+    // (key desc, id asc) top-3 — entirely in driver Scala
+    val items = Tables(spark, sfDir).lineitem
+      .select($"l_orderkey", $"l_partkey").distinct().collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val freq = items.groupBy(_._2).view.mapValues(_.length.toLong).toMap
+    val pairCnt = items.groupBy(_._1).values.flatMap { basket =>
+      val ps = basket.map(_._2).distinct.sorted
+      for (i <- ps.indices; j <- i + 1 until ps.length) yield (ps(i), ps(j))
+    }.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val directed = pairCnt.toSeq.flatMap { case ((a, b), n) =>
+      Seq((a, b, n), (b, a, n)) }
+    val want = directed.groupBy(_._1).map { case (a, cands) =>
+      val ranked = cands.map { case (_, b, n) =>
+        val cos = n.toDouble / math.sqrt((freq(a) * freq(b)).toDouble)
+        (math.floor(cos * 1e9 + 0.5).toLong, b, n)
+      }.sortBy { case (k, b, _) => (-k, b) }.take(3)
+      a -> ranked
+    }
+    want.foreach { case (a, ranked) =>
+      ranked.zipWithIndex.foreach { case ((_, b, n), i) =>
+        assert(got((a, i + 1)) == ((b, n)), s"part $a rank ${i + 1}")
+      }
+    }
+    assert(got.size == want.values.map(_.size).sum)
+  }
 }

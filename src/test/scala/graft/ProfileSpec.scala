@@ -34,15 +34,19 @@ class ProfileSpec extends SparkTestBase {
       "HLL sketch within 5% of exact at this cardinality")
   }
 
-  test("profile is one aggregation pass: a single scan of the input") {
+  test("profile keeps the HLL sketches OUT of the Expand rewrite") {
+    // the exact multi-distinct pass plans via Expand (documented cost);
+    // the sketch pass must be a separate Expand-free hash agg — fusing
+    // them puts a ~12KB sketch buffer on every value-grain Expand row
+    // (measured 23.7 GiB / 407 s at sf0.1 before the split)
     val df = ProfileQueries.profile(Tables(spark, sfDir).orders)
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 1, s"expected one orders scan, got $scans:\n$plan")
-    // exact multi-column COUNT(DISTINCT) is the documented Expand cost
-    assert(plan.contains("Expand"), "distinct aggs should plan via Expand")
+    assert(scans == 2, s"expected exact + sketch scans, got $scans:\n$plan")
+    val expands = "Expand".r.findAllIn(plan).length
+    assert(expands == 1, s"sketches leaked into the Expand plan:\n$plan")
   }
 
   test("integrity audit counts planted orphans and null FKs exactly once") {
