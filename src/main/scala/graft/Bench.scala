@@ -95,10 +95,14 @@ object Bench {
       "q21_topk_per_nation",
       // round-8 session additions: one representative per new family —
       // q14j times the whole PCA chain (covariance + projections), so
-      // q14i stays out; q24f's graph build is shared with q24e but its
-      // wedge join is a distinct cost, so both are timed
+      // q14i stays out. The graph pair (q24e PageRank 14.7 s, q24f
+      // triangles 15.7 s at sf0.1 min-of-3) stays out of the per-round
+      // set like q13f/q13i: their cost is the shared co-purchase build
+      // plus inherently iterative/wedge joins, recorded one-off in the
+      // ledger — adding ~30 s to every timed iteration would drown the
+      // regression signal the ext set exists to carry. q25b shares the
+      // q25 basket build already timed via q12-family members.
       "q13j_editdist_join", "q14j_pca_project",
-      "q24e_copurchase_pagerank", "q24f_triangles",
       "q26a_profile", "q27_exp_smoothing")
     // q13f (components) stays out: its dominant cost is recomputing the
     // q13b pair graph, which is already tracked above. q13i (canonical

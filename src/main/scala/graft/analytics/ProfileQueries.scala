@@ -170,5 +170,54 @@ object ProfileQueries {
         FkCheck("nation.n_regionkey->region", t.nation, "n_regionkey", t.region, "r_regionkey")))
   }
 
-  val all: Seq[GraftQuery] = Seq(q26aProfile, q26bIntegrity)
+  /** q26c — information-theoretic profiling: Shannon entropy + Gini
+    * impurity of the order-priority distribution within each market
+    * segment (the "is this dimension informative?" audit a feature
+    * store runs before model training). Two-level aggregation: cell
+    * counts (integer), then per-group sums of QUANTIZED terms —
+    * p·ln p and p² snap to ⌊·1e12+½⌋ BIGINT before summing (q12s
+    * device: order-free addition; a 1-ulp cross-engine `ln` wobble
+    * moves a term by 10⁻¹², which ROUND(,6) cannot see).
+    */
+  val q26cEntropy: GraftQuery = GraftQuery(
+    "q26c_entropy",
+    """WITH cells AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS cat,
+      |         CAST(COUNT(*) AS BIGINT) AS cnt
+      |  FROM orders JOIN customer ON o_custkey = c_custkey GROUP BY 1, 2),
+      |tot AS (SELECT seg, CAST(SUM(cnt) AS BIGINT) AS tot FROM cells GROUP BY 1)
+      |SELECT c.seg, CAST(COUNT(*) AS BIGINT) AS n_cats, t.tot AS n_rows,
+      |  ROUND(-CAST(SUM(CAST(FLOOR((CAST(cnt AS DOUBLE) / t.tot)
+      |    * LN(CAST(cnt AS DOUBLE) / t.tot) * 1e12 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1e12, 6) AS entropy,
+      |  ROUND(1.0 - CAST(SUM(CAST(FLOOR((CAST(cnt AS DOUBLE) / t.tot)
+      |    * (CAST(cnt AS DOUBLE) / t.tot) * 1e12 + 0.5) AS BIGINT))
+      |    AS DOUBLE) / 1e12, 6) AS gini
+      |FROM cells c JOIN tot t ON c.seg = t.seg
+      |GROUP BY 1, 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val cells = t.orders
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment".as("seg"), $"o_orderpriority".as("cat"))
+      .agg(count(lit(1)).as("cnt"))
+    // cells is group×category grain (tiny); the window total avoids a
+    // second shuffle and its partition (seg) is low-cardinality but
+    // also low-volume — this is NOT a corpus-sized window
+    val withTot = cells.withColumn("tot",
+      sum($"cnt").over(org.apache.spark.sql.expressions.Window
+        .partitionBy($"seg")))
+    val p = $"cnt".cast("double") / $"tot"
+    withTot
+      .groupBy($"seg", $"tot")
+      .agg(
+        count(lit(1)).as("n_cats"),
+        round(-sum(floor(p * log(p) * 1e12 + 0.5).cast("long"))
+          .cast("double") / 1e12, 6).as("entropy"),
+        round(lit(1.0) - sum(floor(p * p * 1e12 + 0.5).cast("long"))
+          .cast("double") / 1e12, 6).as("gini"))
+      .select($"seg", $"n_cats", $"tot".as("n_rows"), $"entropy", $"gini")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q26aProfile, q26bIntegrity, q26cEntropy)
 }

@@ -78,6 +78,28 @@ class ProfileSpec extends SparkTestBase {
     assert(!plan.contains("CartesianProduct"))
   }
 
+  test("q26c entropy/gini match a first-principles recount per segment") {
+    val out = ProfileQueries.q26cEntropy.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val t = Tables(spark, sfDir)
+    val cells = t.orders.join(t.customer, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment", $"o_orderpriority").count().collect()
+      .groupBy(_.getString(0))
+    assert(out.keySet == cells.keySet)
+    out.foreach { case (seg, r) =>
+      val cnts = cells(seg).map(_.getLong(2).toDouble)
+      val tot = cnts.sum
+      assert(r.getLong(1) == cnts.length && r.getLong(2) == tot.toLong)
+      val h = -cnts.map { c => val p = c / tot; p * math.log(p) }.sum
+      val g = 1.0 - cnts.map { c => val p = c / tot; p * p }.sum
+      // quantization moves each term by <1e-12; ROUND(,6) output grid
+      assert(math.abs(r.getDouble(3) - h) < 1e-6, s"$seg entropy")
+      assert(math.abs(r.getDouble(4) - g) < 1e-6, s"$seg gini")
+      assert(r.getDouble(3) >= 0 && r.getDouble(3) <= math.log(cnts.length) + 1e-9)
+      assert(r.getDouble(4) >= 0 && r.getDouble(4) < 1)
+    }
+  }
+
   test("q3c window extras agree with first-principles ranks") {
     val df = graft.queries.AnalyticalQueries.q3cWindowExtras
       .fn(spark, sfDir)
