@@ -219,5 +219,119 @@ object ProfileQueries {
       .select($"seg", $"n_cats", $"tot".as("n_rows"), $"entropy", $"gini")
   }
 
-  val all: Seq[GraftQuery] = Seq(q26aProfile, q26bIntegrity, q26cEntropy)
+  /** q26d — population-stability-index drift audit: per market
+    * segment, PSI of the order-priority distribution between the base
+    * era (orders before 1998-07-01) and the current era — the standard
+    * "did the feature distribution move?" monitor a feature store runs
+    * between training and serving snapshots (PSI < 0.1 stable,
+    * 0.1–0.25 drifting, > 0.25 shifted). Add-1 smoothing on the
+    * (seg, cat) cells makes every probability strictly positive, so
+    * ln(p0/p1) is total — no special-casing empty cells, and the rule
+    * is the same pure-integer +1 on both engines. Each PSI term
+    * (p0−p1)·ln(p0/p1) is ≥ 0 and snaps to ⌊·1e12+½⌋ BIGINT before
+    * the order-free SUM (q12s device); ROUND(,6) output grid absorbs
+    * any 1-ulp cross-engine `ln` wobble. Scale: the corpus collapses
+    * at the first (seg, cat) hash agg with map-side combine; the
+    * per-seg totals ride a window AT CELL GRAIN (≤ segments×priorities
+    * rows), never a corpus window.
+    */
+  val q26dPsi: GraftQuery = GraftQuery(
+    "q26d_psi_drift",
+    """WITH o AS (
+      |  SELECT c_mktsegment AS seg, o_orderpriority AS cat,
+      |         CASE WHEN o_orderdate < TIMESTAMP '1998-07-01'
+      |              THEN 0 ELSE 1 END AS era
+      |  FROM orders JOIN customer ON o_custkey = c_custkey),
+      |pairs AS (
+      |  SELECT seg, cat,
+      |    CAST(COALESCE(SUM(CASE WHEN era = 0 THEN 1 END), 0) AS BIGINT) + 1 AS c0,
+      |    CAST(COALESCE(SUM(CASE WHEN era = 1 THEN 1 END), 0) AS BIGINT) + 1 AS c1
+      |  FROM o GROUP BY 1, 2),
+      |tots AS (
+      |  SELECT seg, CAST(COUNT(*) AS BIGINT) AS n_cats,
+      |         CAST(SUM(c0) AS BIGINT) AS t0, CAST(SUM(c1) AS BIGINT) AS t1
+      |  FROM pairs GROUP BY 1)
+      |SELECT p.seg, t.n_cats, t.t0 - t.n_cats AS base_rows,
+      |  t.t1 - t.n_cats AS curr_rows,
+      |  ROUND(CAST(SUM(CAST(FLOOR(
+      |    (CAST(c0 AS DOUBLE) / t.t0 - CAST(c1 AS DOUBLE) / t.t1)
+      |    * LN((CAST(c0 AS DOUBLE) / t.t0) / (CAST(c1 AS DOUBLE) / t.t1))
+      |    * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS psi
+      |FROM pairs p JOIN tots t ON p.seg = t.seg
+      |GROUP BY 1, 2, 3, 4""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val era = when($"o_orderdate" < lit("1998-07-01").cast("timestamp"), 0)
+      .otherwise(1)
+    val pairs = t.orders
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_orderpriority".as("cat"),
+        era.as("era"))
+      .groupBy($"seg", $"cat")
+      .agg(
+        (coalesce(sum(when($"era" === 0, 1L)), lit(0L)) + 1L).as("c0"),
+        (coalesce(sum(when($"era" === 1, 1L)), lit(0L)) + 1L).as("c1"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy($"seg")
+    val withTots = pairs
+      .withColumn("n_cats", count(lit(1)).over(w))
+      .withColumn("t0", sum($"c0").over(w))
+      .withColumn("t1", sum($"c1").over(w))
+    val p0 = $"c0".cast("double") / $"t0"
+    val p1 = $"c1".cast("double") / $"t1"
+    withTots
+      .groupBy($"seg", $"n_cats", $"t0", $"t1")
+      .agg(round(sum(floor((p0 - p1) * log(p0 / p1) * 1e12 + 0.5)
+        .cast("long")).cast("double") / 1e12, 6).as("psi"))
+      .select($"seg", $"n_cats", ($"t0" - $"n_cats").as("base_rows"),
+        ($"t1" - $"n_cats").as("curr_rows"), $"psi")
+  }
+
+  /** q26e — Benford first-digit audit of order totals: the classic
+    * fraud/synthetic-data screen (natural multi-scale monetary data
+    * follows P(d) = log10(1+1/d); fabricated data usually doesn't).
+    * Determinism devices: the significant digit comes from the STRING
+    * form of integer cents (⌊price·100+½⌋ — identical double→BIGINT
+    * math both engines, and BIGINT→string never has decimal-format
+    * drift), NOT from float log10 of the value; the expected share is
+    * quantized ⌊·1e12+½⌋ BEFORE comparison so a 1-ulp `ln` divergence
+    * cannot reach the output; the observed share n_d/n divides the
+    * SAME integers on both engines, hence bitwise-identical. Scale:
+    * map-side digit extraction, 9-row aggregate, broadcast total.
+    */
+  val q26eBenford: GraftQuery = GraftQuery(
+    "q26e_benford",
+    """WITH d AS (
+      |  SELECT CAST(SUBSTR(CAST(CAST(FLOOR(o_totalprice * 100 + 0.5)
+      |    AS BIGINT) AS VARCHAR), 1, 1) AS INT) AS digit
+      |  FROM orders WHERE o_totalprice > 0),
+      |c AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n FROM d GROUP BY 1),
+      |t AS (SELECT CAST(SUM(n) AS BIGINT) AS tot FROM c)
+      |SELECT digit, n,
+      |  ROUND(CAST(n AS DOUBLE) / tot, 6) AS obs_share,
+      |  ROUND(CAST(CAST(FLOOR(LN(1.0 + 1.0 / digit) / LN(10.0) * 1e12
+      |    + 0.5) AS BIGINT) AS DOUBLE) / 1e12, 6) AS benford_share,
+      |  ROUND(ABS(CAST(n AS DOUBLE) / tot
+      |    - CAST(CAST(FLOOR(LN(1.0 + 1.0 / digit) / LN(10.0) * 1e12
+      |      + 0.5) AS BIGINT) AS DOUBLE) / 1e12), 6) AS abs_dev
+      |FROM c, t""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val counts = t.orders
+      .filter($"o_totalprice" > 0)
+      .select(substring(floor($"o_totalprice" * 100 + 0.5).cast("long")
+        .cast("string"), 1, 1).cast("int").as("digit"))
+      .groupBy($"digit")
+      .agg(count(lit(1)).as("n"))
+    val tot = counts.agg(sum($"n").as("tot"))
+    val expShare = floor(log(lit(1.0) + lit(1.0) / $"digit".cast("double"))
+      / log(lit(10.0)) * 1e12 + 0.5).cast("long").cast("double") / 1e12
+    counts.crossJoin(broadcast(tot))
+      .select($"digit", $"n",
+        round($"n".cast("double") / $"tot", 6).as("obs_share"),
+        round(expShare, 6).as("benford_share"),
+        round(abs($"n".cast("double") / $"tot" - expShare), 6).as("abs_dev"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q26aProfile, q26bIntegrity, q26cEntropy, q26dPsi, q26eBenford)
 }

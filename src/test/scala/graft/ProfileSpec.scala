@@ -100,6 +100,51 @@ class ProfileSpec extends SparkTestBase {
     }
   }
 
+  test("q26d PSI matches a first-principles recount and is nonnegative") {
+    val out = ProfileQueries.q26dPsi.fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val t = Tables(spark, sfDir)
+    val raw = t.orders.join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderpriority",
+        ($"o_orderdate" < lit("1998-07-01").cast("timestamp")).as("base"))
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2)))
+    raw.groupBy(_._1).foreach { case (seg, rows) =>
+      val cats = rows.map(_._2).distinct
+      // add-1 smoothing, identical to the operator's rule
+      val c0 = cats.map(c => c -> (rows.count(r => r._2 == c && r._3) + 1L)).toMap
+      val c1 = cats.map(c => c -> (rows.count(r => r._2 == c && !r._3) + 1L)).toMap
+      val (t0, t1) = (c0.values.sum.toDouble, c1.values.sum.toDouble)
+      val psi = cats.map { c =>
+        val (p0, p1) = (c0(c) / t0, c1(c) / t1)
+        (p0 - p1) * math.log(p0 / p1)
+      }.sum
+      val r = out(seg)
+      assert(r.getLong(1) == cats.length)
+      assert(r.getLong(2) == rows.count(_._3) && r.getLong(3) == rows.count(!_._3))
+      assert(math.abs(r.getDouble(4) - psi) < 1e-6, s"$seg psi")
+      assert(r.getDouble(4) >= 0)
+    }
+  }
+
+  test("q26e Benford shares: digits complete, sums to 1, expected = log10(1+1/d)") {
+    val out = ProfileQueries.q26eBenford.fn(spark, sfDir).collect()
+      .map(r => r.getInt(0) -> r).toMap
+    assert(out.keySet == (1 to 9).toSet, "all nine significant digits occur")
+    val t = Tables(spark, sfDir)
+    val digits = t.orders.filter($"o_totalprice" > 0)
+      .select($"o_totalprice").collect()
+      .map(r => math.floor(r.getDouble(0) * 100 + 0.5).toLong.toString.head - '0')
+    (1 to 9).foreach { d =>
+      val r = out(d)
+      assert(r.getLong(1) == digits.count(_ == d), s"digit $d count")
+      assert(math.abs(r.getDouble(3) - math.log10(1.0 + 1.0 / d)) < 1e-6)
+      assert(math.abs(r.getDouble(4) -
+        math.abs(r.getDouble(2) - r.getDouble(3))) < 2e-6)
+    }
+    assert(math.abs(out.values.map(_.getDouble(2)).sum - 1.0) < 1e-5)
+  }
+
   test("q3c window extras agree with first-principles ranks") {
     val df = graft.queries.AnalyticalQueries.q3cWindowExtras
       .fn(spark, sfDir)
