@@ -206,5 +206,83 @@ object GraphQueries {
       .groupBy($"v").agg(count(lit(1)).as("n_triangles"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q24ePagerank, q24fTriangles)
+  /** Multi-source BFS: minimum hop count from any seed node, capped at
+    * `iters` rounds (unreached nodes are absent). Each round is ONE
+    * src-keyed join (frontier onto out-edges) + ONE node-keyed MIN
+    * agg — the same message-passing shape as [[pageRank]], but every
+    * quantity is an integer, so MIN is order-free and the whole chain
+    * is trivially deterministic (no fixed-point device needed). The
+    * node-grain dist frame is checkpointed per round: k rounds never
+    * build a k-deep lineage, and the frame never exceeds node grain
+    * (≪ edges). `edges` must already contain both directions.
+    */
+  def bfsHops(edges: DataFrame, s: String, t: String,
+      seeds: DataFrame, node: String, iters: Int = 4): DataFrame = {
+    val spark = edges.sparkSession
+    import spark.implicits._
+    val e = edges.select(col(s).as("__s"), col(t).as("__t"))
+      .localCheckpoint(true) // consumed every round
+    var dist = seeds.select(col(node).as("node"), lit(0L).as("hops"))
+      .localCheckpoint(true)
+    for (_ <- 1 to iters) {
+      dist = e.join(dist, $"__s" === $"node")
+        .select($"__t".as("node"), ($"hops" + 1L).as("hops"))
+        .unionAll(dist)
+        .groupBy($"node").agg(min($"hops").as("hops"))
+        .localCheckpoint(true)
+    }
+    dist
+  }
+
+  private def bfsSql(iters: Int): String =
+    (1 to iters).map { k =>
+      s"""d$k AS MATERIALIZED (
+         |  SELECT node, MIN(hops) AS hops FROM (
+         |    SELECT e.t AS node, d.hops + 1 AS hops
+         |    FROM e JOIN d${k - 1} d ON e.s = d.node
+         |    UNION ALL SELECT node, hops FROM d${k - 1})
+         |  GROUP BY 1)""".stripMargin
+    }.mkString(",\n")
+
+  /** q24g — co-purchase proximity to promoted parts: BFS hop distance
+    * from the seed set {parts with partkey % 50 = 0} (a deterministic
+    * integer rule both engines apply identically), 4 rounds. The
+    * "how far is every item from a campaign item?" recommendation
+    * feature. Graph build shared with q24e/q24f (basket device).
+    */
+  val q24gBfsHops: GraftQuery = GraftQuery(
+    "q24g_bfs_hops",
+    s"""WITH items AS (
+       |  SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+       |up AS (
+       |  SELECT DISTINCT a.l_partkey AS s, b.l_partkey AS t
+       |  FROM items a JOIN items b
+       |    ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey),
+       |e AS MATERIALIZED (
+       |  SELECT s, t FROM up UNION ALL SELECT t AS s, s AS t FROM up),
+       |d0 AS MATERIALIZED (
+       |  SELECT DISTINCT s AS node, CAST(0 AS BIGINT) AS hops
+       |  FROM e WHERE s % 50 = 0),
+       |${bfsSql(4)}
+       |SELECT node AS l_partkey, hops FROM d4""".stripMargin) {
+    (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val items = t.lineitem.select($"l_orderkey", $"l_partkey").distinct()
+      val up = items
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)), y ->
+            |    struct(x AS s, y AS t))))""".stripMargin)).as("p"))
+        .select($"p.s", $"p.t").distinct()
+      val edges = up.unionAll(up.select($"t".as("s"), $"s".as("t")))
+      val seeds = edges.select($"s".as("node")).distinct()
+        .filter($"node" % 50 === 0)
+      bfsHops(edges, "s", "t", seeds, "node", 4)
+        .select($"node".as("l_partkey"), $"hops")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q24ePagerank, q24fTriangles, q24gBfsHops)
 }

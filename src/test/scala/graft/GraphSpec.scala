@@ -92,6 +92,36 @@ class GraphSpec extends SparkTestBase {
     assert(got2 == want, s"missing=${want.toSet -- got2.toSet}")
   }
 
+  test("bfsHops: exact hops on a path, cap respected, unreached absent") {
+    // path 1-2-3-4-5-6 plus isolated edge 8-9; seed {1}
+    val up = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L), (5L, 6L), (8L, 9L))
+    val edges = (up ++ up.map(_.swap)).toDF("s", "t")
+    val got = GraphQueries.bfsHops(edges, "s", "t",
+      Seq(1L).toDF("node"), "node", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == Map(1L -> 0L, 2L -> 1L, 3L -> 2L, 4L -> 3L, 5L -> 4L),
+      s"got $got") // 6 is 5 hops away (beyond cap); 8/9 unreachable
+  }
+
+  test("bfsHops matches a driver-side BFS on a random graph") {
+    val rnd = new scala.util.Random(7)
+    val up = (1 to 60).map(_ => (rnd.nextInt(25).toLong, rnd.nextInt(25).toLong))
+      .filter { case (a, b) => a != b }
+      .map { case (a, b) => (math.min(a, b), math.max(a, b)) }.distinct
+    val adj = (up ++ up.map(_.swap)).groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val seeds = adj.keySet.filter(_ % 5 == 0)
+    var want = seeds.map(_ -> 0L).toMap
+    for (k <- 1 to 4) {
+      val next = want.filter(_._2 == k - 1).keys
+        .flatMap(v => adj.getOrElse(v, Nil)).filterNot(want.contains)
+      want = want ++ next.map(_ -> k.toLong)
+    }
+    val got = GraphQueries.bfsHops((up ++ up.map(_.swap)).toDF("s", "t"), "s", "t",
+      seeds.toSeq.toDF("node"), "node", 4)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(got == want, s"diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
+  }
+
   test("iteration plan is equi-join + hash agg — no cartesian") {
     val up = Seq((1L, 2L, 1L), (2L, 3L, 1L))
     val directed = up ++ up.map { case (s, t, w) => (t, s, w) }
