@@ -22,16 +22,24 @@ final class Tables(spark: SparkSession, dir: String) {
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
-  /** events.parquet stores TIMESTAMP(NANOS), which Spark's vectorized
-    * reader rejects; read nanos as long and convert to micros with
-    * integer division (epoch nanos ≈ 1.7e18 exceed double precision —
-    * `div`, not `/`).
+  /** events.parquet's `ts` physical type has drifted across harness
+    * testdata generations: TIMESTAMP(NANOS) (read as LONG via the
+    * legacy nanosAsLong conf — Spark's vectorized reader rejects nanos),
+    * then TIMESTAMP_MICROS with isAdjustedToUTC=false (read as
+    * timestamp_ntz). Normalize every variant to a session-TZ TIMESTAMP
+    * (session TZ is pinned UTC in GraftSession) so downstream
+    * `window()`/`unix_micros`/interval arithmetic is stable:
+    *  - LongType        → epoch nanos; integer `div` 1000 (nanos ≈
+    *    1.7e18 exceed double precision) → timestamp_micros
+    *  - TimestampNTZType → cast to TimestampType (UTC session → same
+    *    wall-clock instant, zero-cost)
+    *  - TimestampType   → pass through
     */
   def events: DataFrame = {
+    // Harmless for micros data; required for schema inference to even
+    // succeed on the nanos generation of the file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    t("events").withColumn("ts",
-      org.apache.spark.sql.functions.timestamp_micros(
-        org.apache.spark.sql.functions.expr("ts div 1000")))
+    Tables.normalizeEventsTs(t("events"))
   }
   def documents: DataFrame  = t("documents")
   def embeddings: DataFrame = t("embeddings")
@@ -39,4 +47,22 @@ final class Tables(spark: SparkSession, dir: String) {
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Normalize an events frame's `ts` to session-TZ TIMESTAMP whatever
+    * on-disk generation it came from (see `Tables.events` Scaladoc).
+    * Shared by the batch reader and the streaming specs so batch and
+    * `readStream` paths can never diverge on the conversion.
+    */
+  def normalizeEventsTs(raw: DataFrame): DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr, timestamp_micros}
+    import org.apache.spark.sql.types.{LongType, TimestampNTZType, TimestampType}
+    raw.schema("ts").dataType match {
+      case LongType         => raw.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case TimestampNTZType => raw.withColumn("ts", col("ts").cast(TimestampType))
+      case TimestampType    => raw
+      case other =>
+        throw new IllegalStateException(
+          s"events.ts has unsupported type $other — testdata schema drifted again; update Tables.normalizeEventsTs")
+    }
+  }
 }

@@ -86,6 +86,28 @@ object BehaviorQueries {
       .agg(min($"ts").as("t"))
   }
 
+  /** The funnel transform over an arbitrary events frame — shared by
+    * the batch query q24b and the streaming foreachBatch ingest path
+    * (StreamingSpec), so batch and stream can never diverge.
+    */
+  def funnel(events: DataFrame): DataFrame = {
+    import events.sparkSession.implicits._
+    val ev = events.select($"user_id", $"event_type", $"ts")
+    val s1 = ev.filter($"event_type" === "signup")
+      .groupBy($"user_id").agg(min($"ts").as("t"))
+    val s2 = nextStage(ev, s1, "view")
+    val s3 = nextStage(ev, s2, "click")
+    val s4 = nextStage(ev, s3, "purchase")
+    Seq(("signup", 1L, s1), ("view", 2L, s2),
+        ("click", 3L, s3), ("purchase", 4L, s4))
+      .map { case (name, id, df) =>
+        df.agg(count(lit(1)).as("n_users"))
+          .select(lit(id).as("stage_id"), lit(name).as("stage"),
+            $"n_users")
+      }
+      .reduce(_ unionAll _)
+  }
+
   /** q24b — ordered funnel signup → view → click → purchase: a user
     * counts at stage k only with events in strictly increasing time
     * order (min-ts chaining, the standard funnel semantics).
@@ -109,23 +131,7 @@ object BehaviorQueries {
       |UNION ALL SELECT 2, 'view', COUNT(*) FROM s2
       |UNION ALL SELECT 3, 'click', COUNT(*) FROM s3
       |UNION ALL SELECT 4, 'purchase', COUNT(*) FROM s4""".stripMargin) {
-    (spark, dir) =>
-      import spark.implicits._
-      val ev = Tables(spark, dir).events
-        .select($"user_id", $"event_type", $"ts")
-      val s1 = ev.filter($"event_type" === "signup")
-        .groupBy($"user_id").agg(min($"ts").as("t"))
-      val s2 = nextStage(ev, s1, "view")
-      val s3 = nextStage(ev, s2, "click")
-      val s4 = nextStage(ev, s3, "purchase")
-      Seq(("signup", 1L, s1), ("view", 2L, s2),
-          ("click", 3L, s3), ("purchase", 4L, s4))
-        .map { case (name, id, df) =>
-          df.agg(count(lit(1)).as("n_users"))
-            .select(lit(id).as("stage_id"), lit(name).as("stage"),
-              $"n_users")
-        }
-        .reduce(_ unionAll _)
+    (spark, dir) => funnel(Tables(spark, dir).events)
   }
 
   /** q24c — event-transition counts (first-order Markov structure):
@@ -182,8 +188,15 @@ object BehaviorQueries {
       |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR)
       |            AS DOUBLE) AS revenue
       |FROM a GROUP BY 1""".stripMargin) { (spark, dir) =>
-    import spark.implicits._
-    val ev = Tables(spark, dir).events
+    attribution(Tables(spark, dir).events)
+  }
+
+  /** The last-touch-attribution transform over an arbitrary events
+    * frame — shared by the batch query q24d and the streaming
+    * foreachBatch ingest path (StreamingSpec).
+    */
+  def attribution(ev: DataFrame): DataFrame = {
+    import ev.sparkSession.implicits._
     val purchases = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts", $"value")
     val clicks = ev.filter($"event_type" === "click")

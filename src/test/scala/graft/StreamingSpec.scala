@@ -22,16 +22,18 @@ class StreamingSpec extends SparkTestBase {
     d.toString
   }
 
-  private def streamingEvents() = {
-    import spark.implicits._
+  /** On-disk schema of events.parquet (readStream requires an explicit
+    * schema); inferred from a batch read so the spec tracks testdata
+    * regenerations instead of hardcoding one ts physical type.
+    */
+  private lazy val eventsDiskSchema: StructType = {
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    val schema = StructType(Seq(
-      StructField("event_id", LongType), StructField("ts", LongType),
-      StructField("user_id", LongType), StructField("event_type", StringType),
-      StructField("value", DoubleType), StructField("props", StringType)))
-    spark.readStream.schema(schema).parquet(streamDir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    spark.read.parquet(s"$sfDir/events.parquet").schema
   }
+
+  private def streamingEvents() =
+    Tables.normalizeEventsTs(
+      spark.readStream.schema(eventsDiskSchema).parquet(streamDir))
 
   test("streaming tumbling KPIs match the batch twin") {
     import spark.implicits._
@@ -82,19 +84,6 @@ class StreamingSpec extends SparkTestBase {
       dupDir.resolve("a.parquet"), StandardCopyOption.REPLACE_EXISTING)
     Files.copy(Paths.get(s"$sfDir/events.parquet"),
       dupDir.resolve("b.parquet"), StandardCopyOption.REPLACE_EXISTING)
-    val schema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("event_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("ts",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("user_id",
-        org.apache.spark.sql.types.LongType),
-      org.apache.spark.sql.types.StructField("event_type",
-        org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("value",
-        org.apache.spark.sql.types.DoubleType),
-      org.apache.spark.sql.types.StructField("props",
-        org.apache.spark.sql.types.StringType)))
     // the library surface under test: watermarked first-delivery-wins
     // dedup (EventKpis.streamDedup) fed BOTH duplicate shapes — the
     // file replay (same-timestamp redelivery) and the q15g oracle's
@@ -102,8 +91,8 @@ class StreamingSpec extends SparkTestBase {
     // event). Replayed/late rows disappear either as in-watermark
     // duplicates or as late data — both are the dedup contract
     val stream = EventKpis.streamDedup(EventKpis.plantedRedelivery(
-      spark.readStream.schema(schema).parquet(dupDir.toString)
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))))
+      Tables.normalizeEventsTs(
+        spark.readStream.schema(eventsDiskSchema).parquet(dupDir.toString))))
     val q = stream.writeStream.format("memory").queryName("dedup_test")
       .outputMode("append").trigger(Trigger.AvailableNow()).start()
     q.awaitTermination(120000)
@@ -206,6 +195,39 @@ class StreamingSpec extends SparkTestBase {
       assert(!emitted.exists(s => s.n_events < 3 && s.start_us <= us(0)),
         s"chain fragments emitted as separate sessions: ${emitted.toSeq}")
     } finally q.stop()
+  }
+
+  test("foreachBatch ingest: funnel and attribution match the batch twins") {
+    import graft.analytics.BehaviorQueries
+    // the lambda-architecture shape for non-incremental analytics: a
+    // stream ingests raw events micro-batch by micro-batch into a
+    // staging store (foreachBatch append), the batch transform then
+    // runs over the accumulated staging data. Split the file into 4 so
+    // maxFilesPerTrigger=1 actually exercises multiple micro-batches.
+    val srcDir = Files.createTempDirectory("graft-ingest-src")
+    Tables(spark, sfDir).events.repartition(4)
+      .write.mode("overwrite").parquet(srcDir.toString)
+    val staging = Files.createTempDirectory("graft-ingest-staging").toString
+    val diskSchema = spark.read.parquet(srcDir.toString).schema
+    val q = spark.readStream.schema(diskSchema)
+      .option("maxFilesPerTrigger", "1").parquet(srcDir.toString)
+      .writeStream
+      .foreachBatch { (batch: org.apache.spark.sql.DataFrame, _: Long) =>
+        batch.write.mode("append").parquet(staging)
+      }
+      .trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val ingested = spark.read.parquet(staging)
+    val batchEv = Tables(spark, sfDir).events
+    assert(ingested.count() == batchEv.count(), "ingest lost/duplicated rows")
+    for ((name, fn) <- Seq[(String, org.apache.spark.sql.DataFrame => org.apache.spark.sql.DataFrame)](
+        "funnel" -> BehaviorQueries.funnel,
+        "attribution" -> BehaviorQueries.attribution)) {
+      val s = fn(ingested)
+      val b = fn(batchEv)
+      assert(s.exceptAll(b).count() == 0 && b.exceptAll(s).count() == 0,
+        s"$name over the foreachBatch-ingested store differs from the batch twin")
+    }
   }
 
   test("flatMapGroupsWithState sessionization closes sessions correctly") {
