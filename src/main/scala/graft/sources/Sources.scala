@@ -275,7 +275,180 @@ object Sources {
       .crossJoin(broadcast(missing))
   }
 
+  private val ZOut = s"$RoundtripRoot/q17e_zorder"
+  private val SortOut = s"$RoundtripRoot/q17e_sorted"
+
+  /** The q17e audit's fixed predicate bands, shared by the Spark side
+    * and (as inlined literals) the DuckDB twin: ship-day bands are the
+    * four 2-year eras of the 1992–1998 TPC-H date range in integer
+    * days-since-epoch, qty bands quarter the 1–50 quantity range. An
+    * open file is SKIPPED for a band iff its [min,max] stats range
+    * misses [lo, hi) entirely — the parquet row-group / table-format
+    * file-pruning rule.
+    */
+  private val AuditBands: Seq[(String, Long, Long, Long)] = Seq(
+    ("day", 0L, 8035L, 8766L), ("day", 1L, 8766L, 9496L),
+    ("day", 2L, 9496L, 10227L), ("day", 3L, 10227L, 10957L),
+    ("qty", 0L, 0L, 14L), ("qty", 1L, 14L, 28L),
+    ("qty", 2L, 28L, 42L), ("qty", 3L, 42L, 56L))
+
+  private def bandsValuesSql: String = AuditBands
+    .map { case (d, i, lo, hi) => s"('$d', CAST($i AS BIGINT), $lo, $hi)" }
+    .mkString(", ")
+
+  /** q17e — file-skipping effectiveness audit, ORACLE-GATED on the
+    * actual written bytes: a deterministic lineitem slice is written
+    * twice — z-ordered on (ship_day, qty) via [[writeZOrdered]] and
+    * range-sorted on ship_day alone (the naive "sort by date" layout)
+    * — then BOTH engines read the very same parquet files
+    * (Spark `input_file_name()`, DuckDB `filename=true`), rebuild each
+    * file's min/max stats, and count, per predicate band, how many
+    * files a stats-based scanner skips and how many rows it must still
+    * scan. The hash match proves the two engines agree on the physical
+    * layout's pruning power, file by file. Expected shape (asserted in
+    * SourcesSpec): the date-sorted layout prunes date bands only; the
+    * z-ordered layout prunes BOTH dimensions — the reason Delta/Iceberg
+    * `OPTIMIZE ZORDER` exists. At 100 TB this audit is the feedback
+    * loop for choosing layout keys: it reads only footers-worth of
+    * stats per file (here recomputed, as DuckDB cannot read parquet
+    * footer stats directly) and one count per file.
+    */
+  val q17eSkippingAudit: GraftQuery = GraftQuery(
+    "q17e_skipping_audit",
+    s"""WITH zf AS (
+       |  SELECT filename,
+       |         MIN(ship_day) AS dmin, MAX(ship_day) AS dmax,
+       |         MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax,
+       |         COUNT(*) AS n
+       |  FROM read_parquet('$ZOut/*.parquet', filename=true) GROUP BY 1),
+       |sf AS (
+       |  SELECT filename,
+       |         MIN(ship_day) AS dmin, MAX(ship_day) AS dmax,
+       |         MIN(l_quantity) AS qmin, MAX(l_quantity) AS qmax,
+       |         COUNT(*) AS n
+       |  FROM read_parquet('$SortOut/*.parquet', filename=true) GROUP BY 1),
+       |files AS (
+       |  SELECT 'zorder' AS layout, * FROM zf
+       |  UNION ALL SELECT 'sorted_day', * FROM sf),
+       |bands AS (
+       |  SELECT * FROM (VALUES $bandsValuesSql) AS t(dim, band_id, lo, hi)),
+       |j AS (
+       |  SELECT f.layout, b.dim, b.band_id, f.n,
+       |         CASE WHEN b.dim = 'day'
+       |              THEN f.dmax < b.lo OR f.dmin >= b.hi
+       |              ELSE f.qmax < b.lo OR f.qmin >= b.hi END AS skip
+       |  FROM files f CROSS JOIN bands b)
+       |SELECT layout, dim, band_id,
+       |       COUNT(*) AS n_files,
+       |       CAST(SUM(CASE WHEN skip THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_skipped,
+       |       CAST(SUM(CASE WHEN skip THEN 0 ELSE n END) AS BIGINT)
+       |         AS n_rows_scanned
+       |FROM j GROUP BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val slice = Tables(spark, dir).lineitem
+      .filter($"l_orderkey" % 10 === 0)
+      .select($"l_orderkey", $"l_quantity",
+        unix_date($"l_shipdate".cast(DateType)).cast(LongType)
+          .as("ship_day"))
+    // layout A: z-ordered on (ship_day, qty) — bounds are the fixed
+    // TPC-H domain constants, as table stats would supply at scale
+    writeZOrdered(slice, ZOut,
+      "ship_day", (8035.0, 10957.0), "l_quantity", (0.0, 56.0),
+      files = 16)
+    // layout B: the naive single-column date sort
+    slice.repartitionByRange(16, $"ship_day")
+      .sortWithinPartitions($"ship_day")
+      .write.mode("overwrite").parquet(SortOut)
+
+    def fileStats(path: String): DataFrame =
+      spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy($"f")
+        .agg(min($"ship_day").as("dmin"), max($"ship_day").as("dmax"),
+          min($"l_quantity").as("qmin"), max($"l_quantity").as("qmax"),
+          count(lit(1)).as("n"))
+
+    val files = fileStats(ZOut).withColumn("layout", lit("zorder"))
+      .unionByName(fileStats(SortOut)
+        .withColumn("layout", lit("sorted_day")))
+    val bands = AuditBands.toDF("dim", "band_id", "lo", "hi")
+    files.crossJoin(broadcast(bands))
+      .withColumn("skip",
+        when($"dim" === "day", $"dmax" < $"lo" || $"dmin" >= $"hi")
+          .otherwise($"qmax" < $"lo" || $"qmin" >= $"hi"))
+      .groupBy($"layout", $"dim", $"band_id")
+      .agg(count(lit(1)).as("n_files"),
+        sum(when($"skip", 1L).otherwise(0L)).as("n_skipped"),
+        sum(when($"skip", 0L).otherwise($"n")).as("n_rows_scanned"))
+  }
+
+  private val FragOut = s"$RoundtripRoot/q17f_frag"
+  private val CompactOut = s"$RoundtripRoot/q17f_compact"
+
+  /** q17f — compaction (small-file) audit, ORACLE-GATED on the written
+    * bytes: the same deterministic orders slice is written once
+    * fragmented (64-way round-robin — the shape a 64-task stage leaves
+    * behind) and once through [[writeCompacted]] (file count sized from
+    * row count ÷ target rows-per-file). Both engines then read the
+    * same files and rebuild the layout ledger a table-format OPTIMIZE
+    * planner needs: file count, total rows, smallest/largest file (in
+    * rows), and how many files fall under the small-file threshold.
+    * The hash match proves engine-independent agreement on the
+    * physical layout. The small-file problem is the dominant
+    * operational failure of 100 TB parquet lakes (every file costs a
+    * driver-side listing + task schedule + footer read regardless of
+    * size); this audit is the feedback loop that triggers compaction,
+    * and its cost is one count per file — footer-stat-shaped work.
+    */
+  val q17fCompactionAudit: GraftQuery = GraftQuery(
+    "q17f_compaction_audit",
+    s"""WITH ff AS (
+       |  SELECT filename, COUNT(*) AS n
+       |  FROM read_parquet('$FragOut/*.parquet', filename=true) GROUP BY 1),
+       |cf AS (
+       |  SELECT filename, COUNT(*) AS n
+       |  FROM read_parquet('$CompactOut/*.parquet', filename=true) GROUP BY 1),
+       |files AS (
+       |  SELECT 'fragmented' AS layout, n FROM ff
+       |  UNION ALL SELECT 'compacted', n FROM cf)
+       |SELECT layout,
+       |       COUNT(*) AS n_files,
+       |       CAST(SUM(n) AS BIGINT) AS total_rows,
+       |       CAST(MIN(n) AS BIGINT) AS min_file_rows,
+       |       CAST(MAX(n) AS BIGINT) AS max_file_rows,
+       |       CAST(SUM(CASE WHEN n < 500 THEN 1 ELSE 0 END) AS BIGINT)
+       |         AS n_small_files
+       |FROM files GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val slice = Tables(spark, dir).orders
+      .filter($"o_orderkey" % 2 === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    // the anti-pattern: one file per upstream task, rows ÷ 64 each
+    slice.repartition(64)
+      .write.mode("overwrite").parquet(FragOut)
+    // the cure: file count derived from target rows-per-file
+    val approxRows = slice.count()
+    writeCompacted(slice, CompactOut,
+      targetFileRows = 2048L, approxRows = approxRows)
+
+    def fileRows(path: String): DataFrame =
+      spark.read.parquet(path)
+        .withColumn("f", input_file_name())
+        .groupBy($"f").agg(count(lit(1)).as("n"))
+
+    fileRows(FragOut).withColumn("layout", lit("fragmented"))
+      .unionByName(fileRows(CompactOut)
+        .withColumn("layout", lit("compacted")))
+      .groupBy($"layout")
+      .agg(count(lit(1)).as("n_files"),
+        sum($"n").as("total_rows"),
+        min($"n").as("min_file_rows"),
+        max($"n").as("max_file_rows"),
+        sum(when($"n" < 500L, 1L).otherwise(0L)).as("n_small_files"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q17aJsonProps, q17bCsvRoundtrip, q17cJsonlRoundtrip,
-      q17dOrcRoundtrip)
+      q17dOrcRoundtrip, q17eSkippingAudit, q17fCompactionAudit)
 }

@@ -139,6 +139,54 @@ class SourcesSpec extends SparkTestBase {
       s"z-order partkey avg range $zA vs global ${maxP - minP}")
   }
 
+  test("q17e audit: z-order prunes both dimensions, date-sort only one") {
+    import spark.implicits._
+    val out = Sources.q17eSkippingAudit.fn(spark, sfDir).cache()
+    try {
+      def skipped(layout: String, dim: String): Long = out
+        .filter($"layout" === layout && $"dim" === dim)
+        .agg(sum($"n_skipped")).head.getLong(0)
+      // date-sorted layout prunes date bands…
+      assert(skipped("sorted_day", "day") > 0,
+        "date-sorted layout skipped no files on date bands")
+      // …but leaves qty full-range in every file
+      assert(skipped("sorted_day", "qty") == 0,
+        "date-sorted layout unexpectedly pruned qty bands")
+      // z-order prunes BOTH dimensions
+      assert(skipped("zorder", "day") > 0 && skipped("zorder", "qty") > 0,
+        "z-ordered layout failed to prune both dimensions")
+      // conservation: per (layout, dim, band), scanned rows + skipped
+      // files' rows account for every slice row — no band loses data
+      val sliceRows = Tables(spark, sfDir).lineitem
+        .filter($"l_orderkey" % 10 === 0).count()
+      val bad = out.filter($"n_rows_scanned" > sliceRows).count()
+      assert(bad == 0, "a band claims to scan more rows than exist")
+    } finally out.unpersist()
+  }
+
+  test("q17f audit: compaction collapses the small-file count to zero") {
+    import spark.implicits._
+    val out = Sources.q17fCompactionAudit.fn(spark, sfDir).cache()
+    try {
+      val frag = out.filter($"layout" === "fragmented").head
+      val comp = out.filter($"layout" === "compacted").head
+      def f(r: org.apache.spark.sql.Row, c: String): Long =
+        r.getLong(r.fieldIndex(c))
+      // both layouts hold the identical row multiset
+      assert(f(frag, "total_rows") == f(comp, "total_rows"))
+      // fragmentation: 64 task files, all under the threshold at test sf
+      assert(f(frag, "n_files") > f(comp, "n_files"),
+        "fragmented layout should have strictly more files")
+      assert(f(frag, "n_small_files") > 0,
+        "fragmented layout produced no small files at test scale")
+      // the cure: no file under the small-file threshold
+      assert(f(comp, "n_small_files") == 0,
+        "compacted layout still contains small files")
+      // compacted files respect the maxRecordsPerFile bound
+      assert(f(comp, "max_file_rows") <= 2048L)
+    } finally out.unpersist()
+  }
+
   test("orc roundtrip is lossless and the read side pushes filters") {
     import spark.implicits._
     // running the query performs the write + read-back + equivalence;
