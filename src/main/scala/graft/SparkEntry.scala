@@ -26,6 +26,7 @@ object SparkEntry {
       graft.analytics.ProfileQueries.all ++
       graft.analytics.BasketQueries.all ++
       graft.analytics.GraphQueries.all ++
+      graft.analytics.RfmQueries.all ++
       graft.text.TextQueries.all ++
       graft.text.TfIdfQueries.all ++
       graft.text.MixtureQueries.all ++

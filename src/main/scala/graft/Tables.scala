@@ -19,6 +19,14 @@ final class Tables(spark: SparkSession, dir: String) {
   def customer: DataFrame   = t("customer")
   def supplier: DataFrame   = t("supplier")
   def part: DataFrame       = t("part")
+  // The relational facts do NOT fan out: their queries are
+  // filter→partial-agg→shuffle shapes where map-side combine collapses
+  // the data before any exchange, and an up-front round-robin exchange
+  // (written single-threaded by the one scan task) costs more than the
+  // serialized partial agg it parallelizes — measured +0.5 s/query
+  // across the whole headline set at sf0.1. CPU-heavy consumers that
+  // DO need parallel compute over these tables fan out at their own
+  // entry points (e.g. ProfileQueries.profile).
   def orders: DataFrame     = t("orders")
   def lineitem: DataFrame   = t("lineitem")
 
@@ -39,14 +47,29 @@ final class Tables(spark: SparkSession, dir: String) {
     // Harmless for micros data; required for schema inference to even
     // succeed on the nanos generation of the file.
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    Tables.normalizeEventsTs(t("events"))
+    Tables.fanOut(Tables.normalizeEventsTs(t("events")))
   }
-  def documents: DataFrame  = t("documents")
-  def embeddings: DataFrame = t("embeddings")
+  def documents: DataFrame  = Tables.fanOut(t("documents"))
+  def embeddings: DataFrame = Tables.fanOut(t("embeddings"))
 }
 
 object Tables {
   def apply(spark: SparkSession, dir: String): Tables = new Tables(spark, dir)
+
+  /** Fan a coarse scan out to the session's full parallelism — and ONLY
+    * then. The harness testdata is written as single-row-group parquet,
+    * so every scan yields ONE partition and any CPU-heavy derivation
+    * (shingling, tokenizing, profiling) runs single-threaded in the
+    * scan's stage. A conditional round-robin repartition splits the
+    * stage: the 1-task scan stays cheap, the compute fans across all
+    * cores. At 100 TB the scan already has >= cores partitions and
+    * this is a NO-OP — no shuffle is added to a well-partitioned read
+    * (the partition-count probe only lists files; it runs no job).
+    */
+  def fanOut(df: DataFrame): DataFrame = {
+    val cores = df.sparkSession.sparkContext.defaultParallelism
+    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+  }
 
   /** Normalize an events frame's `ts` to session-TZ TIMESTAMP whatever
     * on-disk generation it came from (see `Tables.events` Scaladoc).

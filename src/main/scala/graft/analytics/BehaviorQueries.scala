@@ -216,7 +216,102 @@ object BehaviorQueries {
         graft.functions.Exact.dsum($"value").as("revenue"))
   }
 
+  /** q24h — multi-touch (linear) attribution: every click in the 7
+    * days before a purchase shares the purchase's value equally; the
+    * remainder of the integer split goes to "organic", as does the
+    * full value of purchases with no qualifying click. Completes the
+    * attribution pair with q24d's last-touch.
+    *
+    * Determinism: value → integer MICROS once (⌊v·1e6+½⌋ — identical
+    * IEEE double math both engines), then credit = micros DIV n_clicks
+    * (integer division, order-free) and remainder = micros − n·credit;
+    * every downstream SUM is a BIGINT sum. No float division anywhere.
+    *
+    * Scale shape: purchases⋈clicks is a USER-keyed equi-join (one
+    * shuffle each side, co-partitioned) with the 7-day band as a
+    * post-join filter — per-user click counts are bounded in any real
+    * event store, so the pair blowup is per-user quadratic only in a
+    * 7-day window, the same budget the interval join q15e runs on.
+    * Then two hash-aggs (purchase grain → recency-bucket grain) with
+    * map-side combine.
+    */
+  val q24hMultitouch: GraftQuery = GraftQuery(
+    "q24h_multitouch",
+    """WITH p AS (
+      |  SELECT user_id, ts,
+      |         CAST(floor(value*1e6 + 0.5) AS BIGINT) AS vu,
+      |         event_id AS pid
+      |  FROM events WHERE event_type = 'purchase'),
+      |c AS (
+      |  SELECT user_id, ts FROM events WHERE event_type = 'click'),
+      |j AS (
+      |  SELECT p.pid, p.vu, p.ts AS pts, c.ts AS cts
+      |  FROM p JOIN c ON p.user_id = c.user_id
+      |  WHERE c.ts <= p.ts
+      |    AND epoch_us(p.ts) - epoch_us(c.ts) <= 604800000000),
+      |per_p AS (
+      |  SELECT pid, vu, COUNT(*) AS n_clicks,
+      |         vu // COUNT(*) AS credit
+      |  FROM j GROUP BY pid, vu),
+      |touch AS (
+      |  SELECT j.pid,
+      |         CASE WHEN epoch_us(j.pts) - epoch_us(j.cts) <= 86400000000
+      |              THEN 'click_24h' ELSE 'click_7d' END AS channel,
+      |         pp.credit
+      |  FROM j JOIN per_p pp ON pp.pid = j.pid),
+      |organic AS (
+      |  SELECT 'organic' AS channel,
+      |         COUNT(*) AS n_touches,
+      |         CAST(SUM(p.vu) AS BIGINT) AS credited_micros
+      |  FROM p WHERE pid NOT IN (SELECT pid FROM per_p)),
+      |remainder AS (
+      |  SELECT 'rounding_residual' AS channel,
+      |         COUNT(*) AS n_touches,
+      |         CAST(SUM(vu - n_clicks * credit) AS BIGINT)
+      |           AS credited_micros
+      |  FROM per_p)
+      |SELECT channel, n_touches, credited_micros FROM (
+      |  SELECT channel, COUNT(*) AS n_touches,
+      |         CAST(SUM(credit) AS BIGINT) AS credited_micros
+      |  FROM touch GROUP BY channel
+      |  UNION ALL SELECT * FROM organic
+      |  UNION ALL SELECT * FROM remainder)""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    val p = ev.filter($"event_type" === "purchase")
+      .select($"user_id", $"ts",
+        floor($"value" * 1e6 + 0.5).cast("long").as("vu"),
+        $"event_id".as("pid"))
+    val c = ev.filter($"event_type" === "click")
+      .select($"user_id", $"ts".as("cts"))
+    val j = p.join(c, "user_id")
+      .filter($"cts" <= $"ts" &&
+        unix_micros($"ts") - unix_micros($"cts") <= 604800000000L)
+      .select($"pid", $"vu", $"ts".as("pts"), $"cts")
+    val perPExact = j.groupBy($"pid", $"vu")
+      .agg(count(lit(1)).as("n_clicks"))
+      .withColumn("credit", expr("vu div n_clicks"))
+    val touch = j.join(perPExact.select($"pid", $"credit"), "pid")
+      .withColumn("channel",
+        when(unix_micros($"pts") - unix_micros($"cts") <= 86400000000L,
+          "click_24h").otherwise("click_7d"))
+      .groupBy($"channel")
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"credit").as("credited_micros"))
+    val organic = p.join(perPExact.select($"pid"), Seq("pid"), "left_anti")
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"vu").as("credited_micros"))
+      .select(lit("organic").as("channel"), $"n_touches",
+        $"credited_micros")
+    val residual = perPExact
+      .agg(count(lit(1)).as("n_touches"),
+        sum($"vu" - $"n_clicks" * $"credit").as("credited_micros"))
+      .select(lit("rounding_residual").as("channel"), $"n_touches",
+        $"credited_micros")
+    touch.unionByName(organic).unionByName(residual)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q24aCohortRetention, q24bEventFunnel, q24cEventTransitions,
-      q24dAttribution)
+      q24dAttribution, q24hMultitouch)
 }

@@ -55,20 +55,39 @@ object ProfileQueries {
     * sketch pass (the verdict column is what proves that swap sound).
     */
   def profile(df: DataFrame): DataFrame = {
+    val base = graft.Tables.fanOut(df)
     val fields = df.schema.fields.toSeq
+    // Pass split by BUFFER KIND, not by column: string-typed min/max
+    // buffers are not HashAggregate-mutable, and ONE such buffer
+    // demotes an entire aggregation (including the Expand'd distincts)
+    // to interpreted SortAggregate — measured 2.5 s vs sub-second at
+    // sf0.1. So the Expand pass carries only fixed-width buffers
+    // (counts, distincts, numeric/temporal min-max → whole-stage
+    // codegen) and the string min-max rides the already-non-codegen
+    // sketch pass. Still exactly 1 Expand + 2 scans (ProfileSpec pin).
+    def isStringy(dt: DataType): Boolean = dt == StringType
     val exactAggs = fields.flatMap { f =>
       val c = col(f.name)
-      Seq(
-        count(c).as(s"${f.name}__nn"),
-        countDistinct(c).as(s"${f.name}__nd"),
-        canon(min(c), f.dataType).as(s"${f.name}__mn"),
+      Seq(count(c).as(s"${f.name}__nn"),
+        countDistinct(c).as(s"${f.name}__nd")) ++
+        (if (isStringy(f.dataType)) Seq.empty
+         else Seq(
+           canon(min(c), f.dataType).as(s"${f.name}__mn"),
+           canon(max(c), f.dataType).as(s"${f.name}__mx")))
+    }
+    // rsd 2%: HLL buffer words scale ~1/rsd² and per-row update cost
+    // follows buffer size in the interpreted path — 2% keeps the
+    // verdict comfortably inside the 5% tolerance at a quarter of the
+    // 1% buffer (4096 registers), measured 4× faster at sf0.1.
+    val sketchAggs = fields.map { f =>
+      approx_count_distinct(col(f.name), 0.02).as(s"${f.name}__ad")
+    } ++ fields.filter(f => isStringy(f.dataType)).flatMap { f =>
+      val c = col(f.name)
+      Seq(canon(min(c), f.dataType).as(s"${f.name}__mn"),
         canon(max(c), f.dataType).as(s"${f.name}__mx"))
     }
-    val sketchAggs = fields.map { f =>
-      approx_count_distinct(col(f.name), 0.01).as(s"${f.name}__ad")
-    }
-    val one = df.agg(count(lit(1)).as("__rows"), exactAggs: _*)
-      .crossJoin(broadcast(df.agg(sketchAggs.head, sketchAggs.tail: _*)))
+    val one = base.agg(count(lit(1)).as("__rows"), exactAggs: _*)
+      .crossJoin(broadcast(base.agg(sketchAggs.head, sketchAggs.tail: _*)))
     val entries = fields.map { f =>
       struct(
         lit(f.name).as("col_name"),

@@ -1,0 +1,108 @@
+package graft.analytics
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DateType, LongType}
+
+import graft.Tables
+import graft.operators.DistributedRank
+import graft.queries.GraftQuery
+
+/** RFM (recency / frequency / monetary) customer segmentation — the
+  * canonical CRM mart a warehouse layers over the orders fact (the
+  * reference's LTV ranking `Database/TASK 2A SQL Analytical
+  * Queries.sql:229-248` stops at monetary; RFM completes the classic
+  * triple and is the standard input to campaign targeting).
+  *
+  * Determinism discipline: monetary is integer CENTS
+  * (⌊price·100+½⌋ BIGINT — the q26e device, identical IEEE double
+  * math in both engines), recency is an integer day difference, and
+  * every quartile is assigned under a TOTAL order (metric, custkey) —
+  * so NTILE's exact SQL split is reproducible cross-engine and the
+  * 64-cell rollup hashes bitwise.
+  *
+  * Scale shape: one orders-grain hash-agg collapses to customer grain,
+  * then THREE global quartile assignments ride
+  * [[graft.operators.DistributedRank]] — range-repartitioned rank, NO
+  * single-task Window sort (a global `ntile() OVER (ORDER BY …)` is
+  * the one-thread funnel the q3a scale note bans at 10⁹ customers) —
+  * and the final rollup is a 64-key hash-agg with map-side combine.
+  */
+object RfmQueries {
+
+  /** Customer-grain RFM metrics from an orders frame: integer recency
+    * days vs the corpus max date, order count, exact cents.
+    */
+  def rfmMetrics(orders: DataFrame): DataFrame = {
+    import orders.sparkSession.implicits._
+    val maxd = orders.agg(max($"o_orderdate").as("md"))
+    orders.groupBy($"o_custkey")
+      .agg(max($"o_orderdate").as("last_order"),
+        count(lit(1)).as("frequency"),
+        sum(floor($"o_totalprice" * 100 + 0.5).cast(LongType))
+          .as("monetary_cents"))
+      .crossJoin(broadcast(maxd))
+      .withColumn("recency_days",
+        datediff($"md".cast(DateType), $"last_order".cast(DateType))
+          .cast(LongType))
+      .select($"o_custkey", $"recency_days", $"frequency",
+        $"monetary_cents")
+  }
+
+  /** Quartile scores via the distributed rank path: 1 = best (most
+    * recent / most frequent / highest spend), custkey tie-break.
+    */
+  def rfmScores(metrics: DataFrame): DataFrame = {
+    import metrics.sparkSession.implicits._
+    val r = DistributedRank.rankNtile(metrics, Seq.empty,
+      Seq($"recency_days".asc, $"o_custkey".asc), 4, "__rr", "r_q")
+    val f = DistributedRank.rankNtile(r, Seq.empty,
+      Seq($"frequency".desc, $"o_custkey".asc), 4, "__fr", "f_q")
+    val m = DistributedRank.rankNtile(f, Seq.empty,
+      Seq($"monetary_cents".desc, $"o_custkey".asc), 4, "__mr", "m_q")
+    m.drop("__rr", "__fr", "__mr")
+  }
+
+  /** q28 — RFM segment rollup: quartile cell → customer count, total
+    * orders, total cents.
+    */
+  val q28RfmSegments: GraftQuery = GraftQuery(
+    "q28_rfm_segments",
+    """WITH c AS (
+      |  SELECT o_custkey,
+      |         MAX(o_orderdate) AS last_order,
+      |         COUNT(*) AS frequency,
+      |         CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
+      |              AS BIGINT) AS monetary_cents
+      |  FROM orders GROUP BY 1),
+      |mx AS (SELECT MAX(o_orderdate) AS md FROM orders),
+      |s AS (
+      |  SELECT o_custkey, frequency, monetary_cents,
+      |         date_diff('day', CAST(c.last_order AS DATE),
+      |                   CAST(mx.md AS DATE)) AS recency_days
+      |  FROM c CROSS JOIN mx),
+      |q AS (
+      |  SELECT NTILE(4) OVER (ORDER BY recency_days, o_custkey) AS r_q,
+      |         NTILE(4) OVER (ORDER BY frequency DESC, o_custkey) AS f_q,
+      |         NTILE(4) OVER (ORDER BY monetary_cents DESC, o_custkey)
+      |           AS m_q,
+      |         frequency, monetary_cents
+      |  FROM s)
+      |SELECT CAST(r_q AS BIGINT) AS r_q, CAST(f_q AS BIGINT) AS f_q,
+      |       CAST(m_q AS BIGINT) AS m_q,
+      |       COUNT(*) AS n_customers,
+      |       CAST(SUM(frequency) AS BIGINT) AS total_orders,
+      |       CAST(SUM(monetary_cents) AS BIGINT) AS total_cents
+      |FROM q GROUP BY 1, 2, 3""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    rfmScores(rfmMetrics(Tables(spark, dir).orders))
+      .groupBy($"r_q".cast(LongType).as("r_q"),
+        $"f_q".cast(LongType).as("f_q"),
+        $"m_q".cast(LongType).as("m_q"))
+      .agg(count(lit(1)).as("n_customers"),
+        sum($"frequency").as("total_orders"),
+        sum($"monetary_cents").as("total_cents"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q28RfmSegments)
+}

@@ -280,7 +280,89 @@ object OlapExtras {
           $"e.rev".as("rev"), $"e.ema".as("ema"))
   }
 
+  /** q20e — gap-fill with LINEAR INTERPOLATION (the pandas
+    * `interpolate` analog, completing q20c's zero-fill densify):
+    * missing calendar days get prev + (next−prev)·offset/gap, done
+    * entirely in INTEGER cents with integer division — order-free,
+    * bitwise-identical cross-engine. prev/next ride
+    * last/first(IGNORE NULLS) frames over the densified spine.
+    *
+    * Scale: the corpus collapses at the daily hash-agg; every window
+    * after that is CALENDAR-grain (≤ a few thousand rows however big
+    * the fact is), so the single-partition window is bounded by the
+    * date range, never by the data — the same budget q20c/q27 run on.
+    * The spine never extends beyond observed bounds, so interior gaps
+    * always have both neighbors and the formula needs no edge case.
+    */
+  val q20eGapfillInterp: GraftQuery = GraftQuery(
+    "q20e_gapfill_interp",
+    """WITH daily AS (
+      |  SELECT CAST(l_shipdate AS DATE) AS d,
+      |         CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+      |                       AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem WHERE l_orderkey % 50 = 0 GROUP BY 1),
+      |bounds AS (SELECT MIN(d) AS lo, MAX(d) AS hi FROM daily),
+      |cal AS (
+      |  SELECT CAST(unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS DATE)
+      |    AS d
+      |  FROM bounds),
+      |sp AS (
+      |  SELECT cal.d, daily.cents,
+      |         cal.d - DATE '1970-01-01' AS day_i
+      |  FROM cal LEFT JOIN daily ON cal.d = daily.d),
+      |nb AS (
+      |  SELECT d, cents, day_i,
+      |    last_value(cents IGNORE NULLS) OVER
+      |      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS pv,
+      |    last_value(CASE WHEN cents IS NOT NULL THEN day_i END
+      |               IGNORE NULLS) OVER
+      |      (ORDER BY d ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |      AS pd,
+      |    first_value(cents IGNORE NULLS) OVER
+      |      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS nv,
+      |    first_value(CASE WHEN cents IS NOT NULL THEN day_i END
+      |                IGNORE NULLS) OVER
+      |      (ORDER BY d ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+      |      AS nd
+      |  FROM sp)
+      |SELECT CAST(d AS VARCHAR) AS ship_day,
+      |       CAST(CASE WHEN cents IS NOT NULL THEN cents
+      |            ELSE pv + ((nv - pv) * (day_i - pd)) // (nd - pd) END
+      |            AS BIGINT) AS rev_cents,
+      |       cents IS NULL AS gap_filled
+      |FROM nb""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val daily = Tables(spark, dir).lineitem
+      .filter($"l_orderkey" % 50 === 0)
+      .groupBy(to_date($"l_shipdate").as("d"))
+      .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100
+        + 0.5).cast("long")).as("cents"))
+    val bounds = daily.agg(min($"d").as("lo"), max($"d").as("hi"))
+    val cal = bounds.select(
+      explode(sequence($"lo", $"hi", expr("interval 1 day"))).as("d"))
+    import org.apache.spark.sql.expressions.Window
+    val sp = cal.join(daily, Seq("d"), "left")
+      .withColumn("day_i", unix_date($"d").cast("long"))
+    val wPrev = Window.orderBy($"d")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wNext = Window.orderBy($"d")
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    sp.withColumn("pv", last($"cents", ignoreNulls = true).over(wPrev))
+      .withColumn("pd", last(when($"cents".isNotNull, $"day_i"),
+        ignoreNulls = true).over(wPrev))
+      .withColumn("nv", first($"cents", ignoreNulls = true).over(wNext))
+      .withColumn("nd", first(when($"cents".isNotNull, $"day_i"),
+        ignoreNulls = true).over(wNext))
+      .select($"d".cast(StringType).as("ship_day"),
+        when($"cents".isNotNull, $"cents")
+          .otherwise($"pv" + expr("((nv - pv) * (day_i - pd)) div (nd - pd)"))
+          .as("rev_cents"),
+        $"cents".isNull.as("gap_filled"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot, q21TopkPerNation,
-      q22IncrementalAgg, q27ExpSmoothing)
+      q22IncrementalAgg, q27ExpSmoothing, q20eGapfillInterp)
 }

@@ -279,16 +279,16 @@ object Sources {
   private val SortOut = s"$RoundtripRoot/q17e_sorted"
 
   /** The q17e audit's fixed predicate bands, shared by the Spark side
-    * and (as inlined literals) the DuckDB twin: ship-day bands are the
-    * four 2-year eras of the 1992–1998 TPC-H date range in integer
-    * days-since-epoch, qty bands quarter the 1–50 quantity range. An
+    * and (as inlined literals) the DuckDB twin: ship-day bands quarter the
+    * synthetic corpus’s 1995–2001 ship-date range in integer
+    * days-since-epoch (days 9132–11630), qty bands quarter the 1–50 quantity range. An
     * open file is SKIPPED for a band iff its [min,max] stats range
     * misses [lo, hi) entirely — the parquet row-group / table-format
     * file-pruning rule.
     */
   private val AuditBands: Seq[(String, Long, Long, Long)] = Seq(
-    ("day", 0L, 8035L, 8766L), ("day", 1L, 8766L, 9496L),
-    ("day", 2L, 9496L, 10227L), ("day", 3L, 10227L, 10957L),
+    ("day", 0L, 9100L, 9750L), ("day", 1L, 9750L, 10400L),
+    ("day", 2L, 10400L, 11050L), ("day", 3L, 11050L, 11700L),
     ("qty", 0L, 0L, 14L), ("qty", 1L, 14L, 28L),
     ("qty", 2L, 28L, 42L), ("qty", 3L, 42L, 56L))
 
@@ -354,7 +354,7 @@ object Sources {
     // layout A: z-ordered on (ship_day, qty) — bounds are the fixed
     // TPC-H domain constants, as table stats would supply at scale
     writeZOrdered(slice, ZOut,
-      "ship_day", (8035.0, 10957.0), "l_quantity", (0.0, 56.0),
+      "ship_day", (9100.0, 11700.0), "l_quantity", (0.0, 56.0),
       files = 16)
     // layout B: the naive single-column date sort
     slice.repartitionByRange(16, $"ship_day")
@@ -448,7 +448,66 @@ object Sources {
         sum(when($"n" < 500L, 1L).otherwise(0L)).as("n_small_files"))
   }
 
+  private val PartOut = s"$RoundtripRoot/q17g_part"
+
+  /** q17g — partition-pruning effectiveness audit, ORACLE-GATED on the
+    * written layout: a deterministic orders slice is written
+    * hive-partitioned by order year ([[writePartitioned]]), then both
+    * engines read the same directory tree (DuckDB with
+    * `hive_partitioning=true`) and rebuild the per-partition row
+    * ledger, then report, for each of a fixed set of year predicates,
+    * how many partitions and rows a partition-pruning scanner avoids. Completes the layout-audit
+    * trilogy (q17e file skipping, q17f compaction): partition pruning
+    * is the coarsest and cheapest pruning tier at 100 TB — directory
+    * names alone, no footer reads — and this audit is the check that
+    * the chosen partition key actually concentrates the query
+    * predicates. SourcesSpec separately asserts Spark's scan shows
+    * the PartitionFilters, i.e. the pruning the audit predicts is the
+    * pruning the engine performs.
+    */
+  val q17gPartitionAudit: GraftQuery = GraftQuery(
+    "q17g_partition_audit",
+    s"""WITH parts AS (
+       |  SELECT CAST(o_year AS BIGINT) AS o_year,
+       |         CAST(COUNT(*) AS BIGINT) AS n_rows
+       |  FROM read_parquet('$PartOut/*/*.parquet', hive_partitioning=true)
+       |  GROUP BY 1),
+       |preds AS (
+       |  SELECT * FROM (VALUES
+       |    (CAST(0 AS BIGINT), 1995, 1996), (1, 1997, 1998),
+       |    (2, 1999, 2001), (3, 1995, 2001)) AS t(pred_id, y_lo, y_hi))
+       |SELECT p.pred_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_parts_total,
+       |       CAST(SUM(CASE WHEN pt.o_year BETWEEN p.y_lo AND p.y_hi
+       |                     THEN 0 ELSE 1 END) AS BIGINT) AS n_parts_pruned,
+       |       CAST(SUM(CASE WHEN pt.o_year BETWEEN p.y_lo AND p.y_hi
+       |                     THEN pt.n_rows ELSE 0 END) AS BIGINT)
+       |         AS n_rows_scanned
+       |FROM preds p CROSS JOIN parts pt
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val slice = Tables(spark, dir).orders
+      .filter($"o_orderkey" % 4 === 0)
+      .select($"o_orderkey", $"o_totalprice",
+        year($"o_orderdate").cast(LongType).as("o_year"))
+    writePartitioned(slice, PartOut, Seq("o_year"))
+
+    val parts = spark.read.parquet(PartOut)
+      .groupBy($"o_year".cast(LongType).as("o_year"))
+      .agg(count(lit(1)).as("n_rows"))
+    val preds = Seq((0L, 1995, 1996), (1L, 1997, 1998),
+      (2L, 1999, 2001), (3L, 1995, 2001))
+      .toDF("pred_id", "y_lo", "y_hi")
+    preds.crossJoin(parts)
+      .withColumn("hit", $"o_year".between($"y_lo", $"y_hi"))
+      .groupBy($"pred_id")
+      .agg(count(lit(1)).as("n_parts_total"),
+        sum(when($"hit", 0L).otherwise(1L)).as("n_parts_pruned"),
+        sum(when($"hit", $"n_rows").otherwise(0L)).as("n_rows_scanned"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q17aJsonProps, q17bCsvRoundtrip, q17cJsonlRoundtrip,
-      q17dOrcRoundtrip, q17eSkippingAudit, q17fCompactionAudit)
+      q17dOrcRoundtrip, q17eSkippingAudit, q17fCompactionAudit,
+      q17gPartitionAudit)
 }

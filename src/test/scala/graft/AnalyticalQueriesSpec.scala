@@ -63,6 +63,31 @@ class AnalyticalQueriesSpec extends SparkTestBase {
     assert(bad.count() == 0)
   }
 
+  test("q20e: interpolated gaps replay exactly from the observed days") {
+    import spark.implicits._
+    val rows = graft.queries.OlapExtras.q20eGapfillInterp.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getBoolean(2)))
+      .sortBy(_._1)
+    assert(rows.nonEmpty && rows.exists(_._3),
+      "expected at least one gap-filled day at test scale")
+    // endpoints are observed (the spine never extrapolates)
+    assert(!rows.head._3 && !rows.last._3)
+    // replay: linear integer interpolation between observed neighbors
+    def day(s: String): Long = java.time.LocalDate.parse(s).toEpochDay
+    val observed = rows.filter(!_._3).map(t => (day(t._1), t._2))
+    rows.filter(_._3).foreach { case (d, got, _) =>
+      val di = day(d)
+      val (pd, pv) = observed.filter(_._1 < di).maxBy(_._1)
+      val (nd, nv) = observed.filter(_._1 > di).minBy(_._1)
+      val want = pv + ((nv - pv) * (di - pd)) / (nd - pd)
+      assert(got == want, s"day $d: got $got, expected $want")
+    }
+    // spine is dense: one row per calendar day in range
+    assert(rows.length ==
+      (day(rows.last._1) - day(rows.head._1) + 1).toInt)
+  }
+
   test("q27: EMA recurrence replays exactly from the month sequence") {
     import spark.implicits._
     val rows = graft.queries.OlapExtras.q27ExpSmoothing.fn(spark, sfDir).collect()

@@ -98,6 +98,47 @@ class BehaviorSpec extends SparkTestBase {
     assert(got.values.sum == ev.count(_._2 == "purchase"))
   }
 
+  test("multitouch credits conserve value exactly and match a recount") {
+    import spark.implicits._
+    val got = BehaviorQueries.q24hMultitouch.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2)))
+      .toMap
+
+    // driver-side recount: equal integer split over 7-day prior clicks
+    val ev = Tables(spark, sfDir).events
+      .select($"user_id", $"event_type", unix_micros_col($"ts"), $"value",
+        $"event_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2),
+        r.getDouble(3), r.getLong(4)))
+    val clicksByUser = ev.filter(_._2 == "click")
+      .groupBy(_._1).view.mapValues(_.map(_._3)).toMap
+    var organicMicros = 0L
+    var creditMicros = 0L
+    var residualMicros = 0L
+    var totalMicros = 0L
+    ev.filter(_._2 == "purchase").foreach { case (u, _, ts, v, _) =>
+      val vu = math.floor(v * 1e6 + 0.5).toLong
+      totalMicros += vu
+      val prior = clicksByUser.getOrElse(u, Array.empty[Long])
+        .count(c => c <= ts && ts - c <= 604800000000L)
+      if (prior == 0) organicMicros += vu
+      else {
+        val credit = vu / prior
+        creditMicros += credit * prior
+        residualMicros += vu - credit * prior
+      }
+    }
+    assert(got("organic")._2 == organicMicros)
+    assert(got.getOrElse("rounding_residual", (0L, 0L))._2 == residualMicros)
+    val clicked = got.getOrElse("click_24h", (0L, 0L))._2 +
+      got.getOrElse("click_7d", (0L, 0L))._2
+    assert(clicked == creditMicros)
+    // conservation: every micro of purchase value is attributed
+    assert(got.values.map(_._2).sum == totalMicros,
+      "credited micros across all channels must equal total purchase value")
+  }
+
   test("plan: funnel stage scans push the event_type literal to parquet") {
     val plan = BehaviorQueries.q24bEventFunnel.fn(spark, sfDir)
       .queryExecution.executedPlan.toString

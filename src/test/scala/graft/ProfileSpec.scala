@@ -44,7 +44,11 @@ class ProfileSpec extends SparkTestBase {
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
     val scans = "Scan parquet".r.findAllIn(plan).length
-    assert(scans == 2, s"expected exact + sketch scans, got $scans:\n$plan")
+    // 2 passes; with the conditional fan-out exchange in place AQE may
+    // REUSE the scan's shuffle output for both (1 scan) — either way
+    // the sketch agg must not share the Expand
+    assert(scans == 1 || scans == 2,
+      s"expected exact + sketch passes over <=2 scans, got $scans:\n$plan")
     val expands = "Expand".r.findAllIn(plan).length
     assert(expands == 1, s"sketches leaked into the Expand plan:\n$plan")
   }

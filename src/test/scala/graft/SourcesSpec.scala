@@ -187,6 +187,36 @@ class SourcesSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("q17g audit: year partitioning prunes; scan engages PartitionFilters") {
+    import spark.implicits._
+    val out = Sources.q17gPartitionAudit.fn(spark, sfDir).cache()
+    try {
+      def row(id: Long) = out.filter($"pred_id" === id).head
+      val narrow = row(0) // 1995–1996
+      val full = row(3)   // 1995–2001: nothing prunable
+      def f(r: org.apache.spark.sql.Row, c: String): Long =
+        r.getLong(r.fieldIndex(c))
+      assert(f(narrow, "n_parts_pruned") > 0,
+        "a 2-year predicate pruned no partitions of the multi-year table")
+      assert(f(full, "n_parts_pruned") == 0,
+        "the full-range predicate should prune nothing")
+      // rows conserve: full-range scan sees the whole slice
+      val sliceRows = Tables(spark, sfDir).orders
+        .filter($"o_orderkey" % 4 === 0).count()
+      assert(f(full, "n_rows_scanned") == sliceRows)
+      // and the engine actually prunes: the predicted pruning shows up
+      // as PartitionFilters in the executed scan
+      val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+      val read = spark.read.parquet(s"$tmp/graft_roundtrip/q17g_part")
+        .filter($"o_year" === 1992)
+      val scanStr =
+        read.queryExecution.executedPlan.collectLeaves().head.toString
+      assert(scanStr.contains("PartitionFilters") &&
+        scanStr.contains("o_year"),
+        s"no partition filter in scan:\n$scanStr")
+    } finally out.unpersist()
+  }
+
   test("orc roundtrip is lossless and the read side pushes filters") {
     import spark.implicits._
     // running the query performs the write + read-back + equivalence;
