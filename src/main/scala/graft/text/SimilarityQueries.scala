@@ -651,7 +651,65 @@ object SimilarityQueries {
     }
   }
 
+  /** q14k — ANN recall audit: the EVALUATION operator the ANN family
+    * was missing. Every approximate path (LSH, IVF, multi-probe IVF,
+    * IVF-PQ) is scored against the brute-force truth on the shared
+    * query set: per method, how many of its returned candidates appear
+    * in the exact top-5, as integer hit counts and basis-point recall
+    * ((hits·10000) DIV retrieved — integer division, hash-exact). This
+    * is the query a platform runs before swapping brute-force for an
+    * index at 100 TB: the approximate methods are cheap BECAUSE they
+    * can miss, and this measures exactly how much they miss on the
+    * corpus at hand. Composes the existing queries verbatim (Spark:
+    * the registered fns; oracle: the registered twins as subqueries) —
+    * the audit can never drift from what the methods actually return.
+    * Excluded from the timed bench: it re-runs four pipelines plus the
+    * labeled-quadratic truth (guard-capped like q14a).
+    */
+  val q14kAnnRecall: GraftQuery = {
+    val methods = Seq(
+      "lsh" -> q14bAnnLsh, "ivf" -> q14cAnnIvf,
+      "ivf_multiprobe" -> q14fAnnIvfMultiprobe, "ivfpq" -> q14gAnnIvfPq)
+    val methodSql = methods.map { case (label, q) =>
+      s"""SELECT '$label' AS method, query_id, cand_id
+         |FROM (${q.oracle.get}) WHERE query_id < 10""".stripMargin
+    }.mkString("\nUNION ALL\n")
+    GraftQuery(
+      "q14k_ann_recall",
+      s"""WITH truth AS (
+         |  SELECT query_id, cand_id FROM (${q14aAnnBruteTopk.oracle.get})),
+         |m AS ($methodSql),
+         |j AS (
+         |  SELECT m.method, m.query_id, m.cand_id,
+         |         CASE WHEN t.cand_id IS NULL THEN 0 ELSE 1 END AS hit
+         |  FROM m LEFT JOIN truth t
+         |    ON t.query_id = m.query_id AND t.cand_id = m.cand_id)
+         |SELECT method,
+         |       CAST(COUNT(DISTINCT query_id) AS BIGINT) AS n_queries,
+         |       COUNT(*) AS n_retrieved,
+         |       CAST(SUM(hit) AS BIGINT) AS n_hits,
+         |       CAST(SUM(hit) * 10000 AS BIGINT) // COUNT(*)
+         |         AS recall_bps
+         |FROM j GROUP BY 1""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val truth = q14aAnnBruteTopk.fn(spark, dir)
+        .select($"query_id", $"cand_id").withColumn("hit", lit(1L))
+      methods.map { case (label, q) =>
+        q.fn(spark, dir)
+          .select($"query_id", $"cand_id")
+          .filter($"query_id" < 10)
+          .join(broadcast(truth), Seq("query_id", "cand_id"), "left")
+          .agg(countDistinct($"query_id").as("n_queries"),
+            count(lit(1)).as("n_retrieved"),
+            sum(coalesce($"hit", lit(0L))).as("n_hits"))
+          .select(lit(label).as("method"), $"n_queries", $"n_retrieved",
+            $"n_hits",
+            expr("(n_hits * 10000) div n_retrieved").as("recall_bps"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q14aAnnBruteTopk, q14bAnnLsh, q14cAnnIvf, q14dEmbedQuantize,
-      q14eSemanticDedup, q14fAnnIvfMultiprobe, q14gAnnIvfPq)
+      q14eSemanticDedup, q14fAnnIvfMultiprobe, q14gAnnIvfPq, q14kAnnRecall)
 }

@@ -82,5 +82,123 @@ object TfIdfQueries {
           .as("tfidf"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q12oTfidfTopk)
+  /** q12y — BM25 lexical retrieval (Okapi k1=1.2, b=0.75): every
+    * 101st document plays the query role and retrieves its top-5
+    * lexical neighbors from the rest of the corpus through the
+    * inverted index — the retrieval half the ANN family (vector
+    * search) was missing, and the standard first-stage ranker for
+    * contamination hunting and quality retrieval over a training
+    * corpus.
+    *
+    * Determinism: BM25 is float math by definition, so the score is
+    * rebuilt as INTEGERS end to end. IDF = ln((N−df+½)/(df+½)+1) is
+    * the ONLY transcendental — both engines evaluate the identical
+    * double expression shape and quantize ⌊·1e6+½⌋ immediately (the
+    * q26c device; a 1-ulp libm wobble moves a quantum only at exact
+    * .5 boundaries, which the +1 inside the ln keeps irrational). The
+    * tf normalization is rationalized: with avgdl = TL/N,
+    * tf·(k1+1)/(tf+k1·(1−b+b·len/avgdl)) ≡ 22·tf·TL /
+    * (10·TL·tf + 3·TL + 9·len·N) — integer numerator and denominator,
+    * one integer division per (query, doc, term), order-free BIGINT
+    * sum. Long headroom: idf_q6·22·tf·TL needs TL ≲ 10⁷ tokens at
+    * these tf ranges — fine at gate scales; a production corpus swaps
+    * the product into DECIMAL(38,0) (documented bound, same device as
+    * the q14i fixed-point covariance).
+    *
+    * Scale shape: tokenize → (doc,term) tf [one shuffle] → df [one
+    * shuffle at term grain]; query terms (tiny by the %101 rule)
+    * broadcast onto the posting lists; stopword-grade terms
+    * (df > 0.9·N — the +1 IDF variant never goes negative, so the
+    * rule is purely a posting-list bound, the q13b hot-shingle cap
+    * applied to retrieval; the synthetic corpus's 31-term vocabulary
+    * sits mostly at df ≈ 0.5–0.8·N, so a textbook df > N/2 cut would
+    * empty the audit) are dropped by an integer rule BEFORE the
+    * probe; then
+    * one (query,doc) hash-agg and a per-query top-5 window (partition
+    * = one query's candidates, bounded by posting mass, never corpus
+    * grain).
+    */
+  val q12yBm25Topk: GraftQuery = GraftQuery(
+    "q12y_bm25_topk",
+    """WITH toks AS (
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  FROM documents),
+      |tf AS (
+      |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
+      |dl AS (
+      |  SELECT doc_id, CAST(SUM(tf) AS BIGINT) AS len FROM tf GROUP BY 1),
+      |df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |stats AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(len) AS BIGINT) AS tl
+      |  FROM dl),
+      |idf AS (
+      |  SELECT d.term, d.df,
+      |         CAST(floor(LN((CAST(2*s.n - 2*d.df + 1 AS DOUBLE)
+      |                        / CAST(2*d.df + 1 AS DOUBLE)) + 1.0)*1e6 + 0.5)
+      |              AS BIGINT) AS idf_q6
+      |  FROM df d CROSS JOIN stats s
+      |  WHERE 10*d.df <= 9*s.n),
+      |qterms AS (
+      |  SELECT DISTINCT doc_id AS query_id, term FROM tf
+      |  WHERE doc_id % 101 = 0),
+      |hits AS (
+      |  SELECT q.query_id, t.doc_id, t.tf, q.term
+      |  FROM qterms q
+      |  JOIN tf t ON t.term = q.term AND t.doc_id <> q.query_id),
+      |scored AS (
+      |  SELECT h.query_id, h.doc_id,
+      |         COUNT(*) AS n_terms_matched,
+      |         CAST(SUM((i.idf_q6 * 22 * h.tf * s.tl)
+      |                  // (10*s.tl*h.tf + 3*s.tl + 9*l.len*s.n))
+      |              AS BIGINT) AS score_q6
+      |  FROM hits h
+      |  JOIN idf i ON i.term = h.term
+      |  JOIN dl l ON l.doc_id = h.doc_id
+      |  CROSS JOIN stats s
+      |  GROUP BY 1, 2)
+      |SELECT query_id, doc_id, n_terms_matched, score_q6,
+      |       CAST(rn AS INTEGER) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER (PARTITION BY query_id
+      |        ORDER BY score_q6 DESC, doc_id ASC) AS rn FROM scored)
+      |WHERE rn <= 5""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val docs = Tables(spark, dir).documents
+    val tf = docs
+      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      .groupBy($"doc_id", $"term")
+      .agg(count(lit(1)).as("tf"))
+    val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
+    val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
+    val stats = dl.agg(count(lit(1)).as("n"), sum($"len").as("tl"))
+    val idf = dfq.crossJoin(broadcast(stats))
+      .filter($"df" * 10 <= $"n" * 9)
+      .select($"term",
+        floor(log((($"n" * 2 - $"df" * 2 + 1).cast("double")
+          / ($"df" * 2 + 1).cast("double")) + 1.0) * 1e6 + 0.5)
+          .cast("long").as("idf_q6"))
+    val qterms = tf.filter($"doc_id" % 101 === 0)
+      .select($"doc_id".as("query_id"), $"term").distinct()
+    val hits = broadcast(qterms)
+      .join(tf, Seq("term"))
+      .filter($"doc_id" =!= $"query_id")
+    val scored = hits
+      .join(idf, Seq("term"))
+      .join(dl, Seq("doc_id"))
+      .crossJoin(broadcast(stats))
+      .groupBy($"query_id", $"doc_id")
+      .agg(count(lit(1)).as("n_terms_matched"),
+        sum(expr("(idf_q6 * 22 * tf * tl) div (10*tl*tf + 3*tl + 9*len*n)"))
+          .as("score_q6"))
+    scored
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"score_q6".desc, $"doc_id".asc)))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"doc_id", $"n_terms_matched", $"score_q6",
+        $"rank")
+  }
+
+  val all: Seq[GraftQuery] = Seq(q12oTfidfTopk, q12yBm25Topk)
 }

@@ -281,4 +281,65 @@ class MixtureTfIdfSpec extends SparkTestBase {
     }
     got.values.foreach { case (_, x) => assert(x > 0 && x.isFinite) }
   }
+  test("q12y BM25 replays exactly from a driver-side reference") {
+    import spark.implicits._
+    val got = graft.text.TfIdfQueries.q12yBm25Topk.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(r.fieldIndex("query_id")),
+        r.getLong(r.fieldIndex("doc_id")),
+        r.getLong(r.fieldIndex("n_terms_matched")),
+        r.getLong(r.fieldIndex("score_q6")),
+        r.getInt(r.fieldIndex("rank"))))
+      .sortBy(t => (t._1, t._5))
+    assert(got.nonEmpty, "no BM25 results at test scale")
+    // dense ranks 1..k per query; scores nonincreasing with rank
+    got.groupBy(_._1).foreach { case (q, rows) =>
+      val byRank = rows.sortBy(_._5)
+      assert(byRank.map(_._5).toSeq == (1 to byRank.length),
+        s"query $q: ranks not dense")
+      assert(byRank.sliding(2).forall {
+        case Array(a, b) => a._4 > b._4 || (a._4 == b._4 && a._2 < b._2)
+        case _ => true
+      }, s"query $q: rank order violates (score desc, doc asc)")
+      assert(rows.forall(_._2 != q), s"query $q retrieved itself")
+    }
+    // full first-principles recount in plain Scala
+    val docs = Tables(spark, sfDir).documents
+      .select($"doc_id", $"text").collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+    val tf: Map[(Long, String), Long] = docs.flatMap { case (id, t) =>
+      t.trim.split("\\s+").map(w => (id, w))
+    }.groupBy(identity).map { case (k, v) => k -> v.length.toLong }
+    val dl: Map[Long, Long] =
+      tf.groupBy(_._1._1).map { case (d, m) => d -> m.values.sum }
+    val dfm: Map[String, Long] =
+      tf.groupBy(_._1._2).map { case (w, m) => w -> m.size.toLong }
+    val n = docs.length.toLong
+    val tl = dl.values.sum
+    val idf: Map[String, Long] = dfm.collect {
+      case (w, df) if 10 * df <= 9 * n =>
+        w -> math.floor(math.log(((2.0 * n - 2 * df + 1) /
+          (2.0 * df + 1)) + 1.0) * 1e6 + 0.5).toLong
+    }
+    val queries = docs.map(_._1).filter(_ % 101 == 0)
+    val expect = queries.flatMap { q =>
+      val qts = tf.keys.filter(_._1 == q).map(_._2).toSet
+      val scored = docs.map(_._1).filter(_ != q).flatMap { d =>
+        val terms = qts.filter(w => tf.contains((d, w)) && idf.contains(w))
+        if (terms.isEmpty) None
+        else {
+          val score = terms.toSeq.map { w =>
+            val t = tf((d, w))
+            (idf(w) * 22 * t * tl) / (10 * tl * t + 3 * tl + 9 * dl(d) * n)
+          }.sum
+          Some((d, terms.size.toLong, score))
+        }
+      }
+      scored.sortBy(x => (-x._3, x._1)).take(5).zipWithIndex.map {
+        case ((d, m, sc), i) => (q, d, m, sc, i + 1)
+      }
+    }.sortBy(t => (t._1, t._5))
+    assert(got.toSeq == expect.toSeq,
+      s"BM25 mismatch:\n got=$${got.toSeq}\n exp=$${expect.toSeq}")
+  }
 }
