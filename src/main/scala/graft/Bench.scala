@@ -103,7 +103,16 @@ object Bench {
       // regression signal the ext set exists to carry. q25b shares the
       // q25 basket build already timed via q12-family members.
       "q13j_editdist_join", "q14j_pca_project",
-      "q26a_profile", "q27_exp_smoothing")
+      "q26a_profile", "q27_exp_smoothing",
+      // round-9 session additions, one per new family: RFM rides the
+      // DistributedRank scale path ×3, multitouch is the 7-day band
+      // join, gap-fill is the calendar-window interpolation, BM25 the
+      // inverted-index probe, q17e the layout-audit write+stat shape
+      // (q17f/g share its write-audit cost profile and stay out, like
+      // q13f vs q13b). q14k stays out: it re-runs four ANN pipelines
+      // plus the guard-capped brute truth by design.
+      "q28_rfm_segments", "q24h_multitouch", "q20e_gapfill_interp",
+      "q12y_bm25_topk", "q17e_skipping_audit")
     // q13f (components) stays out: its dominant cost is recomputing the
     // q13b pair graph, which is already tracked above. q13i (canonical
     // docs) stays out for the same reason — it re-runs the q13f chain

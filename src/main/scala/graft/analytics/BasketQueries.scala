@@ -173,5 +173,71 @@ object BasketQueries {
         round($"cosv", 6).as("cosine"), $"rk")
   }
 
-  val all: Seq[GraftQuery] = Seq(q25BasketRules, q25bItemSimilarity)
+  /** q25c — sequential next-order transitions: which part follows
+    * which across a customer's CONSECUTIVE orders — the temporal
+    * complement to q25's same-basket co-occurrence and the raw count
+    * table behind next-item recommendation. Consecutive = adjacent in
+    * the per-customer (o_orderdate, o_orderkey) order (the unique key
+    * breaks date ties deterministically, the q24c device).
+    *
+    * Scale shape: a customer-keyed window assigns order positions
+    * (partition = one customer's orders, bounded), the rn→rn+1
+    * self-join is customer-keyed (co-partitioned, no blowup beyond
+    * consecutive pairs), the part×part expansion is bounded by
+    * basket² per TRANSITION (not per customer), and the final count
+    * is a (from, to)-keyed hash-agg with map-side combine. Top-20 cut
+    * is integer-ordered (n DESC, part_from, part_to) — no float
+    * anywhere.
+    */
+  val q25cNextItem: GraftQuery = GraftQuery(
+    "q25c_next_item",
+    """WITH seq AS (
+      |  SELECT o_custkey, o_orderkey,
+      |         ROW_NUMBER() OVER (PARTITION BY o_custkey
+      |           ORDER BY o_orderdate, o_orderkey) AS rn
+      |  FROM orders),
+      |pairs AS (
+      |  SELECT a.o_orderkey AS k_from, b.o_orderkey AS k_to
+      |  FROM seq a JOIN seq b
+      |    ON a.o_custkey = b.o_custkey AND b.rn = a.rn + 1),
+      |trans AS (
+      |  SELECT la.l_partkey AS part_from, lb.l_partkey AS part_to,
+      |         COUNT(*) AS n
+      |  FROM pairs p
+      |  JOIN lineitem la ON la.l_orderkey = p.k_from
+      |  JOIN lineitem lb ON lb.l_orderkey = p.k_to
+      |  GROUP BY 1, 2)
+      |SELECT part_from, part_to, n, CAST(rnk AS INTEGER) AS rank
+      |FROM (SELECT *, ROW_NUMBER() OVER
+      |        (ORDER BY n DESC, part_from, part_to) AS rnk FROM trans)
+      |WHERE rnk <= 20""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val seq = t.orders.select($"o_custkey", $"o_orderkey",
+      row_number().over(Window.partitionBy($"o_custkey")
+        .orderBy($"o_orderdate", $"o_orderkey")).as("rn"))
+    val nxt = seq.select($"o_custkey", $"o_orderkey".as("k_to"),
+      ($"rn" - 1).as("rn"))
+    val pairs = seq.join(nxt, Seq("o_custkey", "rn"))
+      .select($"o_orderkey".as("k_from"), $"k_to")
+    val li = t.lineitem.select($"l_orderkey", $"l_partkey")
+    val trans = pairs
+      .join(li.toDF("k_from", "part_from"), "k_from")
+      .join(li.toDF("k_to", "part_to"), "k_to")
+      .groupBy($"part_from", $"part_to")
+      .agg(count(lit(1)).as("n"))
+    // global top-20: single-partition window over the already-tiny
+    // aggregated transition table would still sort it all — use the
+    // TakeOrdered path instead, then re-rank the 20 survivors
+    val top = trans
+      .orderBy($"n".desc, $"part_from".asc, $"part_to".asc)
+      .limit(20)
+    top.withColumn("rank", row_number().over(
+        Window.orderBy($"n".desc, $"part_from".asc, $"part_to".asc))
+        .cast("int"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q25BasketRules, q25bItemSimilarity, q25cNextItem)
 }

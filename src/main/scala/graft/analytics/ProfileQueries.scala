@@ -351,6 +351,68 @@ object ProfileQueries {
         round(abs($"n".cast("double") / $"tot" - expShare), 6).as("abs_dev"))
   }
 
+  /** q26f — join-key skew audit: the pre-flight check for every big
+    * shuffle join at 100 TB. Per audited (table, key): total rows,
+    * distinct keys, the hottest key and its count (min-key tie-break),
+    * skew in basis points of the average key mass
+    * (max_count·n_keys·10000 DIV n_rows — 10000 = perfectly uniform),
+    * and the derived salt factor (⌈max/avg⌉ as an integer rule) that
+    * [[graft.functions.Salt]] would need to flatten the hottest key to
+    * average mass. All integers, hash-exact.
+    *
+    * Scale shape per key: ONE key-grain hash-agg (map-side combine —
+    * the same shuffle the join itself would do, so the audit costs one
+    * pass of what it de-risks), then a 1-row aggregate and a
+    * TakeOrdered(1) for the argmax; nothing at key grain ever reaches
+    * the driver beyond that single row.
+    */
+  val q26fSkewAudit: GraftQuery = {
+    val audited = Seq(
+      ("lineitem_partkey", "lineitem", "l_partkey"),
+      ("orders_custkey", "orders", "o_custkey"),
+      ("events_userid", "events", "user_id"))
+    def oracleOne(label: String, table: String, key: String): String =
+      s"""SELECT '$label' AS audited,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table) AS n_rows,
+         |  (SELECT CAST(COUNT(DISTINCT $key) AS BIGINT) FROM $table)
+         |    AS n_keys,
+         |  (SELECT CAST($key AS BIGINT) FROM $table GROUP BY $key
+         |   ORDER BY COUNT(*) DESC, $key ASC LIMIT 1) AS top_key,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table GROUP BY $key
+         |   ORDER BY COUNT(*) DESC, $key ASC LIMIT 1) AS top_count""".stripMargin
+    GraftQuery(
+      "q26f_skew_audit",
+      s"""WITH base AS (
+         |${audited.map { case (l, t, k) => oracleOne(l, t, k) }
+            .mkString("\nUNION ALL\n")})
+         |SELECT audited, n_rows, n_keys, top_key, top_count,
+         |       (top_count * n_keys * 10000) // n_rows AS skew_bps,
+         |       (top_count * n_keys + n_rows - 1) // n_rows AS salt_factor
+         |FROM base""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val t = Tables(spark, dir)
+      val frames = Seq(
+        ("lineitem_partkey", t.lineitem.select($"l_partkey".as("k"))),
+        ("orders_custkey", t.orders.select($"o_custkey".as("k"))),
+        ("events_userid", t.events.select($"user_id".as("k"))))
+      frames.map { case (label, df) =>
+        val counts = df.groupBy($"k").agg(count(lit(1)).as("cnt"))
+        val agg = counts.agg(sum($"cnt").as("n_rows"),
+          count(lit(1)).as("n_keys"))
+        val top = counts.orderBy($"cnt".desc, $"k".asc).limit(1)
+          .select($"k".cast("long").as("top_key"),
+            $"cnt".as("top_count"))
+        agg.crossJoin(broadcast(top))
+          .select(lit(label).as("audited"), $"n_rows", $"n_keys",
+            $"top_key", $"top_count",
+            expr("(top_count * n_keys * 10000) div n_rows").as("skew_bps"),
+            expr("(top_count * n_keys + n_rows - 1) div n_rows")
+              .as("salt_factor"))
+      }.reduce(_ unionByName _)
+    }
+  }
+
   val all: Seq[GraftQuery] =
-    Seq(q26aProfile, q26bIntegrity, q26cEntropy, q26dPsi, q26eBenford)
+    Seq(q26aProfile, q26bIntegrity, q26cEntropy, q26dPsi, q26eBenford,
+      q26fSkewAudit)
 }

@@ -104,5 +104,65 @@ object RfmQueries {
         sum($"monetary_cents").as("total_cents"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q28RfmSegments)
+  /** q28b — Pareto / ABC classification of parts by revenue: rank
+    * parts by exact revenue cents, classify by INCLUSIVE cumulative
+    * share (A ≤ 80% of total, B ≤ 95%, C rest — pure integer
+    * comparisons, cum·100 vs total·80), roll up per class. The
+    * classic inventory-control mart (the 80/20 rule as a query).
+    *
+    * Scale shape: part-grain hash-agg collapses the fact, then the
+    * global running total rides [[graft.operators.PrefixSum]] — the
+    * range-repartitioned two-pass exclusive scan, NOT a
+    * single-partition `SUM() OVER (ORDER BY …)` window (the q3b scale
+    * note) — and the class rollup is a 3-key hash-agg. The DuckDB twin
+    * IS the window form, so the hash match proves the distributed
+    * scan reproduces it exactly.
+    */
+  val q28bAbcClassification: GraftQuery = GraftQuery(
+    "q28b_abc_classification",
+    """WITH p AS (
+      |  SELECT l_partkey,
+      |         CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+      |                       AS BIGINT)) AS BIGINT) AS cents
+      |  FROM lineitem GROUP BY 1),
+      |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM p),
+      |c AS (
+      |  SELECT l_partkey, cents,
+      |         CAST(SUM(cents) OVER (ORDER BY cents DESC, l_partkey
+      |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+      |           AS BIGINT) AS cum
+      |  FROM p),
+      |cls AS (
+      |  SELECT CASE WHEN cum * 100 <= tot.total * 80 THEN 'A'
+      |              WHEN cum * 100 <= tot.total * 95 THEN 'B'
+      |              ELSE 'C' END AS abc_class,
+      |         cents, tot.total
+      |  FROM c CROSS JOIN tot)
+      |SELECT abc_class,
+      |       COUNT(*) AS n_parts,
+      |       CAST(SUM(cents) AS BIGINT) AS class_cents,
+      |       (CAST(SUM(cents) AS BIGINT) * 10000) // MAX(total)
+      |         AS share_bps
+      |FROM cls GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val p = Tables(spark, dir).lineitem
+      .groupBy($"l_partkey")
+      .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100
+        + 0.5).cast(LongType)).as("cents"))
+    val tot = p.agg(sum($"cents").as("total"))
+    val cum = graft.operators.PrefixSum.exclusivePrefixSum(
+      p, Seq($"cents".desc, $"l_partkey".asc), $"cents", "cum_excl")
+    cum.withColumn("cum", $"cum_excl" + $"cents")
+      .crossJoin(broadcast(tot))
+      .withColumn("abc_class",
+        when($"cum" * 100 <= $"total" * 80, "A")
+          .when($"cum" * 100 <= $"total" * 95, "B")
+          .otherwise("C"))
+      .groupBy($"abc_class")
+      .agg(count(lit(1)).as("n_parts"),
+        sum($"cents").as("class_cents"),
+        expr("(sum(cents) * 10000) div max(total)").as("share_bps"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q28RfmSegments, q28bAbcClassification)
 }

@@ -98,4 +98,39 @@ class BasketSpec extends SparkTestBase {
     }
     assert(got.size == want.values.map(_.size).sum)
   }
+  test("q25c next-item transitions replay from a driver-side recount") {
+    import spark.implicits._
+    val got = graft.analytics.BasketQueries.q25cNextItem.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getInt(3)))
+      .sortBy(_._4)
+    assert(got.nonEmpty && got.map(_._4).toSeq == (1 to got.length))
+    // recount: consecutive orders per customer -> part pairs
+    val orders = Tables(spark, sfDir).orders
+      .select($"o_custkey", $"o_orderkey",
+        $"o_orderdate".cast("date").cast("string")).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2)))
+    val liByOrder = Tables(spark, sfDir).lineitem
+      .select($"l_orderkey", $"l_partkey").collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toMap
+    val trans = scala.collection.mutable.Map
+      .empty[(Long, Long), Long].withDefaultValue(0L)
+    orders.groupBy(_._1).foreach { case (_, os) =>
+      val seqd = os.sortBy(o => (o._3, o._2)).map(_._2)
+      seqd.sliding(2).foreach {
+        case Array(a, b) =>
+          for (pa <- liByOrder.getOrElse(a, Array.empty[Long]);
+               pb <- liByOrder.getOrElse(b, Array.empty[Long]))
+            trans((pa, pb)) += 1L
+        case _ =>
+      }
+    }
+    val expTop = trans.toSeq.sortBy { case ((a, b), n) => (-n, a, b) }
+      .take(got.length)
+    got.zip(expTop).foreach { case ((gf, gt, gn, _), ((ef, et), en)) =>
+      assert(gf == ef && gt == et && gn == en,
+        s"transition mismatch: got ($gf,$gt,$gn) expected ($ef,$et,$en)")
+    }
+  }
 }

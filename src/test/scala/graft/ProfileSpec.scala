@@ -167,4 +167,26 @@ class ProfileSpec extends SparkTestBase {
     // lead default: last row's next_n is the 0 default
     assert(seg.last.getLong(6) == 0L)
   }
+  test("q26f skew audit: metrics consistent with an exact recount") {
+    import spark.implicits._
+    val got = graft.analytics.ProfileQueries.q26fSkewAudit.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getLong(2),
+        r.getLong(3), r.getLong(4), r.getLong(5), r.getLong(6))).toMap
+    assert(got.keySet == Set("lineitem_partkey", "orders_custkey",
+      "events_userid"))
+    // recount one audited key exactly, driver-side
+    val rows = Tables(spark, sfDir).orders.select($"o_custkey").collect()
+      .map(_.getLong(0))
+    val counts = rows.groupBy(identity).view.mapValues(_.length.toLong)
+    val (topKey, topCnt) = counts.toSeq.sortBy { case (k, c) => (-c, k) }.head
+    val (nRows, nKeys, gotTop, gotCnt, bps, salt) = got("orders_custkey")
+    assert(nRows == rows.length.toLong && nKeys == counts.size.toLong)
+    assert(gotTop == topKey && gotCnt == topCnt)
+    assert(bps == topCnt * counts.size * 10000 / rows.length)
+    assert(salt == (topCnt * counts.size + rows.length - 1) / rows.length)
+    // invariants: hottest key is at least average mass
+    got.values.foreach { case (_, _, _, _, b, sf) =>
+      assert(b >= 10000 && sf >= 1)
+    }
+  }
 }

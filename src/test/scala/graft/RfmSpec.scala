@@ -67,4 +67,31 @@ class RfmSpec extends SparkTestBase {
     // every customer lands in exactly one cell
     assert(got.values.map(_._1).sum == byCust.size.toLong)
   }
+  test("q28b ABC classes partition the parts and conserve revenue") {
+    import spark.implicits._
+    val out = graft.analytics.RfmQueries.q28bAbcClassification
+      .fn(spark, sfDir).collect()
+      .map(r => r.getString(0) -> (r.getLong(1), r.getLong(2), r.getLong(3)))
+      .toMap
+    val li = Tables(spark, sfDir).lineitem
+      .select($"l_partkey", $"l_extendedprice", $"l_discount").collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getDouble(2)))
+    val byPart = li.groupBy(_._1).map { case (_, xs) =>
+      xs.map(x => math.floor(x._2 * (1 - x._3) * 100 + 0.5).toLong).sum
+    }.toSeq
+    val total = byPart.sum
+    assert(out.values.map(_._1).sum == byPart.size.toLong,
+      "classes must partition the part set")
+    assert(out.values.map(_._2).sum == total,
+      "classes must conserve total revenue cents")
+    // A-class parts carry more revenue per part than B, B more than C
+    def avg(c: String): Double =
+      out.get(c).map(v => v._2.toDouble / v._1).getOrElse(0.0)
+    if (out.contains("A") && out.contains("B")) assert(avg("A") > avg("B"))
+    if (out.contains("B") && out.contains("C")) assert(avg("B") > avg("C"))
+    // shares in basis points sum to ~10000 (integer floor per class)
+    val bpsSum = out.values.map(_._3).sum
+    assert(bpsSum >= 10000 - out.size && bpsSum <= 10000,
+      s"share_bps sum $bpsSum out of tolerance")
+  }
 }
