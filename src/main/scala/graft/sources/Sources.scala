@@ -506,8 +506,62 @@ object Sources {
         sum(when($"hit", $"n_rows").otherwise(0L)).as("n_rows_scanned"))
   }
 
+  private val BucketOut = s"$RoundtripRoot/q17h_bucket"
+
+  /** q17h — sorted-bucket layout audit, ORACLE-GATED on the written
+    * bucket files: an orders slice is written as an EXTERNAL bucketed
+    * table (8 buckets on o_custkey, sorted by it — the co-located-join
+    * layout SourcesSpec proves Exchange-free), then both engines read
+    * the same files and rebuild the bucket ledger from the physical
+    * layout alone: bucket id parsed from Spark's bucket-file naming
+    * scheme (`part-XXXXX-uuid_NNNNN.c000…` — NNNNN IS the bucket), per
+    * bucket the file count, row count, distinct keys, and min/max key.
+    * What the audit proves: every key maps to exactly ONE bucket
+    * (n_keys sums to the global distinct count — the property
+    * co-located joins depend on), and the hash spread is balanced
+    * enough to use (the spec bounds max/min bucket mass). Completes
+    * the layout-audit family: pruning (q17g) → skipping (q17e) →
+    * compaction (q17f) → bucketing (q17h). At 100 TB this reads one
+    * grouped pass of the table — the audit you run before declaring a
+    * bucket layout safe for exchange-free joins.
+    */
+  val q17hBucketAudit: GraftQuery = GraftQuery(
+    "q17h_bucket_audit",
+    s"""WITH f AS (
+       |  SELECT CAST(regexp_extract(filename, '_(\\d+)\\.c000', 1)
+       |              AS BIGINT) AS bucket_id,
+       |         filename, o_custkey
+       |  FROM read_parquet('$BucketOut/part-*.parquet', filename=true))
+       |SELECT bucket_id,
+       |       CAST(COUNT(DISTINCT filename) AS BIGINT) AS n_files,
+       |       COUNT(*) AS n_rows,
+       |       CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n_keys,
+       |       CAST(MIN(o_custkey) AS BIGINT) AS min_key,
+       |       CAST(MAX(o_custkey) AS BIGINT) AS max_key
+       |FROM f GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val slice = Tables(spark, dir).orders
+      .filter($"o_orderkey" % 8 === 0)
+      .select($"o_orderkey", $"o_custkey", $"o_totalprice")
+    spark.sql("DROP TABLE IF EXISTS q17h_bucket_ext")
+    slice.write.mode("overwrite")
+      .bucketBy(8, "o_custkey").sortBy("o_custkey")
+      .option("path", BucketOut)
+      .saveAsTable("q17h_bucket_ext")
+    spark.read.parquet(BucketOut)
+      .withColumn("f", input_file_name())
+      .withColumn("bucket_id",
+        regexp_extract($"f", "_(\\d+)\\.c000", 1).cast(LongType))
+      .groupBy($"bucket_id")
+      .agg(countDistinct($"f").as("n_files"),
+        count(lit(1)).as("n_rows"),
+        countDistinct($"o_custkey").as("n_keys"),
+        min($"o_custkey").as("min_key"),
+        max($"o_custkey").as("max_key"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q17aJsonProps, q17bCsvRoundtrip, q17cJsonlRoundtrip,
       q17dOrcRoundtrip, q17eSkippingAudit, q17fCompactionAudit,
-      q17gPartitionAudit)
+      q17gPartitionAudit, q17hBucketAudit)
 }

@@ -217,6 +217,31 @@ class SourcesSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("q17h audit: buckets partition the key space and stay usable") {
+    import spark.implicits._
+    val out = Sources.q17hBucketAudit.fn(spark, sfDir).cache()
+    try {
+      val rows = out.collect().map(r => (r.getLong(0), r.getLong(1),
+        r.getLong(2), r.getLong(3)))
+      assert(rows.map(_._1).toSet == (0L until 8L).toSet,
+        s"expected bucket ids 0..7, got ${rows.map(_._1).sorted.toSeq}")
+      // every key lives in exactly ONE bucket — the co-located-join
+      // property: per-bucket distincts sum to the global distinct
+      val slice = Tables(spark, sfDir).orders
+        .filter($"o_orderkey" % 8 === 0)
+      val globalKeys = slice.select($"o_custkey").distinct().count()
+      assert(rows.map(_._4).sum == globalKeys,
+        "a key appears in more than one bucket (or was lost)")
+      // rows conserve
+      assert(rows.map(_._3).sum == slice.count())
+      // hash spread usable: no bucket is empty and the heaviest is
+      // within 3x of the lightest at this key cardinality
+      val masses = rows.map(_._3)
+      assert(masses.forall(_ > 0) && masses.max <= 3 * masses.min,
+        s"bucket imbalance: ${masses.sorted.toSeq}")
+    } finally out.unpersist()
+  }
+
   test("orc roundtrip is lossless and the read side pushes filters") {
     import spark.implicits._
     // running the query performs the write + read-back + equivalence;
