@@ -383,7 +383,68 @@ object Scd {
     extractCdc(s1, s2, naturalKey = Seq("c_custkey"))
   }
 
+  /** q8f — SCD2 conformance audit: the warehouse-hygiene invariants a
+    * load gate checks before publishing a dimension, computed AS DATA
+    * from the rebuilt dim: per natural key exactly one open-ended
+    * version and zero validity-window breaks (every version's
+    * effective_to equals the next version's effective_from), rolled up
+    * to a one-row ledger. Composes q8a verbatim on both sides (Spark:
+    * the rebuild function; oracle: q8a's twin as a CTE), so the hash
+    * match proves the two independently-derived dimensions agree at
+    * audit grain AND the invariant counters are zero on both. Scale:
+    * one key-grain window over the dim (versions per key are bounded)
+    * plus a 1-row rollup.
+    */
+  val q8fScd2Audit: GraftQuery = GraftQuery(
+    "q8f_scd2_audit",
+    s"""WITH dim AS (${q8aScd2Rebuild.oracle.get}),
+       |w AS (
+       |  SELECT c_custkey, version, effective_from, effective_to,
+       |         lead(effective_from) OVER
+       |           (PARTITION BY c_custkey ORDER BY version) AS next_from
+       |  FROM dim),
+       |per_key AS (
+       |  SELECT c_custkey,
+       |         COUNT(*) AS n_versions,
+       |         CAST(SUM(CASE WHEN effective_to = '$OpenEnd'
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_open,
+       |         CAST(SUM(CASE WHEN next_from IS NOT NULL
+       |                        AND next_from <> effective_to
+       |                       THEN 1 ELSE 0 END) AS BIGINT) AS n_breaks
+       |  FROM w GROUP BY 1)
+       |SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+       |       CAST(SUM(n_versions) AS BIGINT) AS n_rows,
+       |       CAST(SUM(CASE WHEN n_versions > 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_multi_version_keys,
+       |       CAST(MAX(n_versions) AS BIGINT) AS max_versions,
+       |       CAST(SUM(CASE WHEN n_open <> 1 THEN 1 ELSE 0 END)
+       |            AS BIGINT) AS n_bad_open,
+       |       CAST(SUM(n_breaks) AS BIGINT) AS n_contiguity_breaks
+       |FROM per_key""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val dim = scd2Rebuild(snapshots(Tables(spark, dir)),
+      naturalKey = Seq("c_custkey"), tracked = Seq("bal"), snapCol = "snap")
+    val w = Window.partitionBy($"c_custkey").orderBy($"version")
+    val perKey = dim
+      .withColumn("next_from", lead($"effective_from", 1).over(w))
+      .groupBy($"c_custkey")
+      .agg(count(lit(1)).as("n_versions"),
+        sum(when($"effective_to" === OpenEnd, 1L).otherwise(0L))
+          .as("n_open"),
+        sum(when($"next_from".isNotNull &&
+          $"next_from" =!= $"effective_to", 1L).otherwise(0L))
+          .as("n_breaks"))
+    perKey.agg(count(lit(1)).as("n_keys"),
+      sum($"n_versions").as("n_rows"),
+      sum(when($"n_versions" > 1, 1L).otherwise(0L))
+        .as("n_multi_version_keys"),
+      max($"n_versions").as("max_versions"),
+      sum(when($"n_open" =!= 1L, 1L).otherwise(0L)).as("n_bad_open"),
+      sum($"n_breaks").as("n_contiguity_breaks"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q8aScd2Rebuild, q8bScd1Upsert, q8cScd2PointInTime, q8dCdcApply,
-      q8eCdcExtract)
+      q8eCdcExtract, q8fScd2Audit)
 }

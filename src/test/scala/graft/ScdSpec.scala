@@ -86,4 +86,13 @@ class ScdSpec extends SparkTestBase {
     assert(out.toSeq == Seq((2, 22.0, "U"), (3, 33.0, "U"),
       (4, 40.0, "B"), (5, 50.0, "I")))
   }
+  test("q8f audit: rebuilt dimension satisfies the SCD2 invariants") {
+    val r = graft.etl.Scd.q8fScd2Audit.fn(spark, sfDir).head
+    def f(c: String): Long = r.getLong(r.fieldIndex(c))
+    assert(f("n_bad_open") == 0, "a key without exactly one open version")
+    assert(f("n_contiguity_breaks") == 0, "validity windows not contiguous")
+    val dimRows = graft.etl.Scd.q8aScd2Rebuild.fn(spark, sfDir).count()
+    assert(f("n_rows") == dimRows, "audit row count differs from the dim")
+    assert(f("n_keys") > 0 && f("max_versions") >= 1)
+  }
 }
