@@ -254,7 +254,58 @@ object EventKpis {
         min($"value").as("value"))
   }
 
+  /** Left-outer interval join: every click, matched to the errors in
+    * its 10-minute aftermath OR kept with a NULL error — the "did this
+    * click lead to trouble" probe where unmatched clicks ARE the
+    * signal. Shared by the batch twin q15i and the streaming parity
+    * test: in Structured Streaming this exact shape (equi-key + event-
+    * time range + watermarks both sides) is the supported outer
+    * stream-stream join — the watermark bounds how long a click waits
+    * for its NULL verdict, which is the state-cleanup contract at
+    * scale.
+    */
+  def clickErrorLeftJoin(clicks: DataFrame, errors: DataFrame): DataFrame = {
+    import clicks.sparkSession.implicits._
+    clicks.alias("c").join(errors.alias("e"),
+      $"c.user_id" === $"e.user_id" &&
+        $"e.ts" >= $"c.ts" && $"e.ts" <= $"c.ts" + expr("interval 10 minutes"),
+      "left_outer")
+      .select($"c.user_id".as("user_id"),
+        $"c.event_id".as("click_id"), $"e.event_id".as("error_id"))
+  }
+
+  /** q15i — left-outer interval-join batch twin: per user, clicks with
+    * and without a trailing error (matched pair rows + NULL-error
+    * clicks), the outer complement of q15e.
+    */
+  val q15iIntervalLeftJoin: GraftQuery = GraftQuery(
+    "q15i_interval_left_join",
+    """SELECT c.user_id,
+      |       COUNT(*) AS n_rows,
+      |       COUNT(e.event_id) AS n_matched,
+      |       COUNT(DISTINCT c.event_id)
+      |         - COUNT(DISTINCT CASE WHEN e.event_id IS NOT NULL
+      |                               THEN c.event_id END)
+      |         AS n_clean_clicks
+      |FROM (SELECT * FROM events WHERE event_type = 'click') c
+      |LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      |  ON c.user_id = e.user_id
+      | AND e.ts >= c.ts AND e.ts <= c.ts + INTERVAL 10 MINUTE
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+    clickErrorLeftJoin(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "error"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_rows"),
+        count($"error_id").as("n_matched"),
+        (countDistinct($"click_id") -
+          countDistinct(when($"error_id".isNotNull, $"click_id")))
+          .as("n_clean_clicks"))
+  }
+
   val all: Seq[GraftQuery] = Seq(q15aTumbling, q15bSliding,
     q15cSessionization, q15dSessionWindow, q15eIntervalJoin,
-    q15gStreamDedup)
+    q15gStreamDedup, q15iIntervalLeftJoin)
 }

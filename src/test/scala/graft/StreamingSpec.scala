@@ -76,6 +76,38 @@ class StreamingSpec extends SparkTestBase {
       "stream-stream join differs from batch interval join")
   }
 
+  test("stream-stream LEFT OUTER interval join: matched parity, sound nulls") {
+    import spark.implicits._
+    val clicks = streamingEvents().filter($"event_type" === "click")
+      .withWatermark("ts", "1 hour")
+    val errors = streamingEvents().filter($"event_type" === "error")
+      .withWatermark("ts", "1 hour")
+    val q = EventKpis.clickErrorLeftJoin(clicks, errors)
+      .writeStream.format("memory").queryName("louter_join_test")
+      .outputMode("append").trigger(Trigger.AvailableNow()).start()
+    q.awaitTermination(120000)
+    val streamed = spark.table("louter_join_test")
+      .select($"user_id", $"click_id", $"error_id")
+    val ev = Tables(spark, sfDir).events
+    val batch = EventKpis.clickErrorLeftJoin(
+      ev.filter($"event_type" === "click"),
+      ev.filter($"event_type" === "error"))
+      .select($"user_id", $"click_id", $"error_id")
+    // matched pairs must agree EXACTLY
+    val sm = streamed.filter($"error_id".isNotNull)
+    val bm = batch.filter($"error_id".isNotNull)
+    assert(sm.count() > 0)
+    assert(sm.exceptAll(bm).count() == 0 && bm.exceptAll(sm).count() == 0,
+      "matched pairs differ from the batch twin")
+    // NULL verdicts: every streamed null is correct (appears in batch);
+    // the CONVERSE is not asserted — clicks near stream end may still
+    // be waiting on the watermark when AvailableNow drains, which is
+    // precisely the outer join's state-cleanup contract
+    val sn = streamed.filter($"error_id".isNull)
+    assert(sn.exceptAll(batch.filter($"error_id".isNull)).count() == 0,
+      "streaming emitted a NULL verdict the batch twin disagrees with")
+  }
+
   test("streaming dedup-within-watermark drops replayed events") {
     import spark.implicits._
     // a dir with the same file twice = every event delivered twice
