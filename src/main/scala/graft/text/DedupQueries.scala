@@ -588,8 +588,61 @@ object DedupQueries {
       graft.operators.EditDistanceJoin.distance1Pairs(vocab, "tok", "cnt")
   }
 
+  /** q13k — split-leakage audit: near-duplicate pairs that STRADDLE a
+    * train/val/test boundary — the contamination mode that silently
+    * inflates eval scores (a val doc whose near-twin sits in train is
+    * a leaked answer). Composes the q13b pair graph with the q12n
+    * hash-split rule VERBATIM on both sides (pairs from the same
+    * oracle CTE, split from the same md5-byte rule), so the audit can
+    * never disagree with either primitive. Output at
+    * (split_a, split_b) grain with the leak flag; the fix for flagged
+    * pairs is q13f/q13i (components → canonical) BEFORE splitting —
+    * this query is the gate that proves you needed it. Scale: the
+    * pair graph is the already-bounded q13b candidate set; labeling
+    * is two map-side md5 bytes; the rollup is a ≤9-key hash-agg.
+    */
+  val q13kSplitLeakage: GraftQuery = {
+    def splitSqlFor(idCol: String): String =
+      s"""CASE WHEN (strpos('0123456789abcdef',
+         |       substr(md5(CAST($idCol AS VARCHAR) || '|split'), 1, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef',
+         |       substr(md5(CAST($idCol AS VARCHAR) || '|split'), 2, 1)) - 1)
+         |     < 248 THEN 'train'
+         |     WHEN (strpos('0123456789abcdef',
+         |       substr(md5(CAST($idCol AS VARCHAR) || '|split'), 1, 1)) - 1) * 16
+         |     + (strpos('0123456789abcdef',
+         |       substr(md5(CAST($idCol AS VARCHAR) || '|split'), 2, 1)) - 1)
+         |     < 252 THEN 'val' ELSE 'test' END""".stripMargin
+    GraftQuery(
+      "q13k_split_leakage",
+      s"""WITH $jaccardCtes,
+         |pairs AS ($jaccardSelect),
+         |lab AS (
+         |  SELECT doc_a, doc_b,
+         |         ${splitSqlFor("doc_a")} AS split_a,
+         |         ${splitSqlFor("doc_b")} AS split_b
+         |  FROM pairs)
+         |SELECT split_a, split_b, COUNT(*) AS n_pairs,
+         |       split_a <> split_b AS is_leak
+         |FROM lab GROUP BY 1, 2, 4""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      def splitCol(c: org.apache.spark.sql.Column) = {
+        val b = conv(substr(md5(concat(c.cast("string"), lit("|split"))),
+          lit(1), lit(2)), 16, 10).cast("int")
+        when(b < 248, "train").when(b < 252, "val").otherwise("test")
+      }
+      q13bNgramJaccard.fn(spark, dir)
+        .select($"doc_a", $"doc_b",
+          splitCol($"doc_a").as("split_a"),
+          splitCol($"doc_b").as("split_b"))
+        .groupBy($"split_a", $"split_b",
+          ($"split_a" =!= $"split_b").as("is_leak"))
+        .agg(count(lit(1)).as("n_pairs"))
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q13aExactDedup, q13bNgramJaccard, q13cMinhashLsh, q13dSimhash,
     q13eEmbedNeardup, q13fDedupComponents, q13hChunkDedup,
-    q13iCanonicalDocs, q13jEditdistJoin)
+    q13iCanonicalDocs, q13jEditdistJoin, q13kSplitLeakage)
 }

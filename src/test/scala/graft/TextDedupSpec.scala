@@ -546,4 +546,22 @@ class TextDedupSpec extends SparkTestBase {
     // some method finds at least one true neighbor
     assert(out.values.exists(_._3 > 0), "no method found any true neighbor")
   }
+  test("q13k split-leakage pairs conserve the q13b pair graph") {
+    import spark.implicits._
+    val out = graft.text.DedupQueries.q13kSplitLeakage.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1), r.getBoolean(2),
+        r.getLong(3)))
+    assert(out.nonEmpty)
+    val valid = Set("train", "val", "test")
+    out.foreach { case (a, b, leak, n) =>
+      assert(valid(a) && valid(b) && n > 0)
+      assert(leak == (a != b), "is_leak must mirror the split comparison")
+    }
+    // conservation: every q13b pair is labeled exactly once
+    val pairCount = graft.text.DedupQueries.q13bNgramJaccard
+      .fn(spark, sfDir).count()
+    assert(out.map(_._4).sum == pairCount,
+      "labeled pair mass differs from the q13b pair graph")
+  }
 }
