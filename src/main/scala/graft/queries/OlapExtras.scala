@@ -362,7 +362,62 @@ object OlapExtras {
         $"cents".isNull.as("gap_filled"))
   }
 
+  /** q9q — weighted median per group (quantity weighted by exact
+    * revenue cents): the robust central-tendency stat the describe()
+    * family lacks, and the textbook case where the SCALE-SOUND plan is
+    * not the obvious one. The obvious form windows over raw fact rows
+    * (a nation-sized partition in one task); this one collapses to
+    * VALUE GRAIN first — (group, quantity) cells with integer weight
+    * sums, ≤ ~50 rows per group whatever the fact size — then runs the
+    * cumulative-weight window on cells and picks the first value whose
+    * doubled cumulative weight reaches the total (the lower weighted
+    * median, an integer rule both engines apply identically; no
+    * interpolation, no floats).
+    */
+  val q9qWeightedMedian: GraftQuery = GraftQuery(
+    "q9q_weighted_median",
+    """WITH cells AS (
+      |  SELECT l_returnflag, l_linestatus,
+      |         CAST(l_quantity AS BIGINT) AS qty,
+      |         CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
+      |                       AS BIGINT)) AS BIGINT) AS w
+      |  FROM lineitem GROUP BY 1, 2, 3),
+      |cum AS (
+      |  SELECT l_returnflag, l_linestatus, qty, w,
+      |         CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
+      |           ORDER BY qty ROWS BETWEEN UNBOUNDED PRECEDING AND
+      |           CURRENT ROW) AS BIGINT) AS cw,
+      |         CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus)
+      |              AS BIGINT) AS tw
+      |  FROM cells)
+      |SELECT l_returnflag, l_linestatus,
+      |       CAST(MIN(CASE WHEN 2*cw >= tw THEN qty END) AS BIGINT)
+      |         AS weighted_median_qty,
+      |       CAST(MIN(tw) AS BIGINT) AS total_weight_cents,
+      |       COUNT(*) AS n_cells
+      |FROM cum GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val cells = Tables(spark, dir).lineitem
+      .groupBy($"l_returnflag", $"l_linestatus",
+        $"l_quantity".cast("long").as("qty"))
+      .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100
+        + 0.5).cast("long")).as("w"))
+    val wCum = Window.partitionBy($"l_returnflag", $"l_linestatus")
+      .orderBy($"qty")
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wTot = Window.partitionBy($"l_returnflag", $"l_linestatus")
+    cells
+      .withColumn("cw", sum($"w").over(wCum))
+      .withColumn("tw", sum($"w").over(wTot))
+      .groupBy($"l_returnflag", $"l_linestatus")
+      .agg(min(when($"cw" * 2 >= $"tw", $"qty")).as("weighted_median_qty"),
+        min($"tw").as("total_weight_cents"),
+        count(lit(1)).as("n_cells"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot, q21TopkPerNation,
-      q22IncrementalAgg, q27ExpSmoothing, q20eGapfillInterp)
+      q22IncrementalAgg, q27ExpSmoothing, q20eGapfillInterp,
+      q9qWeightedMedian)
 }

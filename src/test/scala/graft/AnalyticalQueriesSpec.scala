@@ -88,6 +88,30 @@ class AnalyticalQueriesSpec extends SparkTestBase {
       (day(rows.last._1) - day(rows.head._1) + 1).toInt)
   }
 
+  test("q9q weighted median replays from a driver-side recount") {
+    import spark.implicits._
+    val got = graft.queries.OlapExtras.q9qWeightedMedian.fn(spark, sfDir)
+      .collect()
+      .map(r => (r.getString(0), r.getString(1)) ->
+        (r.getLong(2), r.getLong(3))).toMap
+    assert(got.nonEmpty)
+    val rows = Tables(spark, sfDir).lineitem
+      .select($"l_returnflag", $"l_linestatus", $"l_quantity",
+        $"l_extendedprice", $"l_discount").collect()
+      .map(r => ((r.getString(0), r.getString(1)), r.getDouble(2).toLong,
+        math.floor(r.getDouble(3) * (1 - r.getDouble(4)) * 100 + 0.5).toLong))
+    rows.groupBy(_._1).foreach { case (g, rs) =>
+      val byQty = rs.groupBy(_._2).view.mapValues(_.map(_._3).sum)
+        .toSeq.sortBy(_._1)
+      val tot = byQty.map(_._2).sum
+      var cum = 0L
+      val med = byQty.collectFirst {
+        case (q, w) if { cum += w; 2 * cum >= tot } => q
+      }.get
+      assert(got(g) == ((med, tot)), s"group $g: got ${got(g)}, want ($med, $tot)")
+    }
+  }
+
   test("q27: EMA recurrence replays exactly from the month sequence") {
     import spark.implicits._
     val rows = graft.queries.OlapExtras.q27ExpSmoothing.fn(spark, sfDir).collect()
