@@ -190,16 +190,39 @@ object Bench {
     def jsInt(m: Map[String, Int]): String =
       m.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     def arr(xs: Seq[Double]): String = xs.mkString("[", ",", "]")
-    println(
-      s"""{"metric":"total","value":${totalsPerIter.min},"unit":"sec",""" +
-        s""""queries":${js(headlineMin)},"sf":"$sfDir","iters":$iters,""" +
+    // The driver records only the LAST ~2 KB of stdout; the r8/r9 single
+    // combined line (~3.5 KB with 51 ext queries + per-iter telemetry)
+    // got its FRONT — the headline block — truncated away both rounds.
+    // Split: full detail goes to a side file, and stdout carries one
+    // compact line (~900 B: headline per-query mins, totals, failures,
+    // ext_total) printed last so it always fits the tail window intact.
+    val detail =
+      s"""{"metric":"detail","sf":"$sfDir","iters":$iters,""" +
+        s""""queries":${js(headlineMin)},""" +
         s""""totals_per_iter":${arr(totalsPerIter)},""" +
-        s""""median_total":${med(totalsPerIter)},""" +
-        s""""failed":${jsInt(failed)},""" +
         s""""load_avg_per_iter":${arr(loadAvgs.toSeq)},""" +
         s""""ext_queries":${js(extMin)},""" +
         s""""ext_totals_per_iter":${arr(extTotalsPerIter)},""" +
-        s""""ext_total":${extTotalsPerIter.min}}""")
+        s""""failed":${jsInt(failed)}}"""
+    val detailPath = sys.env.getOrElse(
+      "SPARK_GRAFT_BENCH_DETAIL", "bench_detail.json")
+    try {
+      java.nio.file.Files.write(
+        java.nio.file.Paths.get(detailPath),
+        (detail + "\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    } catch { case t: Throwable =>
+      System.err.println(s"BENCH detail write failed ($detailPath): ${t.getMessage}")
+    }
+    def r3(x: Double): Double = math.rint(x * 1000) / 1000
+    println(
+      s"""{"metric":"total","value":${totalsPerIter.min},"unit":"sec",""" +
+        s""""queries":${js(headlineMin.map { case (k, v) => k -> r3(v) })},""" +
+        s""""sf":"$sfDir","iters":$iters,""" +
+        s""""totals_per_iter":${arr(totalsPerIter.map(r3))},""" +
+        s""""median_total":${r3(med(totalsPerIter))},""" +
+        s""""failed":${jsInt(failed)},""" +
+        s""""ext_total":${r3(extTotalsPerIter.min)},""" +
+        s""""detail_file":"$detailPath"}""")
     spark.stop()
   }
 }

@@ -68,8 +68,23 @@ object Tables {
     */
   def fanOut(df: DataFrame): DataFrame = {
     val cores = df.sparkSession.sparkContext.defaultParallelism
-    if (df.rdd.getNumPartitions < cores) df.repartition(cores) else df
+    if (probedPartitions(df) < cores) df.repartition(cores) else df
   }
+
+  /** `df.rdd.getNumPartitions` runs analysis + physical planning and
+    * builds the RDD lineage on the DRIVER every call (no job, but
+    * repeated per table access). The probe result is a pure function
+    * of the resolved plan, so memoize it per (session, canonicalized
+    * plan): repeat accessors hit the map. A hash collision could at
+    * worst skip/add a fan-out — a performance choice, never a
+    * correctness one.
+    */
+  private val probeCache =
+    scala.collection.concurrent.TrieMap.empty[(SparkSession, Int), Int]
+  private def probedPartitions(df: DataFrame): Int =
+    probeCache.getOrElseUpdate(
+      (df.sparkSession, df.queryExecution.analyzed.semanticHash()),
+      df.rdd.getNumPartitions)
 
   /** Normalize an events frame's `ts` to session-TZ TIMESTAMP whatever
     * on-disk generation it came from (see `Tables.events` Scaladoc).

@@ -371,14 +371,23 @@ object ProfileQueries {
       ("lineitem_partkey", "lineitem", "l_partkey"),
       ("orders_custkey", "orders", "o_custkey"),
       ("events_userid", "events", "user_id"))
+    // NULL keys are excluded on BOTH engines (r9 ADVICE): the engines
+    // disagree on NULLs in every clause this audit uses — Spark's
+    // groupBy counts a NULL-key group while COUNT(DISTINCT) skips it,
+    // and the two sort NULLs to opposite ends — and a NULL join key
+    // never collides in a hash join anyway, so it carries no skew to
+    // audit.
     def oracleOne(label: String, table: String, key: String): String =
       s"""SELECT '$label' AS audited,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table) AS n_rows,
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table
+         |   WHERE $key IS NOT NULL) AS n_rows,
          |  (SELECT CAST(COUNT(DISTINCT $key) AS BIGINT) FROM $table)
          |    AS n_keys,
-         |  (SELECT CAST($key AS BIGINT) FROM $table GROUP BY $key
+         |  (SELECT CAST($key AS BIGINT) FROM $table
+         |   WHERE $key IS NOT NULL GROUP BY $key
          |   ORDER BY COUNT(*) DESC, $key ASC LIMIT 1) AS top_key,
-         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table GROUP BY $key
+         |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table
+         |   WHERE $key IS NOT NULL GROUP BY $key
          |   ORDER BY COUNT(*) DESC, $key ASC LIMIT 1) AS top_count""".stripMargin
     GraftQuery(
       "q26f_skew_audit",
@@ -396,7 +405,8 @@ object ProfileQueries {
         ("orders_custkey", t.orders.select($"o_custkey".as("k"))),
         ("events_userid", t.events.select($"user_id".as("k"))))
       frames.map { case (label, df) =>
-        val counts = df.groupBy($"k").agg(count(lit(1)).as("cnt"))
+        val counts = df.filter($"k".isNotNull)
+          .groupBy($"k").agg(count(lit(1)).as("cnt"))
         val agg = counts.agg(sum($"cnt").as("n_rows"),
           count(lit(1)).as("n_keys"))
         val top = counts.orderBy($"cnt".desc, $"k".asc).limit(1)

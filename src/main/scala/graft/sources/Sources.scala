@@ -528,7 +528,7 @@ object Sources {
   val q17hBucketAudit: GraftQuery = GraftQuery(
     "q17h_bucket_audit",
     s"""WITH f AS (
-       |  SELECT CAST(regexp_extract(filename, '_(\\d+)\\.c000', 1)
+       |  SELECT CAST(regexp_extract(filename, '_(\\d+)\\.c\\d+', 1)
        |              AS BIGINT) AS bucket_id,
        |         filename, o_custkey
        |  FROM read_parquet('$BucketOut/part-*.parquet', filename=true))
@@ -550,8 +550,15 @@ object Sources {
       .saveAsTable("q17h_bucket_ext")
     spark.read.parquet(BucketOut)
       .withColumn("f", input_file_name())
+      // bucket id precedes any .cNNN file counter — a write that splits
+      // files (e.g. maxRecordsPerFile on the session) emits .c001+, so
+      // the pattern accepts any counter and an UNPARSED name fails
+      // loudly instead of yielding a silent NULL bucket group (r9
+      // ADVICE)
       .withColumn("bucket_id",
-        regexp_extract($"f", "_(\\d+)\\.c000", 1).cast(LongType))
+        when(regexp_extract($"f", "_(\\d+)\\.c\\d+", 1) === "",
+          raise_error(concat(lit("q17h: unparsed bucket file name: "), $"f")))
+          .otherwise(regexp_extract($"f", "_(\\d+)\\.c\\d+", 1).cast(LongType)))
       .groupBy($"bucket_id")
       .agg(countDistinct($"f").as("n_files"),
         count(lit(1)).as("n_rows"),

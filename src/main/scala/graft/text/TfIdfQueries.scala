@@ -100,10 +100,20 @@ object TfIdfQueries {
     * tf·(k1+1)/(tf+k1·(1−b+b·len/avgdl)) ≡ 22·tf·TL /
     * (10·TL·tf + 3·TL + 9·len·N) — integer numerator and denominator,
     * one integer division per (query, doc, term), order-free BIGINT
-    * sum. Long headroom: idf_q6·22·tf·TL needs TL ≲ 10⁷ tokens at
-    * these tf ranges — fine at gate scales; a production corpus swaps
-    * the product into DECIMAL(38,0) (documented bound, same device as
-    * the q14i fixed-point covariance).
+    * sum. Headroom: the numerator idf_q6·22·tf·TL reaches ~10¹⁹ at
+    * TL ≈ 10⁷ and ~10²⁷ at a 100 TB corpus (TL ≈ 10¹³), and the
+    * denominator's 10·TL·tf term clears Long at TL·tf ≳ 10¹⁸ — so
+    * BOTH sides of the division run in 128-bit integers: Spark
+    * DECIMAL(38,0) (int128-backed, exact at scale 0) with `div`
+    * (IntegralDivide — exact divideToIntegralValue, LongType result),
+    * DuckDB HUGEINT (native int128, `//` truncating division). Both
+    * truncate toward zero and every operand is positive, so the
+    * quotients agree exactly; the per-term quotient is ≤ 2.2·idf_q6
+    * ≤ ~10⁸ and the per-(query,doc) sum is bounded by query length,
+    * so the summed score stays deep inside BIGINT. 128-bit ceiling:
+    * idf_q6(≤4·10⁷)·22·tf·TL < 10³⁸ holds through tf·TL ≲ 10²⁹ —
+    * 15 orders of magnitude past the 100 TB point (proven at
+    * TL > 10⁷ with Long-overflowing products in TfIdfOverflowSpec).
     *
     * Scale shape: tokenize → (doc,term) tf [one shuffle] → df [one
     * shuffle at term grain]; query terms (tiny by the %101 rule)
@@ -149,8 +159,10 @@ object TfIdfQueries {
       |scored AS (
       |  SELECT h.query_id, h.doc_id,
       |         COUNT(*) AS n_terms_matched,
-      |         CAST(SUM((i.idf_q6 * 22 * h.tf * s.tl)
-      |                  // (10*s.tl*h.tf + 3*s.tl + 9*l.len*s.n))
+      |         CAST(SUM((CAST(i.idf_q6 AS HUGEINT) * 22 * h.tf * s.tl)
+      |                  // (CAST(10 AS HUGEINT)*s.tl*h.tf
+      |                     + CAST(3 AS HUGEINT)*s.tl
+      |                     + CAST(9 AS HUGEINT)*l.len*s.n))
       |              AS BIGINT) AS score_q6
       |  FROM hits h
       |  JOIN idf i ON i.term = h.term
@@ -189,7 +201,11 @@ object TfIdfQueries {
       .crossJoin(broadcast(stats))
       .groupBy($"query_id", $"doc_id")
       .agg(count(lit(1)).as("n_terms_matched"),
-        sum(expr("(idf_q6 * 22 * tf * tl) div (10*tl*tf + 3*tl + 9*len*n)"))
+        sum(expr(
+          """(cast(idf_q6 as decimal(38,0)) * 22 * tf * tl)
+            | div (cast(10 as decimal(38,0))*tl*tf
+            |      + cast(3 as decimal(38,0))*tl
+            |      + cast(9 as decimal(38,0))*len*n)""".stripMargin))
           .as("score_q6"))
     scored
       .withColumn("rank", row_number().over(
