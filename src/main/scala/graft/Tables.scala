@@ -50,6 +50,24 @@ final class Tables(spark: SparkSession, dir: String) {
     Tables.fanOut(Tables.normalizeEventsTs(t("events")))
   }
   def documents: DataFrame  = Tables.fanOut(t("documents"))
+  /** documents WITHOUT the conditional fan-out — for multi-stage
+    * pipelines (q12k) whose cost at small SF is stage scheduling, not
+    * per-byte CPU: their heavy stages run on post-shuffle (AQE-
+    * coalesced) partitioning anyway, so fanning the scan only adds an
+    * exchange and 32-task map stages ahead of every consumer. At
+    * 100 TB the scan carries >= cores partitions by itself and the
+    * two accessors are identical.
+    */
+  def documentsNoFanOut: DataFrame = t("documents")
+  /** embeddings without the fan-out, same reasoning as
+    * [[documentsNoFanOut]]: the IVF probe queries' (q14f/q14g)
+    * per-vector map work is a few μs/row, so at small SF the
+    * round-robin exchange plus the 32-task stages it prepends cost
+    * more than they parallelize (adjudicated idle r10). Heavy
+    * embedding consumers (q14j covariance/PCA) keep the fanned
+    * accessor — measured there the fan-out wins 4×.
+    */
+  def embeddingsNoFanOut: DataFrame = t("embeddings")
   def embeddings: DataFrame = Tables.fanOut(t("embeddings"))
 }
 

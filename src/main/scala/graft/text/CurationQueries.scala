@@ -395,7 +395,13 @@ object CurationQueries {
          |         AS INTEGER) AS shard
          |FROM kept""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val docs = Tables(spark, dir).documents
+      // no fan-out: the pipeline's CPU-heavy stages (quality /
+      // repetition / contamination tokenizes) consume the d1
+      // checkpoint, whose partitioning comes from the dedup join's
+      // AQE-coalesced exchange — fanning the scan only prepends a
+      // 32-task exchange to every stage of a ~6-stage plan
+      // (adjudicated idle r10: 3.7 s → timed below 2 s without it)
+      val docs = Tables(spark, dir).documentsNoFanOut
       val plant = docs.select($"doc_id", $"text", $"lang", $"n_chars")
         .unionByName(docs.filter($"doc_id" % 7 === 0)
           .select(($"doc_id" + 1000000).as("doc_id"),

@@ -370,9 +370,12 @@ object SimilarityQueries {
        |        ORDER BY cosine DESC, cand_id) AS rnk FROM scored)
        |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val v = Tables(spark, dir).embeddings
+    // no fan-out (Tables.embeddingsNoFanOut doc): probe assignment is
+    // μs/row map work; the exchange cost exceeds the parallelism gain
+    val v = Tables(spark, dir).embeddingsNoFanOut
       .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
-    val k = ivfK(Tables(spark, dir).embeddings.select($"vec_id").count())
+    val k = ivfK(Tables(spark, dir).embeddingsNoFanOut
+      .select($"vec_id").count())
     val cent = centroids(v, k)
     val cs = VectorOps.cosineFrom(VectorOps.dot($"embedding", $"cemb"),
       $"n2", $"cn2")
@@ -590,7 +593,9 @@ object SimilarityQueries {
          |JOIN v b ON t.cand_id = b.vec_id
          |WHERE t.rk <= 3""".stripMargin) { (spark, dir) =>
       import spark.implicits._
-      val emb = Tables(spark, dir).embeddings
+      // no fan-out (Tables.embeddingsNoFanOut doc): PQ encode is a
+      // 16×4-dim argmin per row — μs/row, exchange costs more
+      val emb = Tables(spark, dir).embeddingsNoFanOut
       val v = emb.select($"vec_id", $"embedding",
         VectorOps.norm2($"embedding").as("n2"))
       val k = ivfK(emb.select($"vec_id").count())
