@@ -7,12 +7,14 @@ import graft.Tables
 import graft.queries.GraftQuery
 
 /** Graph analytics over relational edge lists: weighted PageRank as an
-  * iterative Pregel-style dataflow — each iteration is ONE co-keyed
-  * join (rank onto out-edges) plus ONE destination-keyed hash agg,
-  * which is exactly the message-passing shape that scales: edges
-  * partition by src, messages combine map-side per dst, and the
-  * rank frame (node grain, ≪ edges) is checkpointed each round so 8
-  * iterations never build an 8-deep lineage.
+  * iterative Pregel-style dataflow — each iteration is ONE join (rank
+  * onto out-edges; BROADCAST while the vertex set fits, co-keyed
+  * shuffle beyond that — see [[BroadcastNodeLimit]]) plus ONE
+  * destination-keyed hash agg, which is exactly the message-passing
+  * shape that scales: messages combine map-side per dst, only the
+  * node-grain partials cross the wire, and the rank frame (node
+  * grain, ≪ edges) is checkpointed each round so 8 iterations never
+  * build an 8-deep lineage.
   *
   * Determinism (hash-gate discipline): per-message contributions snap
   * to fixed-point BIGINT (`⌊pr·ratio·1e15 + ½⌋`) before the SUM, so
@@ -25,6 +27,18 @@ object GraphQueries {
 
   private val Iters = 8
 
+  /** Node-grain frames (rank, degree, frontier distance) are ≪ edges
+    * by construction; below this vertex count they are BROADCAST onto
+    * the edge list, so an iteration round never shuffles (or re-sorts)
+    * the edges — per-round cost collapses to one edge scan + map-side
+    * combine + a node-grain exchange. 4M × ~24 B ≈ 100 MB hash
+    * relation, safe on the 8 GB+ executors the 100 TB mandate assumes;
+    * beyond it the operators fall back to the co-keyed shuffle join,
+    * which is the only shape that works when the vertex set itself is
+    * distributed-scale (billions of nodes).
+    */
+  private val BroadcastNodeLimit = 4000000L
+
   /** Weighted PageRank. `edges` must be directed (src, dst, w) with
     * every node having out-degree ≥ 1 (true for symmetric graphs —
     * callers with dangling nodes must handle them first; this operator
@@ -34,25 +48,41 @@ object GraphQueries {
       iters: Int = Iters): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
+    // out-degree IS the node set (out-degree ≥ 1 contract), so one
+    // checkpointed node-grain frame serves as: broadcast probe, ratio
+    // divisor, and round-0 rank — no separate distinct pass.
     val outd = edges.groupBy(col(src)).agg(sum(col(w)).as("__out"))
-    val e = edges.join(outd, src)
+      .localCheckpoint(true)
+    val n = outd.count()
+    val nD = n.toDouble
+    val small = n <= BroadcastNodeLimit
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    val e = edges.join(hinted(outd), src)
       .select(col(src).as("__src"), col(dst).as("__dst"),
         (col(w).cast("double") / col("__out").cast("double")).as("__ratio"))
       .localCheckpoint(true)
-    val n = e.select($"__src").distinct().count()
-    val nD = n.toDouble
-    var pr = e.select($"__src".as("node")).distinct()
-      .select($"node", (lit(1.0) / lit(nD)).as("pr"))
+    var pr = outd
+      .select(col(src).as("node"), (lit(1.0) / lit(nD)).as("pr"))
       .localCheckpoint(true)
-    for (_ <- 1 to iters) {
-      pr = e.join(pr, e("__src") === pr("node"))
+    // One damping step. `hint` broadcasts the rank frame explicitly —
+    // needed when pr is a checkpointed LogicalRDD (no shuffle stage
+    // for AQE to re-plan from); a step stacked directly on another
+    // step's aggregate leaves the choice to AQE, which sees the
+    // node-grain runtime size and broadcasts on its own.
+    def step(prev: DataFrame, hint: Boolean): DataFrame = {
+      val prJ = if (hint) hinted(prev) else prev
+      e.join(prJ, e("__src") === prJ("node"))
         .groupBy($"__dst")
         .agg(sum(floor($"pr" * $"__ratio" * 1e15 + 0.5).cast("long")).as("s"))
         .select($"__dst".as("node"),
           (lit(0.15) / lit(nD) +
             lit(0.85) * ($"s".cast("double") / lit(1e15))).as("pr"))
-        .localCheckpoint(true)
     }
+    // Two rounds per materialization: lineage stays bounded, but half
+    // the checkpoint/broadcast/job overhead of one-round-per-commit.
+    for (_ <- 1 to iters / 2)
+      pr = step(step(pr, hint = true), hint = false).localCheckpoint(true)
+    if (iters % 2 == 1) pr = step(pr, hint = true).localCheckpoint(true)
     pr
   }
 
@@ -183,6 +213,14 @@ object GraphQueries {
     import spark.implicits._
     val up = edges.select(col(s).as("s"), col(t).as("t"))
       .localCheckpoint(true) // 3 consumers (deg ×2 sides + orientation)
+    // degree joins are deliberately left to AQE: deg is a shuffle
+    // stage over the checkpointed edge list, so AQE sees its true
+    // (node-grain) size at runtime and converts both lookups to
+    // broadcast joins itself — an explicit checkpoint+hint here
+    // measured ~35% SLOWER (it forces eager materializations AQE's
+    // fused plan never pays). Contrast pageRank/bfsHops, where both
+    // join inputs are checkpointed LogicalRDDs with no shuffle stage
+    // for AQE to re-plan from, so the hint must be explicit.
     val deg = up.select($"s".as("v")).unionAll(up.select($"t".as("v")))
       .groupBy($"v").agg(count(lit(1)).as("d"))
     val fwd = $"d_s" < $"d_t" || ($"d_s" === $"d_t" && $"s" < $"t")
@@ -222,10 +260,18 @@ object GraphQueries {
     import spark.implicits._
     val e = edges.select(col(s).as("__s"), col(t).as("__t"))
       .localCheckpoint(true) // consumed every round
+    // dist never exceeds the vertex set, and vertices ≤ 2·edges, so
+    // the (near-free, in-memory) count of the checkpointed edge list
+    // bounds the frontier size without a distinct pass; under the
+    // bound every round's frontier join broadcasts (edges never
+    // shuffle), beyond it the co-keyed shuffle join takes over.
+    val small = e.count() <= BroadcastNodeLimit / 2
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var dist = seeds.select(col(node).as("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      dist = e.join(dist, $"__s" === $"node")
+      val dJ = hinted(dist)
+      dist = e.join(dJ, $"__s" === dJ("node"))
         .select($"__t".as("node"), ($"hops" + 1L).as("hops"))
         .unionAll(dist)
         .groupBy($"node").agg(min($"hops").as("hops"))

@@ -262,6 +262,59 @@ class StreamingSpec extends SparkTestBase {
     }
   }
 
+  test("stateful operators run green under the RocksDB state store provider") {
+    import spark.implicits._
+    // At 100× streaming state the in-memory HDFS-backed provider is the
+    // wrong tool — RocksDB spills state to local disk and is what a
+    // production deployment would run. Rehearse every state-operator
+    // KIND the library ships (windowed agg, dedup-within-watermark,
+    // flatMapGroupsWithState) under the real provider, gated on the
+    // same parity checks as the default-provider tests above.
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key, "org.apache.spark.sql.execution.streaming" +
+      ".state.RocksDBStateStoreProvider")
+    try {
+      val agg = EventKpis.tumblingKpis(
+        streamingEvents().withWatermark("ts", "1 hour"), exactDistinct = false)
+        .writeStream.format("memory").queryName("rocks_tumbling")
+        .outputMode("complete").trigger(Trigger.AvailableNow()).start()
+      agg.awaitTermination(120000)
+      val streamed = spark.table("rocks_tumbling")
+        .select($"window_start", $"event_type", $"n_events", $"total_value")
+      val batch = EventKpis.tumblingKpis(
+        Tables(spark, sfDir).events, exactDistinct = false)
+        .select($"window_start", $"event_type", $"n_events", $"total_value")
+      assert(streamed.count() > 0)
+      assert(streamed.exceptAll(batch).count() == 0 &&
+        batch.exceptAll(streamed).count() == 0,
+        "RocksDB-backed windowed aggregation differs from the batch twin")
+
+      val dedup = EventKpis.streamDedup(EventKpis.plantedRedelivery(
+        streamingEvents()))
+        .writeStream.format("memory").queryName("rocks_dedup")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      dedup.awaitTermination(120000)
+      assert(spark.table("rocks_dedup").count() ==
+        Tables(spark, sfDir).events.count(),
+        "RocksDB-backed dedup kept a different row count than the input")
+
+      val sess = Sessionize.sessionize(Sessionize.prepare(streamingEvents()))
+        .writeStream.format("memory").queryName("rocks_sessions")
+        .outputMode("append").trigger(Trigger.AvailableNow()).start()
+      sess.awaitTermination(120000)
+      val emitted = spark.table("rocks_sessions").as[Sessionize.Session]
+        .collect()
+      assert(emitted.nonEmpty, "no sessions emitted under RocksDB")
+      emitted.foreach(s => assert(s.n_events >= 1 && s.start_us <= s.end_us))
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None    => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("flatMapGroupsWithState sessionization closes sessions correctly") {
     import spark.implicits._
     val q = Sessionize.sessionize(Sessionize.prepare(streamingEvents()))
