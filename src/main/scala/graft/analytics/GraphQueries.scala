@@ -132,7 +132,10 @@ object GraphQueries {
     (spark, dir) =>
       import spark.implicits._
       val t = Tables(spark, dir)
-      val items = t.lineitem.select($"l_orderkey", $"l_partkey").distinct()
+      // no .distinct() before the basket build: collect_set dedups
+      // within each order, so a separate pair-distinct pass would
+      // only add a full lineitem-grain shuffle
+      val items = t.lineitem.select($"l_orderkey", $"l_partkey")
       val up = items
         .groupBy($"l_orderkey")
         .agg(sort_array(collect_set($"l_partkey")).as("bs"))
@@ -191,7 +194,10 @@ object GraphQueries {
       |FROM member GROUP BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
-    val items = t.lineitem.select($"l_orderkey", $"l_partkey").distinct()
+    // no .distinct() before the basket build: collect_set dedups
+      // within each order, so a separate pair-distinct pass would
+      // only add a full lineitem-grain shuffle
+      val items = t.lineitem.select($"l_orderkey", $"l_partkey")
     val up = items
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("bs"))
@@ -260,18 +266,16 @@ object GraphQueries {
     import spark.implicits._
     val e = edges.select(col(s).as("__s"), col(t).as("__t"))
       .localCheckpoint(true) // consumed every round
-    // dist never exceeds the vertex set, and vertices ≤ 2·edges, so
-    // the (near-free, in-memory) count of the checkpointed edge list
-    // bounds the frontier size without a distinct pass; under the
-    // bound every round's frontier join broadcasts (edges never
-    // shuffle), beyond it the co-keyed shuffle join takes over.
-    val small = e.count() <= BroadcastNodeLimit / 2
-    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // No vertex-broadcast variant here, deliberately: an A/B at sf0.1
+    // (5 fresh-JVM iterations each) measured the broadcast round no
+    // faster — with only `iters` rounds the build dominates and the
+    // per-round SMJ of the integer edge list is cheap, so the probe
+    // job the broadcast needs never pays for itself. Contrast
+    // pageRank, whose 8 rounds on a wider frame made it a 2× win.
     var dist = seeds.select(col(node).as("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      val dJ = hinted(dist)
-      dist = e.join(dJ, $"__s" === dJ("node"))
+      dist = e.join(dist, $"__s" === $"node")
         .select($"__t".as("node"), ($"hops" + 1L).as("hops"))
         .unionAll(dist)
         .groupBy($"node").agg(min($"hops").as("hops"))
@@ -314,7 +318,10 @@ object GraphQueries {
     (spark, dir) =>
       import spark.implicits._
       val t = Tables(spark, dir)
-      val items = t.lineitem.select($"l_orderkey", $"l_partkey").distinct()
+      // no .distinct() before the basket build: collect_set dedups
+      // within each order, so a separate pair-distinct pass would
+      // only add a full lineitem-grain shuffle
+      val items = t.lineitem.select($"l_orderkey", $"l_partkey")
       val up = items
         .groupBy($"l_orderkey")
         .agg(sort_array(collect_set($"l_partkey")).as("bs"))
