@@ -120,5 +120,82 @@ object HeavyHitterQueries {
         round($"cnt".cast("double") / $"n", 6).as("share"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q12vHeavyHitters)
+  /** Count–min sketch geometry: [[CmDepth]] independent hash rows ×
+    * [[CmWidth]] buckets. Width 256 against the ~31² organic bigram
+    * key space gives a load factor ≈3.8 — real collisions, so the
+    * audit exercises the sketch property (estimate ≥ exact, tightened
+    * by min-over-rows) instead of degenerating to the identity.
+    */
+  val CmDepth = 4
+  val CmWidth = 256L
+
+  /** q12z — count–min sketch frequency estimation over the bigram
+    * stream, audited against the exact counts. The OTHER half of the
+    * sketch toolbox next to Misra–Gries (q12v): MG answers "which keys
+    * are heavy", CMS answers "how often is THIS key seen" from
+    * O(d·w) = 1024 integers of mergeable state — at 100 TB the grid is
+    * built in ONE scan whose shuffle carries at most d·w cells per
+    * partition (map-side combined), while any exact per-key answer
+    * shuffles the full key space. Bucket hashes are the md5 device
+    * (`row|key` → first 13 hex digits → mod w), identical integers on
+    * both engines, so estimates — unlike most sketches — hash-gate
+    * EXACTLY rather than via tolerance verdicts.
+    *
+    * Output per distinct bigram: exact count, CMS estimate (min over
+    * [[CmDepth]] row counters), and the non-negative overcount the
+    * collisions added.
+    */
+  val q12zCountMin: GraftQuery = GraftQuery(
+    "q12z_countmin",
+    s"""WITH bg AS (
+       |  SELECT unnest(list_transform(range(len(w) - 1),
+       |                               i -> w[i + 1] || ' ' || w[i + 2])) AS bg
+       |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+       |        FROM documents)),
+       |cells AS (
+       |  SELECT r,
+       |         CAST(('0x' || SUBSTR(md5(CAST(r AS VARCHAR) || '|' || bg),
+       |                              1, 13)) AS BIGINT) % $CmWidth AS b,
+       |         CAST(COUNT(*) AS BIGINT) AS c
+       |  FROM bg, (SELECT unnest(range($CmDepth)) AS r)
+       |  GROUP BY 1, 2),
+       |exact AS (
+       |  SELECT bg, CAST(COUNT(*) AS BIGINT) AS exact_cnt FROM bg GROUP BY 1),
+       |probes AS (
+       |  SELECT bg, exact_cnt, r,
+       |         CAST(('0x' || SUBSTR(md5(CAST(r AS VARCHAR) || '|' || bg),
+       |                              1, 13)) AS BIGINT) % $CmWidth AS b
+       |  FROM exact, (SELECT unnest(range($CmDepth)) AS r))
+       |SELECT p.bg AS bigram, p.exact_cnt AS exact_cnt,
+       |       MIN(c.c) AS cms_est,
+       |       MIN(c.c) - p.exact_cnt AS overcount
+       |FROM probes p JOIN cells c ON p.r = c.r AND p.b = c.b
+       |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val bg = docs
+      .withColumn("w", split(trim($"text"), "\\s+"))
+      .select(explode(expr(
+        """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
+          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+    def bucket(key: Column, r: Int): Column =
+      conv(substring(md5(concat(lit(r.toString), lit("|"), key)), 1, 13),
+        16, 10).cast("long") % CmWidth
+    // grid build: ONE pass, d-way map-side fan-out, cell-grain agg
+    val cells = bg
+      .select(posexplode(array((0 until CmDepth).map(r =>
+        bucket($"bg", r)): _*)).as(Seq("r", "b")))
+      .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+    val exact = bg.groupBy($"bg").agg(count(lit(1)).as("exact_cnt"))
+    val probes = exact
+      .select($"bg", $"exact_cnt", posexplode(array((0 until CmDepth).map(r =>
+        bucket($"bg", r)): _*)).as(Seq("r", "b")))
+    probes.join(broadcast(cells), Seq("r", "b"))
+      .groupBy($"bg", $"exact_cnt")
+      .agg(min($"c").as("cms_est"))
+      .select($"bg".as("bigram"), $"exact_cnt", $"cms_est",
+        ($"cms_est" - $"exact_cnt").as("overcount"))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q12vHeavyHitters, q12zCountMin)
 }

@@ -57,6 +57,47 @@ class HeavyHitterSpec extends SparkTestBase {
       s"expected exactly the two >5% plants, got $out")
   }
 
+  test("q12z count-min sketch replays exactly in plain Scala") {
+    import spark.implicits._
+    // first-principles recount: same bigram stream, same md5 bucket
+    // rule, same grid — built with driver-side collections, no Spark
+    val texts = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text").as[String].collect()
+    val bigrams = texts.toSeq.flatMap { t =>
+      val w = t.trim.split("\\s+").toSeq
+      w.zip(w.drop(1)).map { case (a, b) => s"$a $b" }
+    }
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def bucket(key: String, r: Int): Long =
+      java.lang.Long.parseLong(md5hex(s"$r|$key").take(13), 16) %
+        HeavyHitterQueries.CmWidth
+    val grid = bigrams
+      .flatMap(k => (0 until HeavyHitterQueries.CmDepth).map(r =>
+        (r, bucket(k, r))))
+      .groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val exact = bigrams.groupBy(identity).view.mapValues(_.size.toLong).toMap
+    val expected = exact.map { case (k, cnt) =>
+      val est = (0 until HeavyHitterQueries.CmDepth)
+        .map(r => grid((r, bucket(k, r)))).min
+      k -> (cnt, est)
+    }
+    val out = HeavyHitterQueries.q12zCountMin.fn(spark, sfDir)
+      .select($"bigram", $"exact_cnt", $"cms_est", $"overcount")
+      .as[(String, Long, Long, Long)].collect()
+    assert(out.length == expected.size, "row count differs from recount")
+    out.foreach { case (k, cnt, est, over) =>
+      val (eCnt, eEst) = expected(k)
+      assert(cnt == eCnt, s"$k exact: $cnt != $eCnt")
+      assert(est == eEst, s"$k estimate: $est != $eEst")
+      assert(over == est - cnt && over >= 0, s"$k overcount unsound")
+    }
+    // the audit must not be vacuous: the 4×256 grid over ~31² keys has
+    // real collisions, so SOME estimate strictly exceeds its exact count
+    assert(out.exists(_._4 > 0), "no collisions — sketch audit vacuous")
+  }
+
   test("MG merge is order-insensitive on adversarial splits") {
     val agg = MisraGries.MgAggregator(4)
     // reduce a stream sequentially vs in two halves merged either way

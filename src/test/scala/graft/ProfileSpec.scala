@@ -189,4 +189,33 @@ class ProfileSpec extends SparkTestBase {
       assert(b >= 10000 && sf >= 1)
     }
   }
+
+  test("q26g HLL merge: verdicts hold, exacts recount, estimates partition-stable") {
+    import spark.implicits._
+    val out = graft.analytics.ProfileQueries.q26gHllMerge.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) -> (r.getLong(1), r.getBoolean(2)))
+      .toMap
+    // every grain's sketch verdict true; exact counts match a recount
+    assert(out.values.forall(_._2), "a sketch estimate left its 5% band")
+    val orders = Tables(spark, sfDir).orders
+      .select(date_format($"o_orderdate", "yyyy-MM").as("m"), $"o_custkey")
+      .as[(String, Long)].collect()
+    val perMonth = orders.groupBy(_._1).view
+      .mapValues(_.map(_._2).distinct.length.toLong).toMap
+    assert(out("ALL")._1 == orders.map(_._2).distinct.length.toLong)
+    perMonth.foreach { case (m, n) =>
+      assert(out(m)._1 == n, s"month $m exact distinct differs")
+    }
+    assert(out.size == perMonth.size + 1)
+    // the sketch state is a set of hashed coupons — insertion order and
+    // partitioning must not move the estimate (the property that makes
+    // per-segment sketches mergeable into rollups at all)
+    val ests = Seq(1, 7).map { parts =>
+      Tables(spark, sfDir).orders.repartition(parts)
+        .agg(hll_sketch_estimate(hll_sketch_agg($"o_custkey")))
+        .head.getLong(0)
+    }
+    assert(ests.distinct.size == 1,
+      s"HLL estimate moved under repartitioning: $ests")
+  }
 }
