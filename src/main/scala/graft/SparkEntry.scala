@@ -35,6 +35,7 @@ object SparkEntry {
       graft.text.CurationQueries.all ++
       graft.text.DedupQueries.all ++
       graft.text.SimilarityQueries.all ++
+      graft.text.BpeQueries.all ++
       graft.text.PcaQueries.all ++
       graft.text.KMeansQueries.all ++
       graft.streaming.EventKpis.all ++

@@ -1,0 +1,87 @@
+package graft
+
+import org.apache.spark.sql.functions._
+
+import graft.text.BpeQueries
+
+/** BPE merge-rule training: plain-Scala replay of the full training
+  * loop on the real corpus, plus planted micro-cases that pin the
+  * greedy-overlap and tie-break semantics.
+  */
+class BpeSpec extends SparkTestBase {
+  import spark.implicits._
+
+  /** Reference BPE trainer: driver-side, no Spark, no string-replace
+    * tricks — sequences are real Seq[String], merges applied by an
+    * explicit left-to-right scan.
+    */
+  private def trainReference(words: Map[String, Long], merges: Int)
+      : Seq[(Int, String, Long)] = {
+    var vocab: Map[Seq[String], Long] =
+      words.map { case (w, f) => w.map(_.toString) -> f }
+    val out = Seq.newBuilder[(Int, String, Long)]
+    for (k <- 1 to merges) {
+      val counts = collection.mutable.Map.empty[(String, String), Long]
+      vocab.foreach { case (syms, f) =>
+        syms.zip(syms.drop(1)).foreach { p =>
+          counts(p) = counts.getOrElse(p, 0L) + f
+        }
+      }
+      val ((l, r), c) = counts.toSeq
+        .sortBy { case ((l, r), c) => (-c, l, r) }.head
+      out += ((k, l + r, c))
+      def mergeSeq(syms: Seq[String]): Seq[String] = {
+        val b = collection.mutable.ArrayBuffer.empty[String]
+        var i = 0
+        while (i < syms.length) {
+          if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+            b += (l + r); i += 2 // greedy left-to-right, non-overlapping
+          } else { b += syms(i); i += 1 }
+        }
+        b.toSeq
+      }
+      vocab = vocab.map { case (syms, f) => mergeSeq(syms) -> f }
+    }
+    out.result()
+  }
+
+  test("q29 merge table equals the plain-Scala trainer on the corpus") {
+    val words = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .filter(length($"w") > 0)
+      .as[String].collect()
+      .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val expected = trainReference(words, BpeQueries.Merges)
+    val got = BpeQueries.q29BpeTrain.fn(spark, sfDir)
+      .as[(Int, String, Long)].collect().toSeq
+    assert(got == expected,
+      s"merge tables differ:\n got=$got\n exp=$expected")
+  }
+
+  test("greedy overlap: (a,a) over 'aaaa' merges twice, 'aaa' once") {
+    // 'aaaa' → [aa, aa]; 'aaa' → [aa, a]: the left-to-right
+    // non-overlapping rule the replace() device must reproduce
+    val ref = trainReference(Map("aaaa" -> 1L, "aaa" -> 1L), 2)
+    // round 1: pair (a,a) count 3+2=5 → 'aa'
+    assert(ref.head == ((1, "aa", 5L)))
+    // round 2 over [aa,aa] and [aa,a]: (aa,aa)=1, (aa,a)=1 →
+    // tie-break l ASC then r ASC: ("aa","a") wins ("a" < "aa")
+    assert(ref(1) == ((2, "aaa", 1L)))
+  }
+
+  test("applyMerges reproduces the trained segmentation") {
+    val words = Seq(("scanner", 4L), ("scan", 2L), ("banner", 1L))
+      .toDF("word", "freq")
+    val vocab = words.select($"word", $"freq",
+      array_join(expr(
+        "transform(sequence(1, length(word), 1), i -> substring(word, i, 1))"),
+        "\u001f").as("seq"))
+    val merges = Seq(("a", "n"), ("an", "n"), ("s", "c"))
+    val out = BpeQueries.applyMerges(vocab, merges)
+      .select($"word", split($"seq", "\u001f").as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("scanner") == Seq("sc", "ann", "e", "r"))
+    assert(out("scan") == Seq("sc", "an"))
+    assert(out("banner") == Seq("b", "ann", "e", "r"))
+  }
+}
