@@ -42,10 +42,13 @@ object GraphQueries {
   /** Weighted PageRank. `edges` must be directed (src, dst, w) with
     * every node having out-degree ≥ 1 (true for symmetric graphs —
     * callers with dangling nodes must handle them first; this operator
-    * would silently drop their mass).
+    * would silently drop their mass). `broadcastLimit` is a test seam:
+    * specs pin that the broadcast path and the shuffle fallback
+    * produce IDENTICAL ranks by forcing each side of the threshold.
     */
   def pageRank(edges: DataFrame, src: String, dst: String, w: String,
-      iters: Int = Iters): DataFrame = {
+      iters: Int = Iters,
+      broadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     // out-degree IS the node set (out-degree ≥ 1 contract), so one
@@ -55,7 +58,7 @@ object GraphQueries {
       .localCheckpoint(true)
     val n = outd.count()
     val nD = n.toDouble
-    val small = n <= BroadcastNodeLimit
+    val small = n <= broadcastLimit
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     val e = edges.join(hinted(outd), src)
       .select(col(src).as("__src"), col(dst).as("__dst"),

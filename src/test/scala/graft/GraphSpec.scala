@@ -46,6 +46,24 @@ class GraphSpec extends SparkTestBase {
     assert(got(3L) > got(4L))
   }
 
+  test("broadcast path and shuffle fallback produce bitwise-equal ranks") {
+    // same graph pushed through BOTH physical paths via the test seam:
+    // broadcastLimit=0 forces the co-keyed shuffle join (the 100 TB
+    // fallback), Long.MaxValue forces the broadcast rounds — the
+    // fixed-point arithmetic must make them indistinguishable
+    val up = Seq((1L, 2L, 3L), (1L, 3L, 1L), (2L, 3L, 2L), (3L, 4L, 1L),
+      (2L, 5L, 4L), (4L, 5L, 2L))
+    val directed = up ++ up.map { case (s, t, w) => (t, s, w) }
+    val df = directed.toDF("s", "t", "w").repartition(5)
+    def ranks(limit: Long): Map[Long, Double] =
+      GraphQueries.pageRank(df, "s", "t", "w", broadcastLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val viaBroadcast = ranks(Long.MaxValue)
+    val viaShuffle = ranks(0L)
+    assert(viaBroadcast == viaShuffle,
+      s"physical paths diverge:\n b=$viaBroadcast\n s=$viaShuffle")
+  }
+
   test("regular graph ranks are exactly uniform") {
     // 6-cycle, unit weights: every node's arithmetic is identical, so
     // quantized ranks must be EQUAL, not just close
