@@ -416,8 +416,86 @@ object OlapExtras {
         count(lit(1)).as("n_cells"))
   }
 
+  /** q27b — Holt double exponential smoothing (level + trend) of
+    * monthly segment revenue, extending q27's single-EMA recurrence:
+    *   l₁ = r₁,  b₁ = r₂ − r₁
+    *   lₜ = ¼·rₜ + ¾·(lₜ₋₁ + bₜ₋₁),  bₜ = ½·(lₜ − lₜ₋₁) + ½·bₜ₋₁
+    * plus the one-step-ahead forecast lₜ + bₜ — the trend-aware
+    * workhorse between q27's flat EMA and full seasonal models. The
+    * coefficients ¼/¾/½ are exact binary and both engines evaluate the
+    * same expression tree over the same exact-decimal revenue, so the
+    * doubly-recursive chain matches bitwise: Spark folds the grouped
+    * month array left-to-right carrying (level, trend) in the
+    * accumulator's last struct (q27's ordered-fold device), DuckDB
+    * steps a recursive CTE carrying the same two columns.
+    *
+    * Scale: identical budget to q27 — the corpus collapses at the
+    * (segment, month) hash agg; the fold runs at segment grain over
+    * calendar-bounded arrays. Groups need ≥ 2 months for the trend
+    * init; both engines filter on the same HAVING.
+    */
+  val q27bHoltTrend: GraftQuery = GraftQuery(
+    "q27b_holt_trend",
+    """WITH RECURSIVE monthly AS (
+      |  SELECT c_mktsegment, strftime(o_orderdate, '%Y-%m') AS mon,
+      |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
+      |           AS DOUBLE) AS rev
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  GROUP BY 1, 2),
+      |idx AS (
+      |  SELECT c_mktsegment, mon, rev,
+      |         ROW_NUMBER() OVER (PARTITION BY c_mktsegment ORDER BY mon) AS t
+      |  FROM monthly),
+      |holt AS (
+      |  SELECT i1.c_mktsegment, i1.mon, i1.rev, i1.t,
+      |         i1.rev AS lvl, i2.rev - i1.rev AS trend
+      |  FROM idx i1 JOIN idx i2
+      |    ON i1.c_mktsegment = i2.c_mktsegment AND i1.t = 1 AND i2.t = 2
+      |  UNION ALL
+      |  SELECT i.c_mktsegment, i.mon, i.rev, i.t,
+      |         0.25 * i.rev + 0.75 * (h.lvl + h.trend),
+      |         0.5 * ((0.25 * i.rev + 0.75 * (h.lvl + h.trend)) - h.lvl)
+      |           + 0.5 * h.trend
+      |  FROM idx i JOIN holt h
+      |    ON i.c_mktsegment = h.c_mktsegment AND i.t = h.t + 1)
+      |SELECT c_mktsegment, mon, rev, lvl, trend,
+      |       lvl + trend AS forecast
+      |FROM holt""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val monthly = t.orders
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .groupBy($"c_mktsegment",
+        date_format($"o_orderdate", "yyyy-MM").as("mon"))
+      .agg(Exact.dsum($"o_totalprice").as("rev"))
+    monthly
+      .groupBy($"c_mktsegment")
+      .agg(array_sort(collect_list(struct($"mon", $"rev"))).as("arr"))
+      .filter(size($"arr") >= 2)
+      .select($"c_mktsegment", explode(expr(
+        """aggregate(
+          |  slice(arr, 2, size(arr) - 1),
+          |  array(named_struct(
+          |    'mon', element_at(arr, 1).mon,
+          |    'rev', element_at(arr, 1).rev,
+          |    'lvl', element_at(arr, 1).rev,
+          |    'trend', element_at(arr, 2).rev - element_at(arr, 1).rev)),
+          |  (acc, x) -> concat(acc, array(named_struct(
+          |    'mon', x.mon, 'rev', x.rev,
+          |    'lvl', 0.25D * x.rev
+          |      + 0.75D * (element_at(acc, -1).lvl + element_at(acc, -1).trend),
+          |    'trend', 0.5D * ((0.25D * x.rev
+          |        + 0.75D * (element_at(acc, -1).lvl + element_at(acc, -1).trend))
+          |        - element_at(acc, -1).lvl)
+          |      + 0.5D * element_at(acc, -1).trend))))""".stripMargin))
+        .as("h"))
+      .select($"c_mktsegment", $"h.mon".as("mon"), $"h.rev".as("rev"),
+        $"h.lvl".as("lvl"), $"h.trend".as("trend"),
+        ($"h.lvl" + $"h.trend").as("forecast"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot, q21TopkPerNation,
-      q22IncrementalAgg, q27ExpSmoothing, q20eGapfillInterp,
-      q9qWeightedMedian)
+      q22IncrementalAgg, q27ExpSmoothing, q27bHoltTrend,
+      q20eGapfillInterp, q9qWeightedMedian)
 }

@@ -102,13 +102,19 @@ object TfIdfQueries {
     * one integer division per (query, doc, term), order-free BIGINT
     * sum. Headroom: the numerator idf_q6·22·tf·TL reaches ~10¹⁹ at
     * TL ≈ 10⁷ and ~10²⁷ at a 100 TB corpus (TL ≈ 10¹³), and the
-    * denominator's 10·TL·tf term clears Long at TL·tf ≳ 10¹⁸ — so
-    * BOTH sides of the division run in 128-bit integers: Spark
-    * DECIMAL(38,0) (int128-backed, exact at scale 0) with `div`
-    * (IntegralDivide — exact divideToIntegralValue, LongType result),
-    * DuckDB HUGEINT (native int128, `//` truncating division). Both
-    * truncate toward zero and every operand is positive, so the
-    * quotients agree exactly; the per-term quotient is ≤ 2.2·idf_q6
+    * denominator's 10·TL·tf term clears Long at TL·tf ≳ 10¹⁸ — so the
+    * division is ADAPTIVE per row: an exact integer guard (every
+    * operand bounded so each product and the 3-term denominator sum
+    * stay ≤ ⌊2⁶³/4⌋ — all-division arithmetic, itself overflow-free)
+    * keeps small corpora on the codegen-fast BIGINT path, and rows
+    * past the guard compute BOTH sides of the division in 128-bit
+    * integers: Spark DECIMAL(38,0) with `div` (IntegralDivide — exact
+    * divideToIntegralValue, LongType result; BigDecimal-backed, hence
+    * guarded — the unconditional decimal form measured 2.6× slower),
+    * DuckDB HUGEINT (`//`). The guard is the same integer expression
+    * on both engines, so every row takes the same branch; both
+    * branches truncate toward zero on positive operands, so the
+    * quotients agree exactly. The per-term quotient is ≤ 2.2·idf_q6
     * ≤ ~10⁸ and the per-(query,doc) sum is bounded by query length,
     * so the summed score stays deep inside BIGINT. 128-bit ceiling:
     * idf_q6(≤4·10⁷)·22·tf·TL < 10³⁸ holds through tf·TL ≲ 10²⁹ —
@@ -159,11 +165,18 @@ object TfIdfQueries {
       |scored AS (
       |  SELECT h.query_id, h.doc_id,
       |         COUNT(*) AS n_terms_matched,
-      |         CAST(SUM((CAST(i.idf_q6 AS HUGEINT) * 22 * h.tf * s.tl)
-      |                  // (CAST(10 AS HUGEINT)*s.tl*h.tf
-      |                     + CAST(3 AS HUGEINT)*s.tl
-      |                     + CAST(9 AS HUGEINT)*l.len*s.n))
-      |              AS BIGINT) AS score_q6
+      |         CAST(SUM(CASE
+      |           WHEN h.tf <= 2305843009213693951 // (i.idf_q6*22 + 1) // s.tl
+      |            AND h.tf <= 2305843009213693951 // 10 // s.tl
+      |            AND l.len <= 2305843009213693951 // 9 // s.n
+      |            AND s.tl <= 2305843009213693951 // 3
+      |           THEN (i.idf_q6 * 22 * h.tf * s.tl)
+      |                // (10*s.tl*h.tf + 3*s.tl + 9*l.len*s.n)
+      |           ELSE CAST((CAST(i.idf_q6 AS HUGEINT) * 22 * h.tf * s.tl)
+      |                     // (CAST(10 AS HUGEINT)*s.tl*h.tf
+      |                        + CAST(3 AS HUGEINT)*s.tl
+      |                        + CAST(9 AS HUGEINT)*l.len*s.n) AS BIGINT)
+      |         END) AS BIGINT) AS score_q6
       |  FROM hits h
       |  JOIN idf i ON i.term = h.term
       |  JOIN dl l ON l.doc_id = h.doc_id
@@ -202,10 +215,18 @@ object TfIdfQueries {
       .groupBy($"query_id", $"doc_id")
       .agg(count(lit(1)).as("n_terms_matched"),
         sum(expr(
-          """(cast(idf_q6 as decimal(38,0)) * 22 * tf * tl)
-            | div (cast(10 as decimal(38,0))*tl*tf
-            |      + cast(3 as decimal(38,0))*tl
-            |      + cast(9 as decimal(38,0))*len*n)""".stripMargin))
+          """CASE
+            |  WHEN tf <= 2305843009213693951 div (idf_q6*22 + 1) div tl
+            |   AND tf <= 2305843009213693951 div 10 div tl
+            |   AND len <= 2305843009213693951 div 9 div n
+            |   AND tl <= 2305843009213693951 div 3
+            |  THEN (idf_q6 * 22 * tf * tl)
+            |       div (10*tl*tf + 3*tl + 9*len*n)
+            |  ELSE (cast(idf_q6 as decimal(38,0)) * 22 * tf * tl)
+            |       div (cast(10 as decimal(38,0))*tl*tf
+            |            + cast(3 as decimal(38,0))*tl
+            |            + cast(9 as decimal(38,0))*len*n)
+            |END""".stripMargin))
           .as("score_q6"))
     scored
       .withColumn("rank", row_number().over(

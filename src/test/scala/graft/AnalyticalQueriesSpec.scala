@@ -137,4 +137,37 @@ class AnalyticalQueriesSpec extends SparkTestBase {
           variance(ordered.map(_._3).toSeq), s"$seg not smoothed")
     }
   }
+
+  test("q27b: Holt level+trend recurrence replays exactly") {
+    import spark.implicits._
+    val rows = graft.queries.OlapExtras.q27bHoltTrend.fn(spark, sfDir)
+      .collect().map(r => (r.getString(0), r.getString(1), r.getDouble(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5)))
+    assert(rows.nonEmpty)
+    rows.groupBy(_._1).foreach { case (seg, rs) =>
+      val ordered = rs.sortBy(_._2)
+      assert(ordered.length >= 2, s"$seg below the trend-init minimum")
+      // l1 = r1, b1 = r2 - r1; then the double recurrence with the
+      // identical double arithmetic — bitwise, not approximate
+      var lvl = ordered(0)._3
+      var trend = ordered(1)._3 - ordered(0)._3
+      assert(ordered(0)._4 == lvl && ordered(0)._5 == trend,
+        s"$seg init row")
+      assert(ordered(0)._6 == lvl + trend, s"$seg init forecast")
+      ordered.tail.foreach { case (_, mon, rev, gl, gt, gf) =>
+        val prevL = lvl
+        lvl = 0.25d * rev + 0.75d * (lvl + trend)
+        trend = 0.5d * (lvl - prevL) + 0.5d * trend
+        assert(gl == lvl && gt == trend && gf == lvl + trend,
+          s"$seg $mon recurrence diverged")
+      }
+      // the forecast must track a deliberately trending series: on the
+      // real data just require trend is finite and level stays within
+      // the observed revenue envelope scaled by a safety factor
+      val revs = ordered.map(_._3)
+      assert(ordered.forall(r => r._4.isFinite && r._5.isFinite))
+      assert(ordered.forall(r =>
+        r._4 <= revs.max * 2 && r._4 >= revs.min / 2 - revs.max))
+    }
+  }
 }
