@@ -200,4 +200,115 @@ class ScaleSpec extends SparkTestBase {
       s"shuffle grew super-linearly at 10×: ${acc1.shuffleWrite.get} B → " +
         s"${acc10.shuffleWrite.get} B (${ratio}×)")
   }
+
+  // Corpus replica shift: divisible by 101 (q12y's %101 query rule),
+  // 7 (q13a's dup-plant rule) and 12 = lcm(2,3,4) (q12v's plant
+  // moduli), so every deterministic doc_id rule replicates exactly;
+  // far above any base id + the 1e6 plant offset, so replica id
+  // ranges stay disjoint
+  private val DocShift = 84840000L
+
+  test("corpus decade-up 10×: dedup groups, heavy hitters, CMS grid " +
+    "and BM25 hold exact scale algebra with linear shuffle") {
+    import graft.text.{DedupQueries, HeavyHitterQueries, TfIdfQueries}
+    import graft.text.TextQueries
+    val tmp = java.nio.file.Files.createTempDirectory("graft-scale-doc").toString
+    val docs = spark.read.parquet(s"$baseDir/documents.parquet")
+    assert(docs.agg(max($"doc_id")).as[Long].head() + 1000000L < DocShift)
+    val replicas = spark.range(reps).select($"id".as("rep"))
+    docs.crossJoin(broadcast(replicas))
+      .withColumn("doc_id", $"doc_id" + $"rep" * DocShift)
+      .drop("rep")
+      .write.mode("overwrite").parquet(s"$tmp/documents.parquet")
+
+    val acc1 = new StageAcc
+    spark.sparkContext.addSparkListener(acc1)
+    val base = Seq(DedupQueries.q13aExactDedup, HeavyHitterQueries.q12vHeavyHitters,
+      HeavyHitterQueries.q12zCountMin, TextQueries.q12aTokenStats,
+      TfIdfQueries.q12yBm25Topk)
+      .map(q => q.name -> q.fn(spark, baseDir).collect()).toMap
+    quiesce(acc1)
+    spark.sparkContext.removeSparkListener(acc1)
+
+    val acc10 = new StageAcc
+    spark.sparkContext.addSparkListener(acc10)
+
+    // q13a: every base text now has 10 copies, so EVERY distinct text
+    // surfaces; base dup groups keep their min doc_id and go ×10
+    val got13a = DedupQueries.q13aExactDedup.fn(spark, tmp)
+    assert(!finalPlan(got13a).contains("CartesianProduct"))
+    val rows13a = got13a.collect()
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3))))
+      .toMap
+    // first-principles base corpus (docs + %7 plant) hash → (count, min id)
+    val baseCorpus = docs.select($"doc_id", md5($"text").as("h"))
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000L).as("doc_id"), md5($"text").as("h")))
+      .groupBy($"h").agg(count(lit(1)).as("c"), min($"doc_id").as("keep"))
+      .as[(String, Long, Long)].collect()
+    assert(rows13a.size == baseCorpus.length,
+      "q13a at 10× must surface every distinct text")
+    baseCorpus.foreach { case (h, c, keep) =>
+      val (n10, keep10, rem10) = rows13a(h)
+      assert(n10 == 10 * c && keep10 == keep && rem10 == 10 * c - 1,
+        s"q13a group $h: got ($n10,$keep10,$rem10), base ($c,$keep)")
+    }
+
+    // q12v: shares are replication-invariant, counts ×10, same key set
+    val got12v = HeavyHitterQueries.q12vHeavyHitters.fn(spark, tmp)
+      .collect().map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2))))
+      .toMap
+    val base12v = base("q12v_heavy_hitters")
+      .map(r => r.getString(0) -> ((r.getLong(1), r.getDouble(2)))).toMap
+    assert(got12v.keySet == base12v.keySet, "q12v heavy set changed at 10×")
+    got12v.foreach { case (k, (c10, s10)) =>
+      assert(c10 == 10 * base12v(k)._1 && s10 == base12v(k)._2,
+        s"q12v $k not exact-×10: ($c10,$s10) vs ${base12v(k)}")
+    }
+
+    // q12z: the whole sketch grid scales by exactly 10 — estimates,
+    // exact counts and overcounts all ×10 (min of ×10 cells = ×10 min)
+    val got12z = HeavyHitterQueries.q12zCountMin.fn(spark, tmp)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    val base12z = base("q12z_countmin").map(r => r.getString(0) ->
+      ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got12z.keySet == base12z.keySet)
+    got12z.foreach { case (k, (e10, c10, o10)) =>
+      val (e1, c1, o1) = base12z(k)
+      assert(e10 == 10 * e1 && c10 == 10 * c1 && o10 == 10 * o1,
+        s"q12z $k grid not exact-×10")
+    }
+
+    // q12a: doc-grain stats — 10× the rows, base-replica rows identical
+    val got12a = TextQueries.q12aTokenStats.fn(spark, tmp).collect()
+    val base12a = base("q12a_token_stats")
+    assert(got12a.length == 10 * base12a.length, "q12a row count not 10×")
+    val baseSeq = base12a.map(_.toSeq).toSet
+    val replica0 = got12a.filter(_.getLong(0) < DocShift).map(_.toSeq).toSet
+    assert(replica0 == baseSeq, "q12a base-replica rows drifted at 10×")
+
+    // q12y: every query still retrieves a full top-5 (replicas of the
+    // query doc are perfect lexical matches), queries ×10; plan stays
+    // cartesian-free and the posting probe keeps its broadcast
+    val q12y = TfIdfQueries.q12yBm25Topk.fn(spark, tmp)
+    val plan12y = finalPlan(q12y)
+    assert(!plan12y.contains("CartesianProduct") ||
+      plan12y.contains("BroadcastNestedLoopJoin"),
+      s"q12y grew a cartesian at 10×")
+    assert(plan12y.contains("BroadcastHashJoin"),
+      "q12y posting probe lost its broadcast at 10×")
+    val rows12y = q12y.collect()
+    assert(rows12y.length == 10 * base("q12y_bm25_topk").length,
+      s"q12y rows ${rows12y.length} != 10× base")
+
+    quiesce(acc10)
+    spark.sparkContext.removeSparkListener(acc10)
+    assert(acc10.diskSpill.get == 0,
+      s"corpus decade-up spilled ${acc10.diskSpill.get} bytes")
+    val ratio = acc10.shuffleWrite.get.toDouble /
+      math.max(1, acc1.shuffleWrite.get)
+    assert(ratio <= 15.0,
+      s"corpus shuffle grew super-linearly at 10×: (${ratio}×)")
+  }
 }
