@@ -479,7 +479,48 @@ object ProfileQueries {
     perOut.unionByName(allRow)
   }
 
+  /** q26h — sketch-based audience overlap via inclusion–exclusion:
+    * |A∩B| ≈ est(A) + est(B) − est(A∪B), with A = 1996 buyers and
+    * B = 1997 buyers. The companion to [[q26gHllMerge]]: once per-
+    * segment sketches are materialized state, ANY pairwise overlap
+    * question is three register reads and no rescan — the way a
+    * 100 TB platform answers "how much do these audiences overlap"
+    * without a distinct-join per question. HLL has no native
+    * intersection, so the estimate compounds three ±rsd errors
+    * RELATIVE TO THE UNION — the verdict band is therefore 5% of the
+    * exact union (not of the intersection), which is the honest
+    * guarantee inclusion–exclusion gives; exact counts (from one
+    * distinct-join) are the value columns the oracle recomputes.
+    */
+  val q26hHllOverlap: GraftQuery = GraftQuery(
+    "q26h_hll_overlap",
+    """WITH a AS (SELECT DISTINCT o_custkey FROM orders
+      |           WHERE year(o_orderdate) = 1996),
+      |b AS (SELECT DISTINCT o_custkey FROM orders
+      |      WHERE year(o_orderdate) = 1997)
+      |SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM a) AS n_a,
+      |       (SELECT CAST(COUNT(*) AS BIGINT) FROM b) AS n_b,
+      |       (SELECT CAST(COUNT(*) AS BIGINT)
+      |        FROM a JOIN b USING (o_custkey)) AS n_both,
+      |       true AS est_ok""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val o = Tables(spark, dir).orders
+    def seg(y: Int): DataFrame = o
+      .filter(year($"o_orderdate") === y).select($"o_custkey")
+    val skA = seg(1996).agg(hll_sketch_agg($"o_custkey").as("ska"),
+      countDistinct($"o_custkey").as("n_a"))
+    val skB = seg(1997).agg(hll_sketch_agg($"o_custkey").as("skb"),
+      countDistinct($"o_custkey").as("n_b"))
+    val both = seg(1996).intersect(seg(1997))
+      .agg(count(lit(1)).as("n_both"))
+    skA.crossJoin(broadcast(skB)).crossJoin(broadcast(both))
+      .select($"n_a", $"n_b", $"n_both",
+        (abs(hll_sketch_estimate($"ska") + hll_sketch_estimate($"skb")
+          - hll_sketch_estimate(hll_union($"ska", $"skb")) - $"n_both") * 100
+          <= ($"n_a" + $"n_b" - $"n_both") * 5).as("est_ok"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q26aProfile, q26bIntegrity, q26cEntropy, q26dPsi, q26eBenford,
-      q26fSkewAudit, q26gHllMerge)
+      q26fSkewAudit, q26gHllMerge, q26hHllOverlap)
 }

@@ -218,4 +218,22 @@ class ProfileSpec extends SparkTestBase {
     assert(ests.distinct.size == 1,
       s"HLL estimate moved under repartitioning: $ests")
   }
+
+  test("q26h overlap: exact counts recount, verdict holds, bounds sane") {
+    import spark.implicits._
+    val r = graft.analytics.ProfileQueries.q26hHllOverlap.fn(spark, sfDir)
+      .head()
+    val (nA, nB, nBoth, ok) =
+      (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3))
+    assert(ok, "inclusion-exclusion estimate left its union-relative band")
+    assert(nBoth <= math.min(nA, nB) && nA > 0 && nB > 0)
+    // driver recount of all three exact cardinalities
+    val o = Tables(spark, sfDir).orders
+      .select(year($"o_orderdate").as("y"), $"o_custkey")
+      .as[(Int, Long)].collect()
+    val a = o.collect { case (1996, c) => c }.toSet
+    val b = o.collect { case (1997, c) => c }.toSet
+    assert(nA == a.size.toLong && nB == b.size.toLong &&
+      nBoth == (a & b).size.toLong, "exact overlap counts drifted")
+  }
 }
