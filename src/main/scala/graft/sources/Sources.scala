@@ -567,8 +567,106 @@ object Sources {
         max($"o_custkey").as("max_key"))
   }
 
+  private val UpsertOut = s"$RoundtripRoot/q17i_upsert"
+
+  /** q17i — MERGE-style upsert on plain parquet via DYNAMIC PARTITION
+    * OVERWRITE, oracle-gated on both the merged CONTENT and the
+    * physical WRITE SCOPE. The environment ships no Delta/Iceberg jars
+    * (recheck §8.8), so this is the warehouse-upsert pattern a plain
+    * parquet lake actually runs: compute the affected partitions'
+    * post-merge state (base rows minus superseded keys, plus updates,
+    * plus inserts), write with
+    * `spark.sql.sources.partitionOverwriteMode=dynamic`, and ONLY the
+    * partitions present in the new data are replaced — every other
+    * partition's files must survive byte-identical.
+    *
+    * The gate encodes both halves: per-year row counts and exact cent
+    * sums of the READ-BACK merged table must hash-match the oracle's
+    * purely LOGICAL merge over `orders` (updates = +1000 cents on
+    * keys %13 in 1996/97; inserts = key+1e9 clones of %17 keys in
+    * 1997), and the `files_preserved` column — computed from the real
+    * before/after file listings — must equal the oracle's static
+    * `o_year NOT IN (1996,1997)`: a write that rewrote too much (or
+    * failed to rewrite the touched years) flips a boolean and fails
+    * the hash. At 100 TB this is the difference between rewriting two
+    * day-partitions and rewriting the table.
+    */
+  val q17iUpsertAudit: GraftQuery = GraftQuery(
+    "q17i_upsert_audit",
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         year(o_orderdate) AS o_year
+      |  FROM orders),
+      |upd AS (
+      |  SELECT o_orderkey, cents + 1000 AS cents, o_year FROM base
+      |  WHERE o_orderkey % 13 = 0 AND o_year IN (1996, 1997)),
+      |ins AS (
+      |  SELECT o_orderkey + 1000000000 AS o_orderkey, cents, o_year
+      |  FROM base WHERE o_orderkey % 17 = 0 AND o_year = 1997),
+      |merged AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (o_orderkey % 13 = 0 AND o_year IN (1996, 1997))
+      |  UNION ALL SELECT * FROM upd
+      |  UNION ALL SELECT * FROM ins)
+      |SELECT CAST(o_year AS BIGINT) AS o_year,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       o_year NOT IN (1996, 1997) AS files_preserved
+      |FROM merged GROUP BY o_year""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val base = Tables(spark, dir).orders
+      .select($"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"),
+        year($"o_orderdate").as("o_year"))
+    // fresh base table each run (the audit is idempotent end to end)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(UpsertOut), true)
+    base.write.mode("overwrite").partitionBy("o_year").parquet(UpsertOut)
+
+    def listing(): Map[Int, Set[String]] =
+      spark.read.parquet(UpsertOut)
+        .select($"o_year", input_file_name().as("f")).distinct()
+        .as[(Int, String)].collect()
+        .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
+    val before = listing()
+
+    // the merge: affected partitions' full post-state only
+    val affected = Seq(1996, 1997)
+    val slice = base.filter($"o_year".isin(affected: _*))
+    val updates = slice.filter($"o_orderkey" % 13 === 0)
+      .withColumn("cents", $"cents" + 1000L)
+    val inserts = slice.filter($"o_orderkey" % 17 === 0 && $"o_year" === 1997)
+      .withColumn("o_orderkey", $"o_orderkey" + 1000000000L)
+    val postState = slice.filter(!($"o_orderkey" % 13 === 0))
+      .unionByName(updates).unionByName(inserts)
+
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try postState.write.mode("overwrite").partitionBy("o_year")
+      .parquet(UpsertOut)
+    finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None    => spark.conf.unset(modeKey)
+    }
+
+    val after = listing()
+    val preserved = (before.keySet ++ after.keySet).toSeq.map { y =>
+      (y, before.get(y) == after.get(y))
+    }.toDF("o_year", "files_preserved")
+
+    spark.read.parquet(UpsertOut)
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+      .join(broadcast(preserved), "o_year")
+      .select($"o_year".cast(LongType).as("o_year"), $"n_rows",
+        $"sum_cents", $"files_preserved")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q17aJsonProps, q17bCsvRoundtrip, q17cJsonlRoundtrip,
       q17dOrcRoundtrip, q17eSkippingAudit, q17fCompactionAudit,
-      q17gPartitionAudit, q17hBucketAudit)
+      q17gPartitionAudit, q17hBucketAudit, q17iUpsertAudit)
 }

@@ -302,4 +302,38 @@ class SourcesSpec extends SparkTestBase {
       assert(parsed.filter($"doc_id" === 1 && $"text" === "ok").count() == 1)
     } finally parsed.unpersist()
   }
+
+  test("q17i upsert: touched partitions rewrite, others survive, merge exact") {
+    val rows = graft.sources.Sources.q17iUpsertAudit.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // exactly the two update years rewrote; every other year's files
+    // survived the dynamic overwrite untouched
+    assert(rows.collect { case (y, (_, _, false)) => y }.toSet ==
+      Set(1996L, 1997L), s"wrong write scope: $rows")
+    // driver recount of one touched and one untouched year's merge
+    import spark.implicits._
+    val base = Tables(spark, sfDir).orders
+      .select($"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+        year($"o_orderdate").as("y"))
+      .as[(Long, Long, Int)].collect()
+    def expect(y: Int): (Long, Long) = {
+      val in = base.filter(_._3 == y)
+      val kept = in.filterNot(r => r._1 % 13 == 0 && (y == 1996 || y == 1997))
+      val upd = in.filter(r => r._1 % 13 == 0 && (y == 1996 || y == 1997))
+        .map(r => (r._1, r._2 + 1000L))
+      val ins =
+        if (y == 1997) in.filter(_._1 % 17 == 0)
+        else Array.empty[(Long, Long, Int)]
+      val all = kept.map(_._2).toSeq ++ upd.map(_._2).toSeq ++
+        ins.map(_._2).toSeq
+      (all.size.toLong, all.sum)
+    }
+    for (y <- Seq(1996, 1998)) {
+      val (n, s) = expect(y)
+      assert(rows(y.toLong)._1 == n && rows(y.toLong)._2 == s,
+        s"year $y merge content drifted: ${rows(y.toLong)} vs ($n,$s)")
+    }
+  }
 }
