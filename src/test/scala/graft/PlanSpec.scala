@@ -308,4 +308,38 @@ class PlanSpec extends SparkTestBase {
     assert(plan.contains("TakeOrderedAndProject"),
       s"centroid pick fell back to a global sort:\n$plan")
   }
+
+  test("q12z count-min: grid broadcast onto probes, no cartesian") {
+    val df = graft.text.HeavyHitterQueries.q12zCountMin.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    // the d×w cell grid (≤1024 rows at any corpus size) must reach the
+    // probe join as a broadcast — a shuffled grid join would key the
+    // corpus-grain estimate pass for nothing
+    assert(plan.contains("BroadcastHashJoin"),
+      s"CMS grid join lost its broadcast:\n$plan")
+    assert(!plan.contains("CartesianProduct"))
+  }
+
+  test("q26g HLL merge: sketches build in ONE keyed pass over orders") {
+    val df = graft.analytics.ProfileQueries.q26gHllMerge.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df).split("== Initial Plan ==").head
+    assert(!plan.contains("CartesianProduct"))
+    // every join in the rollup is a ≤1-row broadcast (merged sketch /
+    // global exact) — nothing month-grain may shuffle-join
+    assert(!plan.contains("SortMergeJoin"),
+      s"a sketch rollup join fell off broadcast:\n$plan")
+  }
+
+  test("q29 BPE training: vocab rewrite joins are 1-row broadcasts") {
+    val df = graft.text.BpeQueries.q29BpeTrain.fn(spark, sfDir)
+    df.collect()
+    val plan = executedPlan(df)
+    // per-round rewrite = crossJoin(broadcast(1-row argmax)): a
+    // BroadcastNestedLoopJoin over one row is the designed shape; a
+    // CartesianProduct (both sides unbroadcast) is the failure
+    assert(!plan.contains("CartesianProduct"),
+      s"BPE rewrite degraded to a cartesian:\n$plan")
+  }
 }
