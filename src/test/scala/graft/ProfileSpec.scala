@@ -219,6 +219,27 @@ class ProfileSpec extends SparkTestBase {
       s"HLL estimate moved under repartitioning: $ests")
   }
 
+  test("HLL sketch state survives a parquet roundtrip and merges equal") {
+    import spark.implicits._
+    // the q26g story depends on sketches being MATERIALIZED state: a
+    // platform writes the per-segment sketch column to storage and
+    // merges it later without the raw keys. Prove the loop: write the
+    // per-month binary sketches to parquet, read them back, union-merge
+    // — the estimate must equal the merge over the live sketches
+    val per = Tables(spark, sfDir).orders
+      .groupBy(date_format($"o_orderdate", "yyyy-MM").as("m"))
+      .agg(hll_sketch_agg($"o_custkey").as("sk"))
+    val live = per.agg(hll_sketch_estimate(hll_union_agg($"sk")))
+      .head.getLong(0)
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-sketch-store").toString
+    per.write.mode("overwrite").parquet(tmp)
+    val stored = spark.read.parquet(tmp)
+      .agg(hll_sketch_estimate(hll_union_agg($"sk"))).head.getLong(0)
+    assert(stored == live,
+      s"sketch state corrupted by the parquet roundtrip: $stored vs $live")
+  }
+
   test("q26h overlap: exact counts recount, verdict holds, bounds sane") {
     import spark.implicits._
     val r = graft.analytics.ProfileQueries.q26hHllOverlap.fn(spark, sfDir)
