@@ -137,7 +137,10 @@ object GraphQueries {
       val t = Tables(spark, dir)
       // no .distinct() before the basket build: collect_set dedups
       // within each order, so a separate pair-distinct pass would
-      // only add a full lineitem-grain shuffle
+      // only add a full lineitem-grain shuffle. No scan fan-out
+      // either: the heavy work (collect_set, pair explode, distinct)
+      // all runs AFTER the orderkey exchange — already cores-wide —
+      // so fanning the 1-partition scan measured a wash (r10 A/B)
       val items = t.lineitem.select($"l_orderkey", $"l_partkey")
       val up = items
         .groupBy($"l_orderkey")
@@ -199,7 +202,10 @@ object GraphQueries {
     val t = Tables(spark, dir)
     // no .distinct() before the basket build: collect_set dedups
       // within each order, so a separate pair-distinct pass would
-      // only add a full lineitem-grain shuffle
+      // only add a full lineitem-grain shuffle. No scan fan-out
+      // either: the heavy work (collect_set, pair explode, distinct)
+      // all runs AFTER the orderkey exchange — already cores-wide —
+      // so fanning the 1-partition scan measured a wash (r10 A/B)
       val items = t.lineitem.select($"l_orderkey", $"l_partkey")
     val up = items
       .groupBy($"l_orderkey")
@@ -323,7 +329,10 @@ object GraphQueries {
       val t = Tables(spark, dir)
       // no .distinct() before the basket build: collect_set dedups
       // within each order, so a separate pair-distinct pass would
-      // only add a full lineitem-grain shuffle
+      // only add a full lineitem-grain shuffle. No scan fan-out
+      // either: the heavy work (collect_set, pair explode, distinct)
+      // all runs AFTER the orderkey exchange — already cores-wide —
+      // so fanning the 1-partition scan measured a wash (r10 A/B)
       val items = t.lineitem.select($"l_orderkey", $"l_partkey")
       val up = items
         .groupBy($"l_orderkey")
