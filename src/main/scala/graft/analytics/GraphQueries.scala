@@ -222,8 +222,12 @@ object GraphQueries {
   /** Per-node triangle counts. `edges` must be undirected-unique
     * (one row per pair, s < t). Nodes in zero triangles are absent
     * from the output. See q24f scaladoc for the orientation device.
+    * `broadcastLimit` is a test seam (see [[pageRank]]): specs force
+    * both the compact-forward and the wedge-join path and pin that
+    * they count identically.
     */
-  def triangleCounts(edges: DataFrame, s: String, t: String): DataFrame = {
+  def triangleCounts(edges: DataFrame, s: String, t: String,
+      broadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val up = edges.select(col(s).as("s"), col(t).as("t"))
@@ -246,17 +250,44 @@ object GraphQueries {
         when(fwd, $"s").otherwise($"t").as("lo"),
         when(fwd, $"t").otherwise($"s").as("hi"),
         when(fwd, $"d_t").otherwise($"d_s").as("dhi"))
-      .localCheckpoint(true) // 3 self-join consumers below
-    val w1 = orE.toDF("lo", "hi_b", "d_b")
-    val w2 = orE.toDF("lo", "hi_c", "d_c")
-    val wedges = w1.join(w2, "lo")
-      .filter($"d_b" < $"d_c" || ($"d_b" === $"d_c" && $"hi_b" < $"hi_c"))
-    val cl = orE.toDF("cl_lo", "cl_hi", "cl_d")
-    val tri = wedges.join(cl,
-      $"cl_lo" === $"hi_b" && $"cl_hi" === $"hi_c")
-      .select($"lo".as("a"), $"hi_b".as("b"), $"hi_c".as("c"))
-    tri.select(explode(array($"a", $"b", $"c")).as("v"))
-      .groupBy($"v").agg(count(lit(1)).as("n_triangles"))
+      .localCheckpoint(true) // consumers below
+    // COMPACT-FORWARD while the oriented edge list fits a broadcast
+    // (≤ BroadcastNodeLimit edges): per edge (u,v), the triangles
+    // through it are N⁺(u) ∩ N⁺(v), and each triangle a→b, a→c, b→c
+    // is found exactly once — at its center edge (a,b) with w = c.
+    // The wedge frame (Σ C(outdeg,2) rows — ~15× the edges on this
+    // graph) is never materialized or shuffled: adjacency lists
+    // broadcast at node grain, the intersection runs map-side, and
+    // only node-grain credit partials reach the final exchange.
+    // Beyond the limit, the classic two-join wedge plan below is the
+    // shape that scales (everything keyed, nothing broadcast).
+    if (orE.count() <= broadcastLimit) {
+      val adj = orE.groupBy($"lo").agg(collect_list($"hi").as("nbrs"))
+      val per = orE
+        .join(broadcast(adj.toDF("u", "nu")), $"lo" === $"u")
+        .join(broadcast(adj.toDF("v", "nv")), $"hi" === $"v", "left")
+        .select($"lo", $"hi",
+          array_intersect($"nu",
+            coalesce($"nv", array().cast("array<long>"))).as("ws"))
+        .select($"lo", $"hi", $"ws", size($"ws").cast("long").as("k"))
+      val centerCredits = per.filter($"k" > 0)
+        .select(explode(array($"lo", $"hi")).as("v"), $"k")
+      val apexCredits = per
+        .select(explode($"ws").as("v"), lit(1L).as("k"))
+      centerCredits.unionAll(apexCredits)
+        .groupBy($"v").agg(sum($"k").as("n_triangles"))
+    } else {
+      val w1 = orE.toDF("lo", "hi_b", "d_b")
+      val w2 = orE.toDF("lo", "hi_c", "d_c")
+      val wedges = w1.join(w2, "lo")
+        .filter($"d_b" < $"d_c" || ($"d_b" === $"d_c" && $"hi_b" < $"hi_c"))
+      val cl = orE.toDF("cl_lo", "cl_hi", "cl_d")
+      val tri = wedges.join(cl,
+        $"cl_lo" === $"hi_b" && $"cl_hi" === $"hi_c")
+        .select($"lo".as("a"), $"hi_b".as("b"), $"hi_c".as("c"))
+      tri.select(explode(array($"a", $"b", $"c")).as("v"))
+        .groupBy($"v").agg(count(lit(1)).as("n_triangles"))
+    }
   }
 
   /** Multi-source BFS: minimum hop count from any seed node, capped at

@@ -108,6 +108,13 @@ class GraphSpec extends SparkTestBase {
     val got2 = GraphQueries.triangleCounts(edges.toDF("s", "t"), "s", "t")
       .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
     assert(got2 == want, s"missing=${want.toSet -- got2.toSet}")
+
+    // BOTH physical paths (compact-forward broadcast vs wedge-join
+    // fallback) must count identically — forced via the test seam
+    val viaWedges = GraphQueries.triangleCounts(
+      edges.toDF("s", "t"), "s", "t", broadcastLimit = 0L)
+      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(viaWedges == want, s"wedge fallback diverged: $viaWedges")
   }
 
   test("bfsHops: exact hops on a path, cap respected, unreached absent") {
