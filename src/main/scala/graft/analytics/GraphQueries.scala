@@ -306,12 +306,13 @@ object GraphQueries {
     import spark.implicits._
     val e = edges.select(col(s).as("__s"), col(t).as("__t"))
       .localCheckpoint(true) // consumed every round
-    // No vertex-broadcast variant here, deliberately: an A/B at sf0.1
-    // (5 fresh-JVM iterations each) measured the broadcast round no
-    // faster — with only `iters` rounds the build dominates and the
-    // per-round SMJ of the integer edge list is cheap, so the probe
-    // job the broadcast needs never pays for itself. Contrast
-    // pageRank, whose 8 rounds on a wider frame made it a 2× win.
+    // Two optimization attempts are on record as washes (r10 A/Bs):
+    // vertex-broadcast rounds, and pre-partition+pre-sort of e at the
+    // checkpoint ("sort once, join k times"). With only `iters`
+    // rounds, the graph build + checkpoint materialization dominate
+    // and the per-round SMJ of the integer edge list is cheap —
+    // contrast pageRank, whose 8 rounds on a wider frame made the
+    // broadcast a 2× win.
     var dist = seeds.select(col(node).as("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
