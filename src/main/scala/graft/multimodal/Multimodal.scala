@@ -502,8 +502,125 @@ object Multimodal {
       .toDF()
   }
 
+  case class HashedMedia(media_id: Long, phash: String)
+
+  /** Average-hash (aHash) over a REAL decoded 8×8 raster: per-pixel
+    * gray = r+g+b, bit i = gray_i·64 ≥ Σgray (integer compare, no
+    * division), emitted as a 64-char bitstring in raster order — a
+    * portable key with no sign-bit trap. One codec per partition,
+    * same batch shape as [[decodePng]].
+    */
+  def aHash64(rows: Iterator[MediaRow]): Iterator[HashedMedia] = {
+    rows.map { r =>
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(r.payload))
+      require(img != null, s"media_id ${r.media_id}: undecodable image")
+      require(img.getWidth == 8 && img.getHeight == 8,
+        s"media_id ${r.media_id}: aHash expects an 8×8 raster")
+      val g = new Array[Long](64)
+      var y = 0; var i = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          val v = img.getRGB(x, y) & 0xffffff
+          g(i) = (v >> 16) + ((v >> 8) & 255) + (v & 255)
+          i += 1; x += 1
+        }
+        y += 1
+      }
+      val tot = g.sum
+      val sb = new StringBuilder(64)
+      g.foreach(gi => sb.append(if (gi * 64 >= tot) '1' else '0'))
+      HashedMedia(r.media_id, sb.toString)
+    }
+  }
+
+  /** q16j — image near-duplicate detection by perceptual hash over
+    * REAL bytes: every image is encoded by the JDK PNG writer,
+    * decoded back through the real codec, aHash'd from the DECODED
+    * pixels, and paired through a 5-band hamming index (pigeonhole:
+    * hamming ≤ 4 over 5 bands guarantees a shared band — the q13c
+    * banding device on bitstrings), then exact-hamming-filtered. The
+    * oracle recomputes every hash from the closed-form raster
+    * ([[q16iPixelFeatures]] device), so the gate fails unless the
+    * real encode→decode→hash chain is bit-exact. Planted clones
+    * (same seed re-inserted at +10⁶) guarantee the audit is never
+    * vacuous. At 100 TB: hashing is one map-side pass per image, the
+    * index is an equi-join on (band, value), and only candidate pairs
+    * — never all pairs — reach the hamming check.
+    */
+  val q16jPhashDedup: GraftQuery = GraftQuery(
+    "q16j_phash_dedup",
+    """WITH m AS (
+      |  SELECT doc_id AS media_id, doc_id AS seed FROM documents
+      |  WHERE doc_id % 10 = 3
+      |  UNION ALL
+      |  SELECT doc_id + 1000000, doc_id FROM documents
+      |  WHERE doc_id % 10 = 3 AND doc_id % 3 = 0),
+      |g AS (
+      |  SELECT media_id, i,
+      |         (v // 65536) + ((v // 256) % 256) + (v % 256) AS gray
+      |  FROM (SELECT media_id, i,
+      |               ((seed + i) * 2654435761) % 16777216 AS v
+      |        FROM m, (SELECT unnest(range(64)) AS i))),
+      |hash AS (
+      |  SELECT g.media_id,
+      |         string_agg(CASE WHEN gray * 64 >= t.total THEN '1' ELSE '0'
+      |                    END, '' ORDER BY i) AS phash
+      |  FROM g JOIN (SELECT media_id, SUM(gray) AS total FROM g GROUP BY 1) t
+      |    USING (media_id)
+      |  GROUP BY 1),
+      |bands AS (
+      |  SELECT media_id, phash, b.band_id,
+      |         substr(phash, b.st, b.len) AS band_val
+      |  FROM hash, (VALUES (0, 1, 13), (1, 14, 13), (2, 27, 13),
+      |                     (3, 40, 13), (4, 53, 12)) b(band_id, st, len)),
+      |cand AS (
+      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |         x.phash AS ha, y.phash AS hb
+      |  FROM bands x JOIN bands y
+      |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+      |   AND x.media_id < y.media_id),
+      |scored AS (
+      |  SELECT a, b,
+      |         CAST(list_sum(list_transform(range(64),
+      |           i -> CASE WHEN ha[i+1] <> hb[i+1] THEN 1 ELSE 0 END))
+      |           AS INTEGER) AS hamming
+      |  FROM cand)
+      |SELECT a AS media_a, b AS media_b, hamming
+      |FROM scored WHERE hamming <= 4""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val base = docs.filter($"doc_id" % 10 === 3)
+      .select($"doc_id".as("media_id"), $"doc_id".as("seed"))
+    val clones = docs.filter($"doc_id" % 10 === 3 && $"doc_id" % 3 === 0)
+      .select(($"doc_id" + 1000000L).as("media_id"), $"doc_id".as("seed"))
+    val hashed = base.unionByName(clones).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, seed) =>
+        MediaRow(id, "image", pngBytes(8, 8, seed))
+      })
+      .mapPartitions(aHash64 _)
+      .toDF()
+    val bandDefs = Seq((0, 1, 13), (1, 14, 13), (2, 27, 13),
+      (3, 40, 13), (4, 53, 12))
+    val banded = hashed.select($"media_id", $"phash",
+      posexplode(array(bandDefs.map { case (_, st, len) =>
+        substring($"phash", st, len) }: _*)).as(Seq("band_id", "band_val")))
+    val x = banded.toDF("a", "ha", "band_id", "band_val")
+    val y = banded.toDF("b", "hb", "band_id", "band_val")
+    x.join(y, Seq("band_id", "band_val"))
+      .filter($"a" < $"b")
+      .select($"a", $"b", $"ha", $"hb").distinct()
+      .withColumn("hamming", expr(
+        """aggregate(sequence(1, 64), 0, (acc, i) ->
+          |  acc + IF(substring(ha, i, 1) = substring(hb, i, 1), 0, 1))"""
+          .stripMargin).cast("int"))
+      .filter($"hamming" <= 4)
+      .select($"a".as("media_a"), $"b".as("media_b"), $"hamming")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q16aMediaMeta, q16cResizePlan, q16dFrameSample,
       q16ePngRoundtrip, q16fWavRoundtrip, q16gPngResize, q16hGifFrames,
-      q16iPixelFeatures)
+      q16iPixelFeatures, q16jPhashDedup)
 }

@@ -103,4 +103,42 @@ class MultimodalSpec extends SparkTestBase {
     val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(a))
     assert(img.getWidth == 32 && img.getHeight == 13)
   }
+
+  test("aHash from real decoded pixels equals the closed-form recount") {
+    // drive the REAL chain (encode → decode → hash) on one image and
+    // rebuild the hash from the pixel closed form with no codec at all
+    val seed = 123L
+    val real = Multimodal.aHash64(Iterator(
+      Multimodal.MediaRow(1L, "image", Multimodal.pngBytes(8, 8, seed))))
+      .next().phash
+    val g = (0 until 64).map { i =>
+      val v = ((seed + i) * 2654435761L) & 0xffffff
+      (v >> 16) + ((v >> 8) & 255) + (v & 255)
+    }
+    val tot = g.sum
+    val want = g.map(gi => if (gi * 64 >= tot) '1' else '0').mkString
+    assert(real == want, s"codec chain drifted: $real vs $want")
+  }
+
+  test("q16j finds every planted clone pair at hamming 0") {
+    import spark.implicits._
+    val out = Multimodal.q16jPhashDedup.fn(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    out.foreach { case (a, b, h) =>
+      assert(a < b && h >= 0 && h <= 4)
+    }
+    // every planted clone (seed re-inserted at +1e6) must surface as
+    // a hamming-0 pair with its original
+    val planted = Tables(spark, sfDir).documents
+      .filter($"doc_id" % 10 === 3 && $"doc_id" % 3 === 0)
+      .select($"doc_id").as[Long].collect()
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    planted.foreach { id =>
+      assert(pairs.contains((id, id + 1000000L)),
+        s"clone pair for media $id missing")
+    }
+    val zero = out.filter(p => p._2 == p._1 + 1000000L)
+    assert(zero.forall(_._3 == 0), "a clone pair scored hamming > 0")
+  }
 }
