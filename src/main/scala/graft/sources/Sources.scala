@@ -665,8 +665,102 @@ object Sources {
         $"sum_cents", $"files_preserved")
   }
 
+  private val OptimizeOut = s"$RoundtripRoot/q17j_optimize"
+
+  /** q17j — the MERGE → OPTIMIZE maintenance loop, layout- AND
+    * content-gated: repeated partition-overwrite merges fragment the
+    * touched partitions (here one 16-task merge write stands in for
+    * many small ones), so a lake runs compaction scoped to EXACTLY
+    * the partitions the merge touched. The audit replays q17i's
+    * logical merge, fragments the two touched years, compacts them to
+    * ⌈rows/1000⌉ files each (the q17f device: round-robin repartition
+    * to a deterministic file count, every task non-empty), and gates
+    * per year: merged row count, exact cent sum, and the FILE COUNT —
+    * untouched years must still hold their single base file (the
+    * compaction must not leak outside its scope), touched years
+    * exactly the computed target. Both engines derive every expected
+    * number from `orders` alone.
+    */
+  val q17jOptimizeAudit: GraftQuery = GraftQuery(
+    "q17j_optimize_audit",
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         year(o_orderdate) AS o_year
+      |  FROM orders),
+      |merged AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (o_orderkey % 13 = 0 AND o_year IN (1996, 1997))
+      |  UNION ALL
+      |  SELECT o_orderkey, cents + 1000, o_year FROM base
+      |  WHERE o_orderkey % 13 = 0 AND o_year IN (1996, 1997)
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, cents, o_year FROM base
+      |  WHERE o_orderkey % 17 = 0 AND o_year = 1997)
+      |SELECT CAST(o_year AS BIGINT) AS o_year,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents,
+      |       CAST(CASE WHEN o_year IN (1996, 1997)
+      |                 THEN (COUNT(*) + 999) // 1000 ELSE 1 END
+      |            AS BIGINT) AS n_files
+      |FROM merged GROUP BY o_year""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val TargetRows = 1000L
+    val base = Tables(spark, dir).orders
+      .select($"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"),
+        year($"o_orderdate").as("o_year"))
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      spark.sparkContext.hadoopConfiguration)
+    fs.delete(new org.apache.hadoop.fs.Path(OptimizeOut), true)
+    // base layout: one file per year partition (year-keyed repartition
+    // puts each year wholly in one task)
+    base.repartition($"o_year").write.mode("overwrite")
+      .partitionBy("o_year").parquet(OptimizeOut)
+
+    val affected = Seq(1996, 1997)
+    val slice = base.filter($"o_year".isin(affected: _*))
+    val postState = slice.filter(!($"o_orderkey" % 13 === 0))
+      .unionByName(slice.filter($"o_orderkey" % 13 === 0)
+        .withColumn("cents", $"cents" + 1000L))
+      .unionByName(slice
+        .filter($"o_orderkey" % 17 === 0 && $"o_year" === 1997)
+        .withColumn("o_orderkey", $"o_orderkey" + 1000000000L))
+
+    val modeKey = "spark.sql.sources.partitionOverwriteMode"
+    val prev = spark.conf.getOption(modeKey)
+    spark.conf.set(modeKey, "dynamic")
+    try {
+      // the merge, fragmented: 16 round-robin tasks → many files per
+      // touched partition (the debt OPTIMIZE exists to pay off)
+      postState.repartition(16).write.mode("overwrite")
+        .partitionBy("o_year").parquet(OptimizeOut)
+      // OPTIMIZE scoped to the touched partitions, deterministic file
+      // count per year; source is the logical post-state, so no
+      // read-and-overwrite-the-same-path hazard
+      affected.foreach { y =>
+        val d = postState.filter($"o_year" === y)
+        val k = ((d.count() + TargetRows - 1) / TargetRows).toInt
+        d.repartition(k).write.mode("overwrite")
+          .partitionBy("o_year").parquet(OptimizeOut)
+      }
+    } finally prev match {
+      case Some(v) => spark.conf.set(modeKey, v)
+      case None    => spark.conf.unset(modeKey)
+    }
+
+    spark.read.parquet(OptimizeOut)
+      .select($"o_year", $"cents", input_file_name().as("f"))
+      .groupBy($"o_year")
+      .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
+        countDistinct($"f").as("n_files"))
+      .select($"o_year".cast(LongType).as("o_year"), $"n_rows",
+        $"sum_cents", $"n_files")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q17aJsonProps, q17bCsvRoundtrip, q17cJsonlRoundtrip,
       q17dOrcRoundtrip, q17eSkippingAudit, q17fCompactionAudit,
-      q17gPartitionAudit, q17hBucketAudit, q17iUpsertAudit)
+      q17gPartitionAudit, q17hBucketAudit, q17iUpsertAudit,
+      q17jOptimizeAudit)
 }

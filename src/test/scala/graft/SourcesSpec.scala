@@ -336,4 +336,29 @@ class SourcesSpec extends SparkTestBase {
         s"year $y merge content drifted: ${rows(y.toLong)} vs ($n,$s)")
     }
   }
+
+  test("q17j: optimize scope exact; the fragmentation debt is real") {
+    import spark.implicits._
+    val rows = graft.sources.Sources.q17jOptimizeAudit.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(3)))).toMap
+    rows.foreach { case (y, (n, files)) =>
+      val want = if (y == 1996L || y == 1997L) (n + 999) / 1000 else 1L
+      assert(files == want, s"year $y: $files files, want $want")
+    }
+    // the 16-task merge write really fragments a partition — the debt
+    // the in-query optimize then pays down to the target count
+    val tmp = java.nio.file.Files
+      .createTempDirectory("graft-frag-demo").toString
+    Tables(spark, sfDir).orders
+      .select($"o_orderkey", year($"o_orderdate").as("o_year"))
+      .filter($"o_year" === 1996)
+      .repartition(16)
+      .write.mode("overwrite").partitionBy("o_year").parquet(tmp)
+    val nFrag = spark.read.parquet(tmp)
+      .select(input_file_name().as("f")).distinct().count()
+    assert(nFrag > rows(1996L)._2,
+      s"fragmented write produced $nFrag files, not more than the " +
+        s"compacted ${rows(1996L)._2}")
+  }
 }
