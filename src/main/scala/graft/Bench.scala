@@ -124,7 +124,16 @@ object Bench {
       // q13f vs q13b). q14k stays out: it re-runs four ANN pipelines
       // plus the guard-capped brute truth by design.
       "q28_rfm_segments", "q24h_multitouch", "q20e_gapfill_interp",
-      "q12y_bm25_topk", "q17e_skipping_audit")) ++
+      "q12y_bm25_topk", "q17e_skipping_audit",
+      // round-10 additions, one per new family: CMS (the point-freq
+      // sketch next to q12v's MG), BPE training (the iterative
+      // vocab-grain loop), HLL merge (q26h shares its cost profile
+      // and stays out, like q17f/g vs q17e), and the first multimodal
+      // member — q16j runs the real encode→decode→hash chain. q27b
+      // rides q27's fold profile, q17i/j the write-audit profile —
+      // all stay out by the same rule.
+      "q12z_countmin", "q29_bpe_train", "q26g_hll_merge",
+      "q16j_phash_dedup")) ++
       // BENCH_ONLY names outside both membership lists (e.g. the graph
       // one-offs) still time — as ext entries
       only.fold(Seq.empty[String])(o =>
