@@ -551,44 +551,26 @@ object Multimodal {
     */
   val q16jPhashDedup: GraftQuery = GraftQuery(
     "q16j_phash_dedup",
-    """WITH m AS (
-      |  SELECT doc_id AS media_id, doc_id AS seed FROM documents
-      |  WHERE doc_id % 10 = 3
-      |  UNION ALL
-      |  SELECT doc_id + 1000000, doc_id FROM documents
-      |  WHERE doc_id % 10 = 3 AND doc_id % 3 = 0),
-      |g AS (
-      |  SELECT media_id, i,
-      |         (v // 65536) + ((v // 256) % 256) + (v % 256) AS gray
-      |  FROM (SELECT media_id, i,
-      |               ((seed + i) * 2654435761) % 16777216 AS v
-      |        FROM m, (SELECT unnest(range(64)) AS i))),
-      |hash AS (
-      |  SELECT g.media_id,
-      |         string_agg(CASE WHEN gray * 64 >= t.total THEN '1' ELSE '0'
-      |                    END, '' ORDER BY i) AS phash
-      |  FROM g JOIN (SELECT media_id, SUM(gray) AS total FROM g GROUP BY 1) t
-      |    USING (media_id)
-      |  GROUP BY 1),
-      |bands AS (
-      |  SELECT media_id, phash, b.band_id,
-      |         substr(phash, b.st, b.len) AS band_val
-      |  FROM hash, (VALUES (0, 1, 13), (1, 14, 13), (2, 27, 13),
-      |                     (3, 40, 13), (4, 53, 12)) b(band_id, st, len)),
-      |cand AS (
-      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
-      |         x.phash AS ha, y.phash AS hb
-      |  FROM bands x JOIN bands y
-      |    ON x.band_id = y.band_id AND x.band_val = y.band_val
-      |   AND x.media_id < y.media_id),
-      |scored AS (
-      |  SELECT a, b,
-      |         CAST(list_sum(list_transform(range(64),
-      |           i -> CASE WHEN ha[i+1] <> hb[i+1] THEN 1 ELSE 0 END))
-      |           AS INTEGER) AS hamming
-      |  FROM cand)
-      |SELECT a AS media_a, b AS media_b, hamming
-      |FROM scored WHERE hamming <= 4""".stripMargin) { (spark, dir) =>
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, doc_id AS seed FROM documents
+       |  WHERE doc_id % 10 = 3
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id FROM documents
+       |  WHERE doc_id % 10 = 3 AND doc_id % 3 = 0),
+       |g AS (
+       |  SELECT media_id, i,
+       |         (v // 65536) + ((v // 256) % 256) + (v % 256) AS gray
+       |  FROM (SELECT media_id, i,
+       |               ((seed + i) * 2654435761) % 16777216 AS v
+       |        FROM m, (SELECT unnest(range(64)) AS i))),
+       |hash AS (
+       |  SELECT g.media_id,
+       |         string_agg(CASE WHEN gray * 64 >= t.total THEN '1' ELSE '0'
+       |                    END, '' ORDER BY i) AS phash
+       |  FROM g JOIN (SELECT media_id, SUM(gray) AS total FROM g GROUP BY 1) t
+       |    USING (media_id)
+       |  GROUP BY 1),
+       |$hammingPairsSql""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val docs = Tables(spark, dir).documents
     val base = docs.filter($"doc_id" % 10 === 3)
@@ -601,6 +583,17 @@ object Multimodal {
       })
       .mapPartitions(aHash64 _)
       .toDF()
+    hammingPairs(hashed)
+  }
+
+  /** Banded hamming-≤4 pairing of 64-bit fingerprint strings, shared
+    * by the image (q16j) and audio (q16k) dedup paths. 5 bands of
+    * 13/13/13/13/12 bits: pigeonhole guarantees any hamming ≤ 4 pair
+    * shares a band, so candidates come from an equi-join on
+    * (band, value) — never all pairs.
+    */
+  private def hammingPairs(hashed: DataFrame): DataFrame = {
+    import hashed.sparkSession.implicits._
     val bandDefs = Seq((0, 1, 13), (1, 14, 13), (2, 27, 13),
       (3, 40, 13), (4, 53, 12))
     val banded = hashed.select($"media_id", $"phash",
@@ -619,8 +612,102 @@ object Multimodal {
       .select($"a".as("media_a"), $"b".as("media_b"), $"hamming")
   }
 
+  /** DuckDB twin of [[hammingPairs]]: expects a `hash(media_id,
+    * phash)` CTE in scope and yields the final SELECT. A `def`, not a
+    * `val`: q16j's SQL (declared earlier in the object) interpolates
+    * it at object init, and a forward-referenced val would be null.
+    */
+  private def hammingPairsSql: String =
+    """bands AS (
+      |  SELECT media_id, phash, b.band_id,
+      |         substr(phash, b.st, b.len) AS band_val
+      |  FROM hash, (VALUES (0, 1, 13), (1, 14, 13), (2, 27, 13),
+      |                     (3, 40, 13), (4, 53, 12)) b(band_id, st, len)),
+      |cand AS (
+      |  SELECT DISTINCT x.media_id AS a, y.media_id AS b,
+      |         x.phash AS ha, y.phash AS hb
+      |  FROM bands x JOIN bands y
+      |    ON x.band_id = y.band_id AND x.band_val = y.band_val
+      |   AND x.media_id < y.media_id),
+      |scored AS (
+      |  SELECT a, b,
+      |         CAST(list_sum(list_transform(range(64),
+      |           i -> CASE WHEN ha[i+1] <> hb[i+1] THEN 1 ELSE 0 END))
+      |           AS INTEGER) AS hamming
+      |  FROM cand)
+      |SELECT a AS media_a, b AS media_b, hamming
+      |FROM scored WHERE hamming <= 4""".stripMargin
+
+  /** Sample-exact audio fingerprint over a REAL decoded WAV: 256
+    * 8-bit PCM samples → 64 frames of 4 → per-frame energy sums →
+    * threshold vs the clip mean (integer compare), a 64-char
+    * bitstring. The samples are read from the DECODED stream, not the
+    * synthesis input — the audio analog of [[aHash64]].
+    */
+  def audioFingerprint64(rows: Iterator[MediaRow]): Iterator[HashedMedia] = {
+    rows.map { r =>
+      val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+        new java.io.ByteArrayInputStream(r.payload))
+      val buf = ais.readAllBytes()
+      require(buf.length == 256,
+        s"media_id ${r.media_id}: expected 256 PCM samples, got ${buf.length}")
+      val e = new Array[Long](64)
+      var i = 0
+      while (i < 256) { e(i / 4) += buf(i) & 0xff; i += 1 }
+      val tot = e.sum
+      val sb = new StringBuilder(64)
+      e.foreach(ei => sb.append(if (ei * 64 >= tot) '1' else '0'))
+      HashedMedia(r.media_id, sb.toString)
+    }
+  }
+
+  /** q16k — audio near-duplicate detection, the WAV twin of [[q16jPhashDedup]]:
+    * real PCM/WAVE encode → real decode → energy-envelope fingerprint
+    * from the DECODED samples → the shared banded hamming pairing.
+    * The oracle rebuilds every fingerprint from the closed-form
+    * sample stream (((seed+i)·2654435761) mod 256), so the gate fails
+    * unless the audio codec chain is sample-exact; planted same-seed
+    * clones keep it non-vacuous.
+    */
+  val q16kAudioDedup: GraftQuery = GraftQuery(
+    "q16k_audio_dedup",
+    s"""WITH m AS (
+       |  SELECT doc_id AS media_id, doc_id AS seed FROM documents
+       |  WHERE doc_id % 10 = 4
+       |  UNION ALL
+       |  SELECT doc_id + 1000000, doc_id FROM documents
+       |  WHERE doc_id % 10 = 4 AND doc_id % 3 = 0),
+       |fr AS (
+       |  SELECT media_id, i // 4 AS f,
+       |         SUM(((seed + i) * 2654435761) % 256) AS energy
+       |  FROM m, (SELECT unnest(range(256)) AS i)
+       |  GROUP BY 1, 2),
+       |hash AS (
+       |  SELECT fr.media_id,
+       |         string_agg(CASE WHEN energy * 64 >= t.total THEN '1' ELSE '0'
+       |                    END, '' ORDER BY f) AS phash
+       |  FROM fr JOIN (SELECT media_id, SUM(energy) AS total FROM fr
+       |                GROUP BY 1) t
+       |    USING (media_id)
+       |  GROUP BY 1),
+       |$hammingPairsSql""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val docs = Tables(spark, dir).documents
+    val base = docs.filter($"doc_id" % 10 === 4)
+      .select($"doc_id".as("media_id"), $"doc_id".as("seed"))
+    val clones = docs.filter($"doc_id" % 10 === 4 && $"doc_id" % 3 === 0)
+      .select(($"doc_id" + 1000000L).as("media_id"), $"doc_id".as("seed"))
+    val hashed = base.unionByName(clones).as[(Long, Long)]
+      .mapPartitions(_.map { case (id, seed) =>
+        MediaRow(id, "audio", wavBytes(256, seed))
+      })
+      .mapPartitions(audioFingerprint64 _)
+      .toDF()
+    hammingPairs(hashed)
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q16aMediaMeta, q16cResizePlan, q16dFrameSample,
       q16ePngRoundtrip, q16fWavRoundtrip, q16gPngResize, q16hGifFrames,
-      q16iPixelFeatures, q16jPhashDedup)
+      q16iPixelFeatures, q16jPhashDedup, q16kAudioDedup)
 }

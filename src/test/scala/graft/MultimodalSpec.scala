@@ -120,6 +120,36 @@ class MultimodalSpec extends SparkTestBase {
     assert(real == want, s"codec chain drifted: $real vs $want")
   }
 
+  test("audio fingerprint from real decoded samples equals the closed form") {
+    val seed = 77L
+    val real = Multimodal.audioFingerprint64(Iterator(
+      Multimodal.MediaRow(1L, "audio", Multimodal.wavBytes(256, seed))))
+      .next().phash
+    val e = new Array[Long](64)
+    (0 until 256).foreach { i =>
+      e(i / 4) += ((seed + i) * 2654435761L) & 0xff
+    }
+    val tot = e.sum
+    val want = e.map(ei => if (ei * 64 >= tot) '1' else '0').mkString
+    assert(real == want, s"audio codec chain drifted: $real vs $want")
+  }
+
+  test("q16k finds every planted audio clone pair at hamming 0") {
+    import spark.implicits._
+    val out = Multimodal.q16kAudioDedup.fn(spark, sfDir)
+      .as[(Long, Long, Int)].collect()
+    assert(out.nonEmpty)
+    val pairs = out.map(p => (p._1, p._2)).toSet
+    Tables(spark, sfDir).documents
+      .filter($"doc_id" % 10 === 4 && $"doc_id" % 3 === 0)
+      .select($"doc_id").as[Long].collect()
+      .foreach { id =>
+        assert(pairs.contains((id, id + 1000000L)),
+          s"audio clone pair for media $id missing")
+      }
+    assert(out.filter(p => p._2 == p._1 + 1000000L).forall(_._3 == 0))
+  }
+
   test("q16j finds every planted clone pair at hamming 0") {
     import spark.implicits._
     val out = Multimodal.q16jPhashDedup.fn(spark, sfDir)
