@@ -915,10 +915,109 @@ object AnalyticsQueries {
     }
   }
 
+  /** q9r — Kaplan–Meier survival of customer lifetimes, exact-integer
+    * end to end. Duration = days from first to last order; a customer
+    * whose last order sits within 90 days of the dataset end is
+    * CENSORED at (end − first) instead of evented — the standard
+    * right-censoring rule, on q9e's churn convention. The estimator
+    *   S(t) = Π_{tᵢ ≤ t} (n_riskᵢ − dᵢ)/n_riskᵢ
+    * is an ordered product, so it rides the q27 ordered-fold device
+    * as an INTEGER recursion: s₀ = 10⁹, sₖ = sₖ₋₁·(n−d) div n —
+    * bit-identical in Spark's array fold and DuckDB's recursive CTE
+    * with no transcendental in sight (exp(Σln) would compound libm
+    * wobble). Headroom: sₖ ≤ 10⁹ and n ≤ customers, so the product
+    * stays inside BIGINT through n ≲ 9·10⁹ customers.
+    *
+    * Scale shape: the fact collapses to a DURATION histogram in one
+    * hash agg; the risk-set arithmetic and the fold run at duration
+    * grain (≤ the date-domain day count, the q20e calendar-window
+    * budget) — never customer grain.
+    */
+  val q9rSurvivalKm: GraftQuery = GraftQuery(
+    "q9r_survival_km",
+    """WITH RECURSIVE cust AS (
+      |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
+      |         MAX(CAST(o_orderdate AS DATE)) AS l
+      |  FROM orders GROUP BY 1),
+      |fin AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dend FROM orders),
+      |durs AS (
+      |  SELECT CASE WHEN dend - l > 90 THEN l - f ELSE dend - f END AS dur,
+      |         (dend - l > 90) AS churned
+      |  FROM cust, fin),
+      |hist AS (
+      |  SELECT CAST(dur AS BIGINT) AS dur,
+      |         CAST(COUNT(*) AS BIGINT) AS n_all,
+      |         CAST(COUNT(CASE WHEN churned THEN 1 END) AS BIGINT) AS d
+      |  FROM durs GROUP BY 1),
+      |risk AS (
+      |  SELECT dur, d,
+      |         CAST((SELECT COUNT(*) FROM durs) -
+      |           COALESCE(SUM(n_all) OVER (ORDER BY dur
+      |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+      |           AS BIGINT) AS n_risk
+      |  FROM hist),
+      |steps AS (
+      |  SELECT dur, n_risk, d,
+      |         ROW_NUMBER() OVER (ORDER BY dur) AS k
+      |  FROM risk WHERE d > 0),
+      |km AS (
+      |  SELECT dur, n_risk, d, k,
+      |         CAST((1000000000 * (n_risk - d)) // n_risk AS BIGINT) AS s
+      |  FROM steps WHERE k = 1
+      |  UNION ALL
+      |  SELECT st.dur, st.n_risk, st.d, st.k,
+      |         CAST((km.s * (st.n_risk - st.d)) // st.n_risk AS BIGINT)
+      |  FROM steps st JOIN km ON st.k = km.k + 1)
+      |SELECT dur AS t_days, n_risk, d AS n_events, s AS survival_q9
+      |FROM km""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val o = Tables(spark, dir).orders
+      .select($"o_custkey", to_date($"o_orderdate").as("d"))
+    val cust = o.groupBy($"o_custkey")
+      .agg(min($"d").as("f"), max($"d").as("l"))
+    val fin = o.agg(max($"d").as("dend"))
+    val durs = cust.crossJoin(broadcast(fin))
+      .select(
+        when(datediff($"dend", $"l") > 90, datediff($"l", $"f"))
+          .otherwise(datediff($"dend", $"f")).cast("long").as("dur"),
+        (datediff($"dend", $"l") > 90).as("churned"))
+    val hist = durs.groupBy($"dur")
+      .agg(count(lit(1)).as("n_all"),
+        count(when($"churned", 1)).as("d"))
+    val total = durs.agg(count(lit(1)).as("n_total"))
+    // duration-grain window (calendar-bounded single partition — the
+    // documented q20e budget, never customer grain)
+    val w = org.apache.spark.sql.expressions.Window.orderBy($"dur")
+      .rowsBetween(Long.MinValue, -1)
+    val risk = hist.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        $"n_total" - coalesce(sum($"n_all").over(w), lit(0L)))
+      .filter($"d" > 0)
+      .select($"dur", $"n_risk", $"d")
+    risk.agg(array_sort(collect_list(struct($"dur", $"n_risk", $"d")))
+        .as("arr"))
+      .select(explode(expr(
+        """aggregate(
+          |  slice(arr, 2, size(arr) - 1),
+          |  array(named_struct(
+          |    'dur', element_at(arr, 1).dur,
+          |    'n_risk', element_at(arr, 1).n_risk,
+          |    'd', element_at(arr, 1).d,
+          |    's', (1000000000L * (element_at(arr, 1).n_risk
+          |            - element_at(arr, 1).d))
+          |         div element_at(arr, 1).n_risk)),
+          |  (acc, x) -> concat(acc, array(named_struct(
+          |    'dur', x.dur, 'n_risk', x.n_risk, 'd', x.d,
+          |    's', (element_at(acc, -1).s * (x.n_risk - x.d))
+          |         div x.n_risk))))""".stripMargin)).as("e"))
+      .select($"e.dur".as("t_days"), $"e.n_risk".as("n_risk"),
+        $"e.d".as("n_events"), $"e.s".as("survival_q9"))
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q9aDescriptiveStats, q9aApproxDescriptiveStats, q9bCorrelations,
     q9cBinnedAgg, q9dSegmentation, q9dApproxSegmentation,
     q9eChurnFeatures, q9fRevenueShare, q9gHaversine, q9hElasticity,
     q9iFreightOpt, q9mDeliveryRisk, q9nOrderExtract, q9oGroupedQuantiles,
-    q9pMultiReg)
+    q9pMultiReg, q9rSurvivalKm)
 }

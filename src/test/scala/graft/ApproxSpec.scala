@@ -116,4 +116,50 @@ class ApproxSpec extends SparkTestBase {
         s"${r.getString(0)}: a grouped sketch left its rank guarantee")
     }
   }
+
+  test("q9r Kaplan-Meier matches a plain-Scala replay and its axioms") {
+    import spark.implicits._
+    val got = graft.analytics.AnalyticsQueries.q9rSurvivalKm.fn(spark, sfDir)
+      .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+    assert(got.nonEmpty)
+    // first-principles: rebuild durations, censoring, risk sets and
+    // the integer survival recursion from the raw orders
+    val o = Tables(spark, sfDir).orders
+      .select($"o_custkey", to_date($"o_orderdate").cast("string"))
+      .as[(Long, String)].collect()
+      .map { case (c, d) => (c, java.time.LocalDate.parse(d)) }
+    val end = o.map(_._2).max
+    val durs = o.groupBy(_._1).values.map { rows =>
+      val f = rows.map(_._2).min
+      val l = rows.map(_._2).max
+      val churned = java.time.temporal.ChronoUnit.DAYS.between(l, end) > 90
+      val dur =
+        if (churned) java.time.temporal.ChronoUnit.DAYS.between(f, l)
+        else java.time.temporal.ChronoUnit.DAYS.between(f, end)
+      (dur, churned)
+    }.toSeq
+    val total = durs.size.toLong
+    val events = durs.filter(_._2).groupBy(_._1).view
+      .mapValues(_.size.toLong).toSeq.sortBy(_._1)
+    var s = 1000000000L
+    val expected = events.map { case (t, d) =>
+      val nRisk = durs.count(_._1 >= t).toLong
+      s = s * (nRisk - d) / nRisk
+      (t, nRisk, d, s)
+    }
+    assert(got.toSeq == expected,
+      s"KM curve differs from replay: got ${got.take(3).toSeq}… " +
+        s"want ${expected.take(3)}…")
+    // estimator axioms: survival non-increasing in (0, 1e9]; risk sets
+    // non-increasing; event counts positive and bounded by risk
+    got.sliding(2).foreach {
+      case Array(a, b) =>
+        assert(b._4 <= a._4 && b._2 <= a._2)
+      case _ =>
+    }
+    got.foreach { case (_, n, d, sv) =>
+      assert(d >= 1 && d <= n && sv > 0 && sv <= 1000000000L)
+    }
+    assert(total >= got.map(_._3).sum, "more events than customers")
+  }
 }
