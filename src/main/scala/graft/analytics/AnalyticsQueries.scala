@@ -1014,10 +1014,85 @@ object AnalyticsQueries {
         $"e.d".as("n_events"), $"e.s".as("survival_q9"))
   }
 
+  /** q9s — A/B experiment readout: two-proportion z-test per metric,
+    * the BI primitive behind every "did the promo work". Variant
+    * assignment is the deterministic o_custkey parity; two metrics
+    * ship — the ORGANIC urgent-priority conversion (assignment is
+    * independent of priority, so the null should generally hold) and
+    * a PLANTED treatment effect (variant B converts on orderkey%4,
+    * A only on %8 — a designed ~2× lift the test must flag). All
+    * inputs are integer counts; the pooled z² statistic is the one
+    * double expression, evaluated with the identical tree on both
+    * engines and quantized ⌊·10⁶+½⌋ (the q26c idf device), with
+    * significance an INTEGER compare against quantized χ²₀.₀₅ =
+    * 3.841459. One pass over orders per metric, 1-row outputs.
+    */
+  val q9sAbTest: GraftQuery = {
+    def metricSql(name: String, convExpr: String): String =
+      s"""SELECT '$name' AS metric,
+         |  CAST(SUM(CASE WHEN v = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+         |  CAST(SUM(CASE WHEN v = 0 THEN conv ELSE 0 END) AS BIGINT) AS conv_a,
+         |  CAST(SUM(CASE WHEN v = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+         |  CAST(SUM(CASE WHEN v = 1 THEN conv ELSE 0 END) AS BIGINT) AS conv_b
+         |FROM (SELECT o_custkey % 2 AS v, $convExpr AS conv FROM orders)"""
+        .stripMargin
+    GraftQuery(
+      "q9s_ab_test",
+      s"""WITH agg AS (
+         |${metricSql("organic_urgent",
+            "CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END")}
+         |UNION ALL
+         |${metricSql("planted_lift",
+            """CASE WHEN o_custkey % 2 = 1
+              |     THEN CASE WHEN o_orderkey % 4 = 0 THEN 1 ELSE 0 END
+              |     ELSE CASE WHEN o_orderkey % 8 = 0 THEN 1 ELSE 0 END
+              |END""".stripMargin)}),
+         |z AS (
+         |  SELECT metric, n_a, conv_a, n_b, conv_b,
+         |         CAST(FLOOR(
+         |           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         |           * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+         |           / ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |              * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+         |              * (1.0 / n_a + 1.0 / n_b)) * 1e6 + 0.5) AS BIGINT)
+         |           AS z2_q6
+         |  FROM agg)
+         |SELECT metric, n_a, conv_a, n_b, conv_b, z2_q6,
+         |       z2_q6 > 3841458 AS significant
+         |FROM z""".stripMargin) { (spark, dir) =>
+      import spark.implicits._
+      val o = Tables(spark, dir).orders
+      def metric(name: String, conv: Column): DataFrame = o
+        .select(($"o_custkey" % 2).as("v"), conv.cast("long").as("conv"))
+        .agg(
+          sum(when($"v" === 0, 1L).otherwise(0L)).as("n_a"),
+          sum(when($"v" === 0, $"conv").otherwise(0L)).as("conv_a"),
+          sum(when($"v" === 1, 1L).otherwise(0L)).as("n_b"),
+          sum(when($"v" === 1, $"conv").otherwise(0L)).as("conv_b"))
+        .select(lit(name).as("metric"), $"n_a", $"conv_a", $"n_b", $"conv_b")
+      val organic = metric("organic_urgent",
+        when($"o_orderpriority" === "1-URGENT", 1L).otherwise(0L))
+      val planted = metric("planted_lift",
+        when($"o_custkey" % 2 === 1,
+          when($"o_orderkey" % 4 === 0, 1L).otherwise(0L))
+          .otherwise(when($"o_orderkey" % 8 === 0, 1L).otherwise(0L)))
+      organic.unionByName(planted)
+        .withColumn("z2_q6", expr(
+          """CAST(FLOOR(
+            |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+            |  * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
+            |  / ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+            |     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
+            |     * (1.0 / n_a + 1.0 / n_b)) * 1e6 + 0.5) AS BIGINT)"""
+            .stripMargin))
+        .withColumn("significant", $"z2_q6" > 3841458L)
+    }
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q9aDescriptiveStats, q9aApproxDescriptiveStats, q9bCorrelations,
     q9cBinnedAgg, q9dSegmentation, q9dApproxSegmentation,
     q9eChurnFeatures, q9fRevenueShare, q9gHaversine, q9hElasticity,
     q9iFreightOpt, q9mDeliveryRisk, q9nOrderExtract, q9oGroupedQuantiles,
-    q9pMultiReg, q9rSurvivalKm)
+    q9pMultiReg, q9rSurvivalKm, q9sAbTest)
 }

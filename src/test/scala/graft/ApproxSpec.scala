@@ -117,6 +117,33 @@ class ApproxSpec extends SparkTestBase {
     }
   }
 
+  test("q9s A/B readout: counts recount, z² replays, planted lift flags") {
+    import spark.implicits._
+    val got = graft.analytics.AnalyticsQueries.q9sAbTest.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5), r.getBoolean(6)))).toMap
+    assert(got.keySet == Set("organic_urgent", "planted_lift"))
+    // driver recount of the planted experiment's integer inputs
+    val rows = Tables(spark, sfDir).orders
+      .select($"o_custkey", $"o_orderkey").as[(Long, Long)].collect()
+    val (na, ca, nb, cb) = rows.foldLeft((0L, 0L, 0L, 0L)) {
+      case ((a, c1, b, c2), (cust, ord)) =>
+        if (cust % 2 == 0) (a + 1, c1 + (if (ord % 8 == 0) 1 else 0), b, c2)
+        else (a, c1, b + 1, c2 + (if (ord % 4 == 0) 1 else 0))
+    }
+    val (gna, gca, gnb, gcb, gz, gsig) = got("planted_lift")
+    assert((gna, gca, gnb, gcb) == ((na, ca, nb, cb)), "counts drifted")
+    // z² replayed with the same double expression
+    val (pa, pb) = (ca.toDouble / na, cb.toDouble / nb)
+    val p = (ca + cb).toDouble / (na + nb)
+    val z2 = (pa - pb) * (pa - pb) / (p * (1 - p) * (1.0 / na + 1.0 / nb))
+    assert(gz == math.floor(z2 * 1e6 + 0.5).toLong, "z² quantum differs")
+    // the ~2x designed lift must be flagged at every gate scale
+    assert(gsig, s"planted lift not significant (z2_q6=$gz)")
+    assert(got("organic_urgent")._5 >= 0)
+  }
+
   test("q9r Kaplan-Meier matches a plain-Scala replay and its axioms") {
     import spark.implicits._
     val got = graft.analytics.AnalyticsQueries.q9rSurvivalKm.fn(spark, sfDir)
