@@ -188,5 +188,77 @@ object MlQueries {
         when(isPos, 1.0).otherwise(0.0).as("label")))
   }
 
-  val all: Seq[GraftQuery] = Seq(q9jChurnModel, q9kElasticityLr, q9lRocPoints)
+  /** q9t — decile gains/lift table on [[q9lRocPoints]]'s planted
+    * scorer: the campaign-targeting readout next to the ROC curve
+    * ("mail the top decile, capture X% of responders at Y× lift").
+    * Deciles come from the exact global NTILE on the
+    * [[graft.operators.DistributedRank]] scale path (score DESC,
+    * custkey tie-break — the q28 device), so the assignment matches
+    * DuckDB's NTILE window bit-for-bit; every metric is integer
+    * basis-points with integer division, and the one product that
+    * could clear BIGINT at 10⁹ customers (responders·total_n·10⁴)
+    * runs in 128-bit (DECIMAL(38,0) / HUGEINT — the q12y device; the
+    * frame is 10 rows, so the cost is nil). Cumulative capture rides
+    * a DECILE-grain window (10 rows — bounded by the ntile count,
+    * never the data).
+    */
+  val q9tGainsTable: GraftQuery = GraftQuery(
+    "q9t_gains_table",
+    """WITH s AS (
+      |  SELECT c_custkey,
+      |         CAST(('0x' || SUBSTR(md5(CAST(c_custkey AS VARCHAR) || '|roc'),
+      |              1, 13)) AS BIGINT) % 1000
+      |           + CASE WHEN c_custkey % 3 = 0 THEN 250 ELSE 0 END AS score,
+      |         CASE WHEN c_custkey % 3 = 0 THEN 1 ELSE 0 END AS lbl
+      |  FROM customer),
+      |dec AS (
+      |  SELECT *, NTILE(10) OVER (ORDER BY score DESC, c_custkey ASC)
+      |    AS decile FROM s),
+      |agg AS (
+      |  SELECT decile, CAST(COUNT(*) AS BIGINT) AS n,
+      |         CAST(SUM(lbl) AS BIGINT) AS responders
+      |  FROM dec GROUP BY 1),
+      |tot AS (
+      |  SELECT CAST(SUM(n) AS BIGINT) AS tn,
+      |         CAST(SUM(responders) AS BIGINT) AS tp
+      |  FROM agg),
+      |cum AS (
+      |  SELECT decile, n, responders,
+      |         CAST(SUM(responders) OVER (ORDER BY decile) AS BIGINT)
+      |           AS cum_resp
+      |  FROM agg)
+      |SELECT CAST(decile AS INTEGER) AS decile, n, responders,
+      |       (responders * 10000) // n AS resp_bps,
+      |       (cum_resp * 10000) // tp AS cum_capture_bps,
+      |       CAST((CAST(responders AS HUGEINT) * tn * 10000)
+      |            // (CAST(n AS HUGEINT) * tp) AS BIGINT) AS lift_bps
+      |FROM cum, tot""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val m52 = conv(substring(md5(concat($"c_custkey".cast("string"),
+      lit("|roc"))), 1, 13), 16, 10).cast("long")
+    val isPos = $"c_custkey" % 3 === 0
+    val s = graft.Tables(spark, dir).customer
+      .select($"c_custkey",
+        (m52 % 1000 + when(isPos, 250L).otherwise(0L)).as("score"),
+        when(isPos, 1L).otherwise(0L).as("lbl"))
+    val dec = graft.operators.DistributedRank.rankNtile(s, Seq.empty,
+      Seq($"score".desc, $"c_custkey".asc), 10, "__r", "decile")
+    val agg = dec.groupBy($"decile")
+      .agg(count(lit(1)).as("n"), sum($"lbl").as("responders"))
+    val tot = agg.agg(sum($"n").as("tn"), sum($"responders").as("tp"))
+    val w = Window.orderBy($"decile") // decile grain: exactly 10 rows
+    agg
+      .withColumn("cum_resp", sum($"responders").over(w))
+      .crossJoin(broadcast(tot))
+      .select($"decile", $"n", $"responders",
+        expr("(responders * 10000) div n").as("resp_bps"),
+        expr("(cum_resp * 10000) div tp").as("cum_capture_bps"),
+        expr("""(cast(responders as decimal(38,0)) * tn * 10000)
+               | div (cast(n as decimal(38,0)) * tp)""".stripMargin)
+          .as("lift_bps"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q9jChurnModel, q9kElasticityLr, q9lRocPoints, q9tGainsTable)
 }

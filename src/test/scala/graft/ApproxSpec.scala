@@ -144,6 +144,48 @@ class ApproxSpec extends SparkTestBase {
     assert(got("organic_urgent")._5 >= 0)
   }
 
+  test("q9t gains table replays exactly from the planted scorer") {
+    import spark.implicits._
+    val got = graft.analytics.MlQueries.q9tGainsTable.fn(spark, sfDir)
+      .collect().map(r => r.getInt(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4),
+          r.getLong(5)))).toMap
+    assert(got.keySet == (1 to 10).toSet)
+    // driver replay: same planted scores, exact NTILE split semantics
+    // (first n%10 deciles take the extra row)
+    def md5hex(x: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(x.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val scored = Tables(spark, sfDir).customer
+      .select($"c_custkey").as[Long].collect().map { k =>
+        val m52 = java.lang.Long.parseLong(md5hex(s"$k|roc").take(13), 16)
+        val pos = k % 3 == 0
+        (k, m52 % 1000 + (if (pos) 250L else 0L), if (pos) 1L else 0L)
+      }.sortBy { case (k, sc, _) => (-sc, k) }
+    val n = scored.length
+    val (q, rem) = (n / 10, n % 10)
+    val sizes = (1 to 10).map(d => if (d <= rem) q + 1 else q)
+    val offsets = sizes.scanLeft(0)(_ + _)
+    val tp = scored.map(_._3).sum
+    var cum = 0L
+    (1 to 10).foreach { d =>
+      val slice = scored.slice(offsets(d - 1), offsets(d))
+      val resp = slice.map(_._3).sum
+      cum += resp
+      val (gn, gr, gbps, gcum, glift) = got(d)
+      assert(gn == slice.length && gr == resp, s"decile $d counts")
+      assert(gbps == resp * 10000 / slice.length, s"decile $d resp_bps")
+      assert(gcum == cum * 10000 / tp, s"decile $d capture")
+      assert(glift ==
+        (BigInt(resp) * n * 10000 / (BigInt(slice.length) * tp)).toLong,
+        s"decile $d lift")
+    }
+    // the planted scorer is informative: top decile must over-index;
+    // the last decile's cumulative capture closes at exactly 100%
+    assert(got(1)._5 > 10000L, "top-decile lift not above average")
+    assert(got(10)._4 == 10000L, "capture does not close at 100%")
+  }
+
   test("q9r Kaplan-Meier matches a plain-Scala replay and its axioms") {
     import spark.implicits._
     val got = graft.analytics.AnalyticsQueries.q9rSurvivalKm.fn(spark, sfDir)
