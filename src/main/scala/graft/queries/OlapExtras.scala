@@ -416,6 +416,97 @@ object OlapExtras {
         count(lit(1)).as("n_cells"))
   }
 
+  /** q9u — robust outlier detection per segment via median/MAD, the
+    * data-quality screen mean/stddev cannot do (one planted whale
+    * shifts a z-score threshold; the median absolute deviation
+    * ignores it). Everything is INTEGER: order totals collapse to
+    * $100-unit VALUE-GRAIN cells (domain-bounded — the q9q scale
+    * rule), the segment median is the lower median over cells, MAD is
+    * the lower median of |v − med| cells, and the outlier rule
+    * |v − med|·10⁴ > 44478·MAD is the integer form of
+    * |x − med| > 3·1.4826·MAD. Deterministic positives are PLANTED
+    * (every o_orderkey%97 order re-entered at 10× its total) so the
+    * audit can never pass vacuously.
+    */
+  val q9uMadOutliers: GraftQuery = GraftQuery(
+    "q9u_mad_outliers",
+    """WITH src AS (
+      |  SELECT c_mktsegment AS seg,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 AS v
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  UNION ALL
+      |  SELECT c_mktsegment,
+      |         (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10) // 10000
+      |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderkey % 97 = 0),
+      |cells AS (
+      |  SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY 1, 2),
+      |med AS (
+      |  SELECT seg, CAST(MIN(CASE WHEN 2*cn >= tn THEN v END) AS BIGINT)
+      |           AS median_v
+      |  FROM (SELECT seg, v, n,
+      |          SUM(n) OVER (PARTITION BY seg ORDER BY v
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+      |          SUM(n) OVER (PARTITION BY seg) AS tn
+      |        FROM cells)
+      |  GROUP BY 1),
+      |dev AS (
+      |  SELECT c.seg, ABS(c.v - m.median_v) AS d, CAST(SUM(n) AS BIGINT) AS n
+      |  FROM cells c JOIN med m ON c.seg = m.seg
+      |  GROUP BY 1, 2),
+      |mad AS (
+      |  SELECT seg, CAST(MIN(CASE WHEN 2*cn >= tn THEN d END) AS BIGINT)
+      |           AS mad_v
+      |  FROM (SELECT seg, d, n,
+      |          SUM(n) OVER (PARTITION BY seg ORDER BY d
+      |            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cn,
+      |          SUM(n) OVER (PARTITION BY seg) AS tn
+      |        FROM dev)
+      |  GROUP BY 1)
+      |SELECT c.seg AS segment,
+      |       CAST(SUM(c.n) AS BIGINT) AS n_rows,
+      |       CAST(MIN(m.median_v) AS BIGINT) AS median_v,
+      |       CAST(MIN(a.mad_v) AS BIGINT) AS mad_v,
+      |       CAST(SUM(CASE WHEN ABS(c.v - m.median_v) * 10000
+      |                       > 44478 * a.mad_v
+      |                THEN c.n ELSE 0 END) AS BIGINT) AS n_outliers
+      |FROM cells c JOIN med m ON c.seg = m.seg JOIN mad a ON c.seg = a.seg
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val t = Tables(spark, dir)
+    val joined = t.orders
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment".as("seg"), $"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))
+    val src = joined.select($"seg", expr("cents div 10000").as("v"))
+      .unionByName(joined.filter($"o_orderkey" % 97 === 0)
+        .select($"seg", expr("(cents * 10) div 10000").as("v")))
+    val cells = src.groupBy($"seg", $"v").agg(count(lit(1)).as("n"))
+    def lowerMedian(df: org.apache.spark.sql.DataFrame, valueCol: String,
+        out: String): org.apache.spark.sql.DataFrame = {
+      val wc = Window.partitionBy(col("seg")).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wt = Window.partitionBy(col("seg"))
+      df.withColumn("cn", sum(col("n")).over(wc))
+        .withColumn("tn", sum(col("n")).over(wt))
+        .groupBy(col("seg"))
+        .agg(min(when(col("cn") * 2 >= col("tn"), col(valueCol))).as(out))
+    }
+    val med = lowerMedian(cells, "v", "median_v")
+    val dev = cells.join(med, "seg")
+      .groupBy($"seg", abs($"v" - $"median_v").as("d"))
+      .agg(sum($"n").as("n"))
+    val mad = lowerMedian(dev, "d", "mad_v")
+    cells.join(med, "seg").join(mad, "seg")
+      .groupBy($"seg".as("segment"))
+      .agg(sum($"n").as("n_rows"),
+        min($"median_v").as("median_v"),
+        min($"mad_v").as("mad_v"),
+        sum(when(abs($"v" - $"median_v") * 10000 > $"mad_v" * 44478, $"n")
+          .otherwise(0L)).as("n_outliers"))
+  }
+
   /** q27b — Holt double exponential smoothing (level + trend) of
     * monthly segment revenue, extending q27's single-EMA recurrence:
     *   l₁ = r₁,  b₁ = r₂ − r₁
@@ -497,5 +588,5 @@ object OlapExtras {
   val all: Seq[GraftQuery] =
     Seq(q20aPivot, q20bCube, q20cDensify, q20dUnpivot, q21TopkPerNation,
       q22IncrementalAgg, q27ExpSmoothing, q27bHoltTrend,
-      q20eGapfillInterp, q9qWeightedMedian)
+      q20eGapfillInterp, q9qWeightedMedian, q9uMadOutliers)
 }

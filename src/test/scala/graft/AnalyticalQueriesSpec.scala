@@ -174,6 +174,45 @@ class AnalyticalQueriesSpec extends SparkTestBase {
       "SQL and DataFrame surfaces diverge on q1a")
   }
 
+  test("q9u MAD outliers: driver replay per segment, plants detected") {
+    import spark.implicits._
+    val got = graft.queries.OlapExtras.q9uMadOutliers.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))).toMap
+    assert(got.nonEmpty)
+    // rebuild one segment from raw rows: planted 10x whales, $100
+    // units, lower medians, integer outlier rule
+    val t = Tables(spark, sfDir)
+    val rows = t.orders.join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"c_mktsegment", $"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long"))
+      .as[(String, Long, Long)].collect()
+    val seg = got.keySet.head
+    val vs = rows.filter(_._1 == seg).flatMap { case (_, ok, cents) =>
+      Seq(cents / 10000) ++
+        (if (ok % 97 == 0) Seq(cents * 10 / 10000) else Nil)
+    }.sorted
+    def lowerMedian(xs: Seq[Long]): Long = {
+      val sorted = xs.sorted
+      // first value whose doubled 1-based rank reaches the total
+      sorted.zipWithIndex.collectFirst {
+        case (v, i) if 2 * (i + 1) >= sorted.size => v
+      }.get
+    }
+    val med = lowerMedian(vs.toSeq)
+    val mad = lowerMedian(vs.toSeq.map(v => math.abs(v - med)))
+    val outliers = vs.count(v => math.abs(v - med) * 10000 > 44478 * mad)
+    val (gn, gmed, gmad, gout) = got(seg)
+    assert(gn == vs.length && gmed == med && gmad == mad &&
+      gout == outliers.toLong,
+      s"$seg: got ($gn,$gmed,$gmad,$gout), want " +
+        s"(${vs.length},$med,$mad,$outliers)")
+    // planted whales guarantee positives in every segment
+    got.foreach { case (s, (_, _, _, o)) =>
+      assert(o > 0, s"segment $s found no outliers — plants missed")
+    }
+  }
+
   test("q27b: Holt level+trend recurrence replays exactly") {
     import spark.implicits._
     val rows = graft.queries.OlapExtras.q27bHoltTrend.fn(spark, sfDir)
