@@ -641,8 +641,65 @@ object DedupQueries {
     }
   }
 
+  /** q13l — CONTENT-DEFINED chunking + cross-document span dedup: the
+    * variable-length counterpart of q13h's fixed windows. Boundaries
+    * depend on content alone (a token opens a new chunk iff its md5
+    * byte-0 ≡ 0 mod 8 — an expected chunk length of 8 tokens with NO
+    * positional anchor), so the same phrase chunks identically
+    * wherever it appears and an insertion upstream cannot shift every
+    * downstream boundary — the property fixed-size chunking lacks and
+    * the reason CDC is the substring-dedup device at corpus scale.
+    * Chunk assembly is a DOC-grain window (cumulative boundary count,
+    * bounded by document length) + the ordered struct-sort rebuild
+    * (q27 device); dedup is one hash-grain aggregation. Output =
+    * every span text shared across documents, with copy/doc counts.
+    */
+  val q13lCdcChunks: GraftQuery = GraftQuery(
+    "q13l_cdc_chunks",
+    """WITH toks AS (
+      |  SELECT doc_id,
+      |         unnest(range(len(w))) AS pos,
+      |         unnest(w) AS tok
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |        FROM documents)),
+      |marked AS (
+      |  SELECT doc_id, pos, tok,
+      |         SUM(CASE WHEN CAST(('0x' || substr(md5(tok), 1, 2)) AS INTEGER)
+      |                       % 8 = 0 THEN 1 ELSE 0 END)
+      |           OVER (PARTITION BY doc_id ORDER BY pos) AS chunk
+      |  FROM toks),
+      |chunks AS (
+      |  SELECT doc_id, chunk,
+      |         string_agg(tok, ' ' ORDER BY pos) AS span
+      |  FROM marked GROUP BY 1, 2)
+      |SELECT md5(span) AS span_hash,
+      |       CAST(COUNT(*) AS BIGINT) AS n_copies,
+      |       CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+      |       CAST(MIN(length(span)) AS BIGINT) AS span_chars
+      |FROM chunks
+      |GROUP BY 1 HAVING COUNT(*) > 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val toks = Tables(spark, dir).documents
+      .select($"doc_id",
+        posexplode(split(trim($"text"), "\\s+")).as(Seq("pos", "tok")))
+    val w = Window.partitionBy($"doc_id").orderBy($"pos")
+    val marked = toks.withColumn("chunk",
+      sum((conv(substring(md5($"tok"), 1, 2), 16, 10).cast("int") % 8 === 0)
+        .cast("long")).over(w))
+    val chunks = marked.groupBy($"doc_id", $"chunk")
+      .agg(array_join(expr(
+        "transform(array_sort(collect_list(struct(pos, tok))), x -> x.tok)"),
+        " ").as("span"))
+    chunks.groupBy(md5($"span").as("span_hash"))
+      .agg(count(lit(1)).as("n_copies"),
+        countDistinct($"doc_id").as("n_docs"),
+        min(length($"span")).cast("long").as("span_chars"))
+      .filter($"n_copies" > 1)
+  }
+
   val all: Seq[GraftQuery] = Seq(
     q13aExactDedup, q13bNgramJaccard, q13cMinhashLsh, q13dSimhash,
     q13eEmbedNeardup, q13fDedupComponents, q13hChunkDedup,
-    q13iCanonicalDocs, q13jEditdistJoin, q13kSplitLeakage)
+    q13iCanonicalDocs, q13jEditdistJoin, q13kSplitLeakage, q13lCdcChunks)
 }

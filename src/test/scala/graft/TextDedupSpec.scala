@@ -564,4 +564,52 @@ class TextDedupSpec extends SparkTestBase {
     assert(out.map(_._4).sum == pairCount,
       "labeled pair mass differs from the q13b pair graph")
   }
+
+  test("q13l CDC chunking is shift-invariant and replays driver-side") {
+    import spark.implicits._
+    def md5hex(s: String): String =
+      java.security.MessageDigest.getInstance("MD5")
+        .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    def isBoundary(tok: String): Boolean =
+      Integer.parseInt(md5hex(tok).take(2), 16) % 8 == 0
+    def chunksOf(text: String): Seq[String] = {
+      val toks = text.trim.split("\\s+").toSeq
+      val out = scala.collection.mutable.ArrayBuffer.empty[
+        scala.collection.mutable.ArrayBuffer[String]]
+      toks.foreach { t =>
+        if (isBoundary(t) || out.isEmpty)
+          out += scala.collection.mutable.ArrayBuffer(t)
+        else out.last += t
+      }
+      out.map(_.mkString(" ")).toSeq
+    }
+    // THE CDC property: a prefix insertion changes only the chunks
+    // before the first boundary — everything after realigns exactly
+    // (a fixed-size chunker would shift every window downstream)
+    val doc = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"text").as[String].head()
+    val shifted = "prefixnoise " + doc
+    val a = chunksOf(doc)
+    val b = chunksOf(shifted)
+    val firstBoundaryA = a.indexWhere(c => isBoundary(c.split(" ").head))
+    assert(firstBoundaryA >= 0, "test doc has no boundary token")
+    assert(a.drop(firstBoundaryA) == b.drop(
+      b.indexWhere(c => isBoundary(c.split(" ").head))),
+      "chunks after the first boundary must be insertion-invariant")
+
+    // driver replay of the registered output for the real corpus
+    val docs = spark.read.parquet(s"$sfDir/documents.parquet")
+      .select($"doc_id", $"text").as[(Long, String)].collect()
+    val spans = docs.flatMap { case (id, t) => chunksOf(t).map(id -> _) }
+    val expected = spans.groupBy(_._2).collect {
+      case (span, occ) if occ.length > 1 =>
+        md5hex(span) -> ((occ.length.toLong,
+          occ.map(_._1).distinct.length.toLong, span.length.toLong))
+    }.toMap
+    val got = graft.text.DedupQueries.q13lCdcChunks.fn(spark, sfDir)
+      .collect().map(r => r.getString(0) ->
+        ((r.getLong(1), r.getLong(2), r.getLong(3)))).toMap
+    assert(got == expected,
+      s"CDC dedup differs from replay: ${got.size} vs ${expected.size} spans")
+  }
 }
