@@ -520,7 +520,40 @@ object ProfileQueries {
           <= ($"n_a" + $"n_b" - $"n_both") * 5).as("est_ok"))
   }
 
+  /** q26i — the SALTED aggregation path, oracle-gated: per-user event
+    * counts and exact value cents computed through
+    * [[graft.functions.Salt.saltedSum]]'s two-phase plan (partial per
+    * (key, salt), final per key — the de-skew device q26f's
+    * salt_factor column sizes), hash-matched against the oracle's
+    * plain GROUP BY. The gate proves salt-and-collapse ≡ direct
+    * EXACTLY — counts ride the same machinery as sums (count ≡ sum of
+    * 1s), and cents are integers so the two-phase sum is order-free.
+    * user_id is the key q26f audits for skew, so the de-risking path
+    * is gated on the very key it exists for.
+    */
+  val q26iSaltedAgg: GraftQuery = GraftQuery(
+    "q26i_salted_agg",
+    """SELECT user_id,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |         AS value_cents
+      |FROM events
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val ev = Tables(spark, dir).events
+      .select($"user_id",
+        floor($"value" * 100 + 0.5).cast(LongType).as("cents"))
+    val sums = graft.functions.Salt
+      .saltedSum(ev, Seq("user_id"), $"cents", n = 8)
+      .withColumnRenamed("salted_sum", "value_cents")
+    val counts = graft.functions.Salt
+      .saltedSum(ev, Seq("user_id"), lit(1L), n = 8)
+      .withColumnRenamed("salted_sum", "n_events")
+    counts.join(sums, "user_id")
+      .select($"user_id", $"n_events", $"value_cents")
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q26aProfile, q26bIntegrity, q26cEntropy, q26dPsi, q26eBenford,
-      q26fSkewAudit, q26gHllMerge, q26hHllOverlap)
+      q26fSkewAudit, q26gHllMerge, q26hHllOverlap, q26iSaltedAgg)
 }

@@ -240,6 +240,25 @@ class ProfileSpec extends SparkTestBase {
       s"sketch state corrupted by the parquet roundtrip: $stored vs $live")
   }
 
+  test("q26i salted agg equals the direct plan and really salts") {
+    import spark.implicits._
+    val salted = graft.analytics.ProfileQueries.q26iSaltedAgg
+      .fn(spark, sfDir)
+    val direct = Tables(spark, sfDir).events
+      .select($"user_id", floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .groupBy($"user_id")
+      .agg(count(lit(1)).as("n_events"), sum($"c").as("value_cents"))
+    assert(salted.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(salted).count() == 0,
+      "salted two-phase result differs from the direct aggregation")
+    // the de-skew shape must actually be in the plan: a partial
+    // aggregation keyed on (user_id, __salt) before the final combine
+    salted.collect()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"),
+      s"salt key absent from the executed plan:\n$plan")
+  }
+
   test("q26h overlap: exact counts recount, verdict holds, bounds sane") {
     import spark.implicits._
     val r = graft.analytics.ProfileQueries.q26hHllOverlap.fn(spark, sfDir)
