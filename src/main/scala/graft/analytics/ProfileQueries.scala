@@ -553,7 +553,37 @@ object ProfileQueries {
       .select($"user_id", $"n_events", $"value_cents")
   }
 
+  /** q26j — the SALTED JOIN path, oracle-gated like [[q26iSaltedAgg]]:
+    * events (the big, skewed side — salted per row) joined to the
+    * customer dimension (replicated ×8 via explode — the
+    * replicate-and-salt device for when the small side is too large
+    * to broadcast but the key is hot), then rolled up per market
+    * segment. Hash-matching the oracle's plain join+group proves the
+    * replica join emits every matched pair exactly once. LEFT flavor
+    * exercised via the UNKNOWN segment for unmatched users.
+    */
+  val q26jSaltedJoin: GraftQuery = GraftQuery(
+    "q26j_salted_join",
+    """SELECT COALESCE(c_mktsegment, 'UNKNOWN') AS segment,
+      |       CAST(COUNT(*) AS BIGINT) AS n_events,
+      |       CAST(SUM(CAST(FLOOR(value * 100 + 0.5) AS BIGINT)) AS BIGINT)
+      |         AS value_cents
+      |FROM events LEFT JOIN customer ON user_id = c_custkey
+      |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val ev = t.events.select($"user_id",
+      floor($"value" * 100 + 0.5).cast(LongType).as("cents"))
+      .withColumnRenamed("user_id", "k")
+    val dim = t.customer.select($"c_custkey".as("k"), $"c_mktsegment")
+    graft.functions.Salt.saltedJoin(ev, dim, Seq("k"), n = 8, "left")
+      .groupBy(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"),
+        sum($"cents").as("value_cents"))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q26aProfile, q26bIntegrity, q26cEntropy, q26dPsi, q26eBenford,
-      q26fSkewAudit, q26gHllMerge, q26hHllOverlap, q26iSaltedAgg)
+      q26fSkewAudit, q26gHllMerge, q26hHllOverlap, q26iSaltedAgg,
+      q26jSaltedJoin)
 }

@@ -259,6 +259,25 @@ class ProfileSpec extends SparkTestBase {
       s"salt key absent from the executed plan:\n$plan")
   }
 
+  test("q26j salted join equals the direct join and replicates the dim") {
+    import spark.implicits._
+    val salted = graft.analytics.ProfileQueries.q26jSaltedJoin
+      .fn(spark, sfDir)
+    val t = Tables(spark, sfDir)
+    val direct = t.events
+      .select($"user_id", floor($"value" * 100 + 0.5).cast("long").as("c"))
+      .join(t.customer.select($"c_custkey", $"c_mktsegment"),
+        $"user_id" === $"c_custkey", "left")
+      .groupBy(coalesce($"c_mktsegment", lit("UNKNOWN")).as("segment"))
+      .agg(count(lit(1)).as("n_events"), sum($"c").as("value_cents"))
+    assert(salted.exceptAll(direct).count() == 0 &&
+      direct.exceptAll(salted).count() == 0,
+      "salted join result differs from the direct join")
+    salted.collect()
+    val plan = salted.queryExecution.executedPlan.toString
+    assert(plan.contains("__salt"), "salt key absent from the join plan")
+  }
+
   test("q26h overlap: exact counts recount, verdict holds, bounds sane") {
     import spark.implicits._
     val r = graft.analytics.ProfileQueries.q26hHllOverlap.fn(spark, sfDir)
