@@ -758,9 +758,116 @@ object Sources {
         $"sum_cents", $"n_files")
   }
 
+  private val TimeTravelOut = s"$RoundtripRoot/q17k_tt"
+
+  /** q17k — TIME TRAVEL on plain parquet via snapshot manifests, the
+    * third lakehouse verb after MERGE (q17i) and OPTIMIZE (q17j).
+    * Copy-on-write discipline: the upsert writes the touched years'
+    * post-state as NEW files and deletes nothing; each snapshot is a
+    * stored MANIFEST (a text file listing the leaf parquet files that
+    * make up the table at that version), and an as-of read resolves
+    * THROUGH the stored manifest — never a directory listing. The
+    * audit reads BOTH snapshots back through their manifests and
+    * gates per (snapshot, year) row counts and exact cent sums
+    * against the oracle's two logical states (pre-merge = raw orders,
+    * post-merge = the q17i merge semantics): a manifest that leaks a
+    * new file into the old snapshot, or loses an untouched year from
+    * the new one, fails the hash. Per-year single-file layout keeps
+    * the manifests deterministic; at 100 TB the same bookkeeping
+    * rides partitionBy + a listing, which is precisely what
+    * Delta/Iceberg productize.
+    */
+  val q17kTimeTravel: GraftQuery = GraftQuery(
+    "q17k_time_travel",
+    """WITH base AS (
+      |  SELECT o_orderkey,
+      |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |         year(o_orderdate) AS o_year
+      |  FROM orders),
+      |merged AS (
+      |  SELECT * FROM base
+      |  WHERE NOT (o_orderkey % 13 = 0 AND o_year IN (1996, 1997))
+      |  UNION ALL
+      |  SELECT o_orderkey, cents + 1000, o_year FROM base
+      |  WHERE o_orderkey % 13 = 0 AND o_year IN (1996, 1997)
+      |  UNION ALL
+      |  SELECT o_orderkey + 1000000000, cents, o_year FROM base
+      |  WHERE o_orderkey % 17 = 0 AND o_year = 1997)
+      |SELECT CAST(1 AS INTEGER) AS snapshot, CAST(o_year AS BIGINT) AS o_year,
+      |       CAST(COUNT(*) AS BIGINT) AS n_rows,
+      |       CAST(SUM(cents) AS BIGINT) AS sum_cents
+      |FROM base GROUP BY o_year
+      |UNION ALL
+      |SELECT CAST(2 AS INTEGER), CAST(o_year AS BIGINT),
+      |       CAST(COUNT(*) AS BIGINT), CAST(SUM(cents) AS BIGINT)
+      |FROM merged GROUP BY o_year""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val hconf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
+    fs.delete(new org.apache.hadoop.fs.Path(TimeTravelOut), true)
+    val base = Tables(spark, dir).orders
+      .select($"o_orderkey",
+        floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"),
+        year($"o_orderdate").as("o_year"))
+      .localCheckpoint(true) // consumed once per year below
+    val years = base.select($"o_year").distinct().as[Int].collect().sorted
+
+    def leafFiles(dirPath: String): Seq[String] =
+      fs.globStatus(new org.apache.hadoop.fs.Path(s"$dirPath/*.parquet"))
+        .map(_.getPath.toString).toSeq.sorted
+    def writeYear(df: org.apache.spark.sql.DataFrame, snap: Int, y: Int)
+        : Seq[String] = {
+      val p = s"$TimeTravelOut/data/snap$snap/y$y"
+      df.filter($"o_year" === y).coalesce(1)
+        .write.mode("overwrite").parquet(p)
+      leafFiles(p)
+    }
+    def writeManifest(k: Int, files: Seq[String]): Unit = {
+      val out = fs.create(new org.apache.hadoop.fs.Path(
+        s"$TimeTravelOut/manifests/$k.txt"), true)
+      out.write(files.mkString("\n").getBytes("UTF-8")); out.close()
+    }
+    def readManifest(k: Int): Seq[String] = {
+      val in = fs.open(new org.apache.hadoop.fs.Path(
+        s"$TimeTravelOut/manifests/$k.txt"))
+      val reader = new java.io.BufferedReader(
+        new java.io.InputStreamReader(in, "UTF-8"))
+      try Iterator.continually(reader.readLine()).takeWhile(_ != null)
+        .filter(_.nonEmpty).toSeq
+      finally reader.close()
+    }
+
+    // snapshot 1: the base table, one file per year
+    val snap1Files = years.flatMap(y => writeYear(base, 1, y))
+    writeManifest(1, snap1Files.toSeq)
+    // snapshot 2: COPY-ON-WRITE — only the touched years get new
+    // files, every other year's manifest entry is snapshot 1's file
+    val affected = Seq(1996, 1997)
+    val slice = base.filter($"o_year".isin(affected: _*))
+    val postState = slice.filter(!($"o_orderkey" % 13 === 0))
+      .unionByName(slice.filter($"o_orderkey" % 13 === 0)
+        .withColumn("cents", $"cents" + 1000L))
+      .unionByName(slice
+        .filter($"o_orderkey" % 17 === 0 && $"o_year" === 1997)
+        .withColumn("o_orderkey", $"o_orderkey" + 1000000000L))
+    val snap2New = affected.flatMap(y => writeYear(postState, 2, y))
+    val kept = snap1Files.filterNot(f =>
+      affected.exists(y => f.contains(s"/y$y/")))
+    writeManifest(2, (kept ++ snap2New).sorted)
+
+    // as-of reads resolve through the STORED manifests
+    def asOf(k: Int): org.apache.spark.sql.DataFrame =
+      spark.read.parquet(readManifest(k): _*)
+        .groupBy($"o_year")
+        .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
+        .select(lit(k).as("snapshot"), $"o_year".cast(LongType).as("o_year"),
+          $"n_rows", $"sum_cents")
+    asOf(1).unionByName(asOf(2))
+  }
+
   val all: Seq[GraftQuery] =
     Seq(q17aJsonProps, q17bCsvRoundtrip, q17cJsonlRoundtrip,
       q17dOrcRoundtrip, q17eSkippingAudit, q17fCompactionAudit,
       q17gPartitionAudit, q17hBucketAudit, q17iUpsertAudit,
-      q17jOptimizeAudit)
+      q17jOptimizeAudit, q17kTimeTravel)
 }

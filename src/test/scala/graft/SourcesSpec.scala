@@ -337,6 +337,40 @@ class SourcesSpec extends SparkTestBase {
     }
   }
 
+  test("q17k: copy-on-write shares untouched files across snapshots") {
+    import spark.implicits._
+    // run the audit, then inspect the stored manifests directly
+    val out = graft.sources.Sources.q17kTimeTravel.fn(spark, sfDir)
+      .collect().map(r => (r.getInt(0), r.getLong(1)) ->
+        ((r.getLong(2), r.getLong(3)))).toMap
+    val ttRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
+      "/graft_roundtrip/q17k_tt"
+    def manifest(k: Int): Set[String] =
+      scala.io.Source.fromFile(s"$ttRoot/manifests/$k.txt").getLines()
+        .filter(_.nonEmpty).toSet
+    val (m1, m2) = (manifest(1), manifest(2))
+    // every untouched year's file is SHARED verbatim; touched years'
+    // snapshot-2 files are new; nothing from snapshot 1 was deleted
+    val untouched1 = m1.filterNot(f =>
+      f.contains("/y1996/") || f.contains("/y1997/"))
+    assert(untouched1.subsetOf(m2), "untouched files not shared")
+    assert((m2 -- m1).forall(_.contains("/snap2/")), "unexpected new files")
+    m1.foreach(f => assert(new java.io.File(new java.net.URI(f).getPath)
+      .exists() || new java.io.File(f.stripPrefix("file:")).exists(),
+      s"snapshot-1 file deleted by the merge: $f"))
+    // the time-travel guarantee: pre-merge content readable after the
+    // merge — snapshot 1's touched years differ from snapshot 2's
+    for (y <- Seq(1996L, 1997L)) {
+      assert(out((1, y)) != out((2, y)),
+        s"year $y identical across snapshots — merge not visible")
+    }
+    // untouched years identical across snapshots
+    val allYears = out.keys.map(_._2).toSet
+    (allYears -- Set(1996L, 1997L)).foreach { y =>
+      assert(out((1, y)) == out((2, y)), s"untouched year $y drifted")
+    }
+  }
+
   test("q17j: optimize scope exact; the fragmentation debt is real") {
     import spark.implicits._
     val rows = graft.sources.Sources.q17jOptimizeAudit.fn(spark, sfDir)
