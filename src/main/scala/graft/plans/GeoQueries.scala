@@ -115,5 +115,75 @@ object GeoQueries {
       .select($"cust_a", $"cust_b", round($"d", 6).as("dist_km"))
   }
 
-  val all: Seq[GraftQuery] = Seq(q19GeoRadius, q19bGeoGridJoin)
+  /** q19c — geo HOTSPOT clustering: order mass binned to 1° cells at
+    * the customers' demo coordinates, cells above MEAN mass flagged
+    * dense (an integer rule — cnt·n_cells > total — so the density
+    * bar scales with the data and the audit can't go vacuous at any
+    * SF), and 8-adjacent dense cells merged into hotspot regions via
+    * [[graft.operators.ConnectedComponents]] (min-cell-id labels).
+    * The grid-density-then-merge shape is the scalable skeleton of
+    * DBSCAN-class clustering: counts are one hash agg, adjacency is
+    * an equi-join on neighbor cell ids (the q19b probe device), and
+    * the merge runs at DENSE-CELL grain — bounded by the geographic
+    * grid, never the fact. The oracle rebuilds the merge as a
+    * recursive-CTE transitive closure with MIN labels, independently
+    * validating the iterative propagation.
+    */
+  val q19cGeoHotspots: GraftQuery = GraftQuery(
+    "q19c_geo_hotspots",
+    s"""WITH RECURSIVE pts AS (
+       |  SELECT CAST(FLOOR(${Geo.demoLatSql("c_custkey")} ) AS BIGINT) AS clat,
+       |         CAST(FLOOR(${Geo.demoLngSql("c_custkey")} ) AS BIGINT) AS clon
+       |  FROM orders JOIN customer ON o_custkey = c_custkey),
+       |cells AS (
+       |  SELECT (clat + 200) * 10000 + (clon + 500) AS cell,
+       |         clat, clon, CAST(COUNT(*) AS BIGINT) AS mass
+       |  FROM pts GROUP BY 1, 2, 3),
+       |tot AS (SELECT CAST(SUM(mass) AS BIGINT) AS t,
+       |               CAST(COUNT(*) AS BIGINT) AS nc FROM cells),
+       |dense AS (
+       |  SELECT cell, clat, clon, mass FROM cells, tot
+       |  WHERE mass * nc > t),
+       |edges AS (
+       |  SELECT a.cell AS ea, b.cell AS eb
+       |  FROM dense a JOIN dense b
+       |    ON abs(a.clat - b.clat) <= 1 AND abs(a.clon - b.clon) <= 1),
+       |lbl AS (
+       |  SELECT cell, cell AS comp FROM dense
+       |  UNION
+       |  SELECT e.eb, l.comp FROM lbl l JOIN edges e ON e.ea = l.cell),
+       |comp AS (SELECT cell, MIN(comp) AS hotspot_id FROM lbl GROUP BY 1)
+       |SELECT c.hotspot_id,
+       |       CAST(COUNT(*) AS BIGINT) AS n_cells,
+       |       CAST(SUM(d.mass) AS BIGINT) AS n_points
+       |FROM comp c JOIN dense d ON c.cell = d.cell
+       |GROUP BY 1""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val t = Tables(spark, dir)
+    val pts = t.orders
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .select(floor(Geo.demoLat($"c_custkey")).cast("long").as("clat"),
+        floor(Geo.demoLng($"c_custkey")).cast("long").as("clon"))
+    val cells = pts.groupBy($"clat", $"clon")
+      .agg(count(lit(1)).as("mass"))
+      .withColumn("cell", ($"clat" + 200) * 10000 + ($"clon" + 500))
+    val tot = cells.agg(sum($"mass").as("t"), count(lit(1)).as("nc"))
+    val dense = cells.crossJoin(broadcast(tot))
+      .filter($"mass" * $"nc" > $"t")
+      .select($"cell", $"clat", $"clon", $"mass")
+      .localCheckpoint(true) // 3 consumers: 2 edge sides + mass join
+    val a = dense.toDF("ea", "alat", "alon", "am")
+    val b = dense.toDF("eb", "blat", "blon", "bm")
+    val edges = a.join(b,
+      abs($"alat" - $"blat") <= 1 && abs($"alon" - $"blon") <= 1)
+      .select($"ea", $"eb")
+    val comp = graft.operators.ConnectedComponents.components(edges)
+      .toDF("cell", "hotspot_id")
+    comp.join(dense, "cell")
+      .groupBy($"hotspot_id")
+      .agg(count(lit(1)).as("n_cells"), sum($"mass").as("n_points"))
+  }
+
+  val all: Seq[GraftQuery] =
+    Seq(q19GeoRadius, q19bGeoGridJoin, q19cGeoHotspots)
 }

@@ -108,4 +108,50 @@ class GeoSpec extends SparkTestBase {
     val violating = df.filter($"dist" <= 700.0 && !$"bbox_pass")
     assert(violating.count() == 0)
   }
+
+  test("q19c hotspots replay via driver-side union-find") {
+    import spark.implicits._
+    val got = graft.plans.GeoQueries.q19cGeoHotspots.fn(spark, sfDir)
+      .collect().map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2))))
+      .toMap
+    assert(got.nonEmpty, "no hotspots at gate scale — density bar broken")
+    // rebuild cells, density bar and the 8-adjacency merge from raw rows
+    val t = Tables(spark, sfDir)
+    val pts = t.orders.join(t.customer, $"o_custkey" === $"c_custkey")
+      .select($"c_custkey").as[Long].collect()
+      .map { k =>
+        val lat = (((k * 7) % 120) - 60) + 0.25
+        val lon = (((k * 13) % 300) - 150) + 0.5
+        (math.floor(lat).toLong, math.floor(lon).toLong)
+      }
+    val mass = pts.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val total = pts.length.toLong
+    val dense = mass.filter { case (_, m) => m * mass.size > total }
+    assert(dense.nonEmpty)
+    // union-find over 8-adjacent dense cells
+    val cells = dense.keys.toSeq
+    val parent = scala.collection.mutable.Map(
+      cells.map(c => c -> c): _*)
+    def find(c: (Long, Long)): (Long, Long) = {
+      var x = c
+      while (parent(x) != x) x = parent(x)
+      x
+    }
+    def cellId(c: (Long, Long)): Long = (c._1 + 200) * 10000 + (c._2 + 500)
+    for (a <- cells; b <- cells
+         if math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1) {
+      val (ra, rb) = (find(a), find(b))
+      if (ra != rb) {
+        if (cellId(ra) < cellId(rb)) parent(rb) = ra else parent(ra) = rb
+      }
+    }
+    val expected = cells.groupBy(c => find(c)).map { case (_, cs) =>
+      val id = cs.map(cellId).min
+      id -> ((cs.size.toLong, cs.map(dense).sum))
+    }
+    assert(got == expected,
+      s"hotspots differ: got ${got.size}, want ${expected.size}")
+    // conservation: every dense cell's mass lands in exactly one hotspot
+    assert(got.values.map(_._2).sum == dense.values.sum)
+  }
 }
