@@ -996,6 +996,11 @@ object AnalyticsQueries {
       .select($"dur", $"n_risk", $"d")
     risk.agg(array_sort(collect_list(struct($"dur", $"n_risk", $"d")))
         .as("arr"))
+      // degenerate input (no duration has an event → empty arr) must
+      // yield an EMPTY frame on both engines, not a slice(arr, 2, -1)
+      // runtime error here while DuckDB returns zero rows (the q27b
+      // size guard device)
+      .filter(size($"arr") >= 1)
       .select(explode(expr(
         """aggregate(
           |  slice(arr, 2, size(arr) - 1),

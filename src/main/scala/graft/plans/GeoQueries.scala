@@ -129,6 +129,30 @@ object GeoQueries {
     * recursive-CTE transitive closure with MIN labels, independently
     * validating the iterative propagation.
     */
+  /** 8-adjacency between dense cells as an EQUI-join (the q19b probe
+    * device): one side keeps its home (clat, clon), the other explodes
+    * to its 3×3 neighborhood (dy=dx=0 keeps the self-pair the
+    * recursive-CTE oracle also emits; self-edges are no-ops to the
+    * merge). O(9·dense) shuffle-by-cell work — never the O(dense²)
+    * BroadcastNestedLoopJoin a |Δlat|≤1 ∧ |Δlon|≤1 theta-join plans.
+    * `dense` must carry (cell, clat, clon). Public so GeoSpec can pin
+    * the plan shape (q19c's final plan starts past a localCheckpoint,
+    * which would hide this join from it).
+    */
+  def denseCellEdges(dense: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val a = dense.select(col("cell").as("ea"), col("clat"), col("clon"))
+    val probes = dense.select(
+      col("cell").as("eb"),
+      explode(expr(
+        """flatten(transform(array(-1L, 0L, 1L),
+          |  dy -> transform(array(-1L, 0L, 1L),
+          |    dx -> struct(clat + dy AS clat, clon + dx AS clon))))"""
+          .stripMargin)).as("nb"))
+      .select(col("eb"), col("nb.clat"), col("nb.clon"))
+    a.join(probes, Seq("clat", "clon")).select(col("ea"), col("eb"))
+  }
+
   val q19cGeoHotspots: GraftQuery = GraftQuery(
     "q19c_geo_hotspots",
     s"""WITH RECURSIVE pts AS (
@@ -172,12 +196,8 @@ object GeoQueries {
       .filter($"mass" * $"nc" > $"t")
       .select($"cell", $"clat", $"clon", $"mass")
       .localCheckpoint(true) // 3 consumers: 2 edge sides + mass join
-    val a = dense.toDF("ea", "alat", "alon", "am")
-    val b = dense.toDF("eb", "blat", "blon", "bm")
-    val edges = a.join(b,
-      abs($"alat" - $"blat") <= 1 && abs($"alon" - $"blon") <= 1)
-      .select($"ea", $"eb")
-    val comp = graft.operators.ConnectedComponents.components(edges)
+    val comp = graft.operators.ConnectedComponents
+      .components(denseCellEdges(dense))
       .toDF("cell", "hotspot_id")
     comp.join(dense, "cell")
       .groupBy($"hotspot_id")

@@ -1,6 +1,6 @@
 package graft.text
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.functions._
 
 import graft.Tables
@@ -18,13 +18,14 @@ import graft.queries.GraftQuery
   * — the pageRank iteration discipline applied to tokenizers.
   *
   * Determinism devices: symbol sequences are UNIT-SEPARATOR-joined
-  * strings, so the merge rewrite is literal `replace(seq, l∥US∥r,
-  * l∥r)` — left-to-right non-overlapping replacement IS BPE's greedy
-  * merge order, and both engines implement identical semantics; pair
-  * counts are integer SUMs of integer frequencies (order-free); the
-  * argmax tie-breaks lexicographically on (count DESC, l ASC, r ASC).
-  * The whole k-round chain therefore hash-gates exactly against the
-  * unrolled DuckDB twin.
+  * strings; the merge rewrite is a left-to-right fold at SYMBOL
+  * granularity (see [[mergeSeqCol]]) implemented identically on both
+  * engines (Spark `aggregate` over the split sequence; DuckDB
+  * `list_reduce`) — greedy non-overlapping, whole-symbol matches
+  * only; pair counts are integer SUMs of integer frequencies
+  * (order-free); the argmax tie-breaks lexicographically on (count
+  * DESC, l ASC, r ASC). The whole k-round chain therefore hash-gates
+  * exactly against the unrolled DuckDB twin.
   */
 object BpeQueries {
 
@@ -48,8 +49,36 @@ object BpeQueries {
        |best$k AS MATERIALIZED (
        |  SELECT l, r, c FROM pairs$k ORDER BY c DESC, l ASC, r ASC LIMIT 1),
        |v$k AS MATERIALIZED (
-       |  SELECT word, freq, replace(seq, b.l || chr(31) || b.r, b.l || b.r) AS seq
+       |  SELECT word, freq,
+       |    list_reduce(string_split(seq, chr(31)), (acc, x) ->
+       |      CASE WHEN list_extract(string_split(acc, chr(31)), -1) = b.l
+       |                AND x = b.r
+       |           THEN left(acc, length(acc) - length(b.l)) || b.l || b.r
+       |           ELSE acc || chr(31) || x END) AS seq
        |  FROM v${k - 1}, best$k b)""".stripMargin
+
+  /** One merge round applied at SYMBOL granularity: left-to-right fold
+    * over the split sequence, merging when the accumulator's LAST
+    * SYMBOL equals l and the incoming symbol equals r. A raw string
+    * `replace(seq, l∥US∥r, l∥r)` anchors only the internal separator
+    * and false-matches across a symbol boundary once a learned symbol
+    * ENDS in l (e.g. [ab, c] under rule (b, c) would fuse to 'abc');
+    * the fold compares whole symbols, so that can't happen. The fold
+    * is still BPE's greedy non-overlapping order: a just-merged last
+    * symbol is l∥r ≠ l, so it can never be the left side of another
+    * merge in the same round — exactly the i += 2 skip of the
+    * imperative scan (BpeSpec.trainReference pins the equivalence).
+    */
+  private def mergeSeqCol(seq: Column, l: Column, r: Column): Column =
+    array_join(
+      aggregate(
+        split(seq, US),
+        array().cast("array<string>"),
+        (acc: Column, x: Column) =>
+          when(size(acc) > 0 && element_at(acc, -1) === l && x === r,
+            concat(slice(acc, lit(1), size(acc) - 1), array(concat(l, r))))
+            .otherwise(concat(acc, array(x)))),
+      US)
 
   /** q29 — the learned merge table: (step, merged symbol, corpus pair
     * count). Each row depends on every rewrite before it, so the hash
@@ -107,8 +136,7 @@ object BpeQueries {
         concat($"l", $"r").as("merged"), $"c".as("pair_count"))
       vocab = vocab.crossJoin(broadcast(best))
         .select($"word", $"freq",
-          replace($"seq", concat($"l", lit(US), $"r"), concat($"l", $"r"))
-            .as("seq"))
+          mergeSeqCol($"seq", $"l", $"r").as("seq"))
         .localCheckpoint(true)
     }
     bests.reduce(_ unionByName _).orderBy($"step")
@@ -121,8 +149,7 @@ object BpeQueries {
   def applyMerges(vocab: DataFrame, merges: Seq[(String, String)])
       : DataFrame = {
     merges.foldLeft(vocab) { case (v, (l, r)) =>
-      v.withColumn("seq",
-        replace(col("seq"), concat(lit(l), lit(US), lit(r)), lit(l + r)))
+      v.withColumn("seq", mergeSeqCol(col("seq"), lit(l), lit(r)))
     }
   }
 

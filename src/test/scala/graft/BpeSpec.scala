@@ -69,6 +69,30 @@ class BpeSpec extends SparkTestBase {
     assert(ref(1) == ((2, "aaa", 1L)))
   }
 
+  test("symbol boundary: rule (b,c) must NOT fuse across [ab, c]") {
+    // The planted suffix-collision case: after (a,b) is learned,
+    // 'abc' is [ab, c]; a later rule (b,c) matches the RAW STRING
+    // 'b<US>c' inside 'ab<US>c' but not the symbol pair — a string
+    // replace would fuse the word to one symbol 'abc'. Pin the
+    // symbol-granular semantics on both the reference trainer and
+    // the Spark fold.
+    val ref = trainReference(Map("abc" -> 3L, "ab" -> 6L, "bc" -> 5L), 3)
+    // r1 (a,b)=9 beats (b,c)=8; r2 (b,c)=5 touches only 'bc';
+    // r3 (ab,c)=3 proves [ab, c] survived r2 un-fused
+    assert(ref == Seq((1, "ab", 9L), (2, "bc", 5L), (3, "abc", 3L)))
+    val vocab = Seq(("abc", 3L), ("xbc", 1L)).toDF("word", "freq")
+      .withColumn("seq", expr(
+        """array_join(transform(sequence(1, length(word), 1),
+          |  i -> substring(word, i, 1)), '')""".stripMargin))
+    val out = BpeQueries
+      .applyMerges(vocab, Seq(("a", "b"), ("b", "c")))
+      .select($"word", split($"seq", "").as("syms"))
+      .as[(String, Seq[String])].collect().toMap
+    assert(out("abc") == Seq("ab", "c"),
+      s"rule (b,c) fused across a symbol boundary: ${out("abc")}")
+    assert(out("xbc") == Seq("x", "bc"))
+  }
+
   test("applyMerges reproduces the trained segmentation") {
     val words = Seq(("scanner", 4L), ("scan", 2L), ("banner", 1L))
       .toDF("word", "freq")

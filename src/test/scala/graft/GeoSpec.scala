@@ -109,6 +109,44 @@ class GeoSpec extends SparkTestBase {
     assert(violating.count() == 0)
   }
 
+  test("q19c adjacency plans as an equi-join: no BNLJ, no cartesian") {
+    import spark.implicits._
+    // Pin the edge-builder's plan directly: q19c's final plan starts
+    // past ConnectedComponents' localCheckpoint, which would hide the
+    // adjacency join from an end-to-end plan string.
+    val dense = spark.range(10).select(
+      ($"id" + 2000000).as("cell"), ($"id" % 4).as("clat"),
+      ($"id" % 3).as("clon"))
+    val edges = graft.plans.GeoQueries.denseCellEdges(dense)
+    edges.collect() // settle AQE
+    val plan = edges.queryExecution.executedPlan.toString
+      .split("== Initial Plan ==").head
+    assert(!plan.contains("BroadcastNestedLoopJoin") &&
+      !plan.contains("CartesianProduct"),
+      s"q19c dense-cell adjacency must be the 9-neighbor equi-join:\n$plan")
+    assert(plan.contains("Generate") || plan.contains("explode"),
+      s"expected the 3x3 neighbor explode in the plan:\n$plan")
+  }
+
+  test("denseCellEdges equals the theta-join pair set") {
+    import spark.implicits._
+    // seeded dense-cell layout with adjacent runs, diagonals and
+    // isolated cells; edge set must match |dLat|<=1 AND |dLon|<=1
+    val cells = Seq(
+      (0L, 0L), (0L, 1L), (1L, 1L), (2L, 3L), (3L, 4L), (9L, 9L),
+      (-2L, 5L), (-1L, 6L), (5L, -7L), (6L, -6L))
+    val dense = cells.toDF("clat", "clon")
+      .withColumn("cell", ($"clat" + 200) * 10000 + ($"clon" + 500))
+    val got = graft.plans.GeoQueries.denseCellEdges(dense)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    def cid(c: (Long, Long)) = (c._1 + 200) * 10000 + (c._2 + 500)
+    val want = (for {
+      a <- cells; b <- cells
+      if math.abs(a._1 - b._1) <= 1 && math.abs(a._2 - b._2) <= 1
+    } yield (cid(a), cid(b))).toSet
+    assert(got == want, s"missing=${want -- got} extra=${got -- want}")
+  }
+
   test("q19c hotspots replay via driver-side union-find") {
     import spark.implicits._
     val got = graft.plans.GeoQueries.q19cGeoHotspots.fn(spark, sfDir)
