@@ -138,41 +138,8 @@ class AnalyticalQueriesSpec extends SparkTestBase {
     }
   }
 
-  test("SQL entry surface: spark.sql over registered views equals the " +
-    "DataFrame q1a bitwise") {
-    import spark.implicits._
-    // a reference user's entry point is ANSI SQL; prove the engine's
-    // SQL surface reproduces the DataFrame surface exactly — same
-    // exact-decimal sum device, same window, bitwise-equal doubles
-    val t = Tables(spark, sfDir)
-    t.lineitem.createOrReplaceTempView("li_sql")
-    t.orders.createOrReplaceTempView("ord_sql")
-    val viaSql = spark.sql(
-      """WITH rev AS (
-        |  SELECT CAST(year(o_orderdate) AS INT) AS o_year,
-        |         CAST(month(o_orderdate) AS INT) AS o_month,
-        |         CAST(CAST(SUM(CAST(l_extendedprice * (1.0 - l_discount)
-        |                            AS DECIMAL(38,6))) AS STRING) AS DOUBLE)
-        |           AS revenue
-        |  FROM li_sql JOIN ord_sql ON l_orderkey = o_orderkey
-        |  GROUP BY 1, 2)
-        |SELECT o_year, o_month, revenue,
-        |       LAG(revenue) OVER (PARTITION BY o_month ORDER BY o_year)
-        |         AS prev_year_revenue,
-        |       CASE WHEN LAG(revenue) OVER (PARTITION BY o_month
-        |                                    ORDER BY o_year) <> 0
-        |            THEN (revenue - LAG(revenue) OVER (PARTITION BY o_month
-        |                                               ORDER BY o_year))
-        |                 / LAG(revenue) OVER (PARTITION BY o_month
-        |                                      ORDER BY o_year) * 100
-        |       END AS yoy_growth_pct
-        |FROM rev""".stripMargin)
-    val viaDf = graft.queries.AnalyticalQueries.q1aYoyGrowth.fn(spark, sfDir)
-    assert(viaSql.count() > 0)
-    assert(viaSql.exceptAll(viaDf).count() == 0 &&
-      viaDf.exceptAll(viaSql).count() == 0,
-      "SQL and DataFrame surfaces diverge on q1a")
-  }
+  // SQL-entry parity moved to ParitySpec, which loops the FULL
+  // headline set (q1a–q5b) instead of q1a alone.
 
   test("q9u MAD outliers: driver replay per segment, plants detected") {
     import spark.implicits._
