@@ -144,10 +144,25 @@ object Bench {
     // docs) stays out for the same reason — it re-runs the q13f chain
     // and adds only a struct-max groupBy of its own.
 
+    // Pre-query heap quiesce (JMH-style System.gc outside the timed
+    // region) is OFF by default — the r11 A/B measured it a wash to
+    // NEGATIVE (subset mins 19.0–21.9 s with GC vs 17.7–22.6 without;
+    // q28 2.2→3.1, q12y 4.7→4.8 WORSE with GC): a full GC triggers
+    // Spark's ContextCleaner, whose async broadcast/block cleanup then
+    // lands INSIDE the next timed query, and can evict codegen cache
+    // entries the next query must recompile. The ~1.3× shared-JVM
+    // in-run tax over fresh-JVM standalone runs (SURVEY §8.9 item 2)
+    // is therefore accepted as a property of the shared-JVM
+    // methodology, adjudicated via SPARK_GRAFT_BENCH_ONLY standalone
+    // runs when a per-query number matters. SPARK_GRAFT_BENCH_GC=1
+    // re-enables the quiesce for future re-litigation.
+    val quiesce = sys.env.get("SPARK_GRAFT_BENCH_GC").contains("1")
+
     // (seconds, succeeded) — a failed run must NOT feed the min: a
     // query that dies fast would otherwise win its per-query min and
     // a regression would silently LOWER the reported totals.
     def timeOne(name: String): (Double, Boolean) = {
+      if (quiesce) System.gc()
       val t0 = System.nanoTime()
       val ok =
         try { SparkEntry.queries(name)(spark, sfDir).count(); true }
