@@ -49,7 +49,7 @@ object GraphQueries {
   private val pairCache = scala.collection.concurrent.TrieMap
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
-  private def coPurchasePairs(
+  private[graft] def coPurchasePairs(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
     pairCache.getOrElseUpdate((spark, dir), {
       import spark.implicits._

@@ -184,24 +184,33 @@ object GeoQueries {
        |GROUP BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
-    val pts = t.orders
+    hotspots(t.orders
       .join(t.customer, $"o_custkey" === $"c_custkey")
       .select(floor(Geo.demoLat($"c_custkey")).cast("long").as("clat"),
-        floor(Geo.demoLng($"c_custkey")).cast("long").as("clon"))
-    val cells = pts.groupBy($"clat", $"clon")
+        floor(Geo.demoLng($"c_custkey")).cast("long").as("clon")))
+  }
+
+  /** q19c's pipeline over an explicit (clat, clon) points frame —
+    * factored so GeoScale stress can feed replicated points: the
+    * integer density bar (mass·n_cells > total) is scale-FREE, so
+    * mass×k must reproduce the identical hotspot set with n_points×k.
+    */
+  private[graft] def hotspots(pts: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val cells = pts.groupBy(col("clat"), col("clon"))
       .agg(count(lit(1)).as("mass"))
-      .withColumn("cell", ($"clat" + 200) * 10000 + ($"clon" + 500))
-    val tot = cells.agg(sum($"mass").as("t"), count(lit(1)).as("nc"))
+      .withColumn("cell", (col("clat") + 200) * 10000 + (col("clon") + 500))
+    val tot = cells.agg(sum(col("mass")).as("t"), count(lit(1)).as("nc"))
     val dense = cells.crossJoin(broadcast(tot))
-      .filter($"mass" * $"nc" > $"t")
-      .select($"cell", $"clat", $"clon", $"mass")
+      .filter(col("mass") * col("nc") > col("t"))
+      .select(col("cell"), col("clat"), col("clon"), col("mass"))
       .localCheckpoint(true) // 3 consumers: 2 edge sides + mass join
     val comp = graft.operators.ConnectedComponents
       .components(denseCellEdges(dense))
       .toDF("cell", "hotspot_id")
     comp.join(dense, "cell")
-      .groupBy($"hotspot_id")
-      .agg(count(lit(1)).as("n_cells"), sum($"mass").as("n_points"))
+      .groupBy(col("hotspot_id"))
+      .agg(count(lit(1)).as("n_cells"), sum(col("mass")).as("n_points"))
   }
 
   val all: Seq[GraftQuery] =
