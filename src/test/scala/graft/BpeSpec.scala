@@ -93,6 +93,47 @@ class BpeSpec extends SparkTestBase {
     assert(out("xbc") == Seq("x", "bc"))
   }
 
+  test("property: the Spark symbol fold equals the imperative scan on " +
+    "random sequences and rules") {
+    import org.scalacheck.Gen
+    import org.scalacheck.rng.Seed
+    // random symbol sequences over a 3-letter alphabet with 1-2 char
+    // symbols (so rules can collide with symbol suffixes/prefixes —
+    // exactly the boundary class the string replace got wrong), random
+    // 2-rule merge chains
+    val sym = Gen.oneOf("a", "b", "c", "ab", "bc", "aa")
+    val word = Gen.listOfN(6, sym)
+    val rule = Gen.zip(sym, sym)
+    val caseGen = Gen.zip(Gen.listOfN(8, word), Gen.listOfN(2, rule))
+    def refMerge(syms: Seq[String], l: String, r: String): Seq[String] = {
+      val b = collection.mutable.ArrayBuffer.empty[String]
+      var i = 0
+      while (i < syms.length) {
+        if (i + 1 < syms.length && syms(i) == l && syms(i + 1) == r) {
+          b += (l + r); i += 2
+        } else { b += syms(i); i += 1 }
+      }
+      b.toSeq
+    }
+    val cases = (1 to 12).flatMap(i =>
+      caseGen.apply(Gen.Parameters.default, Seed(i.toLong)))
+    cases.foreach { case (words, rules) =>
+      val vocab = words.zipWithIndex
+        .map { case (w, i) => (s"w$i", 1L, w.mkString("")) }
+        .toDF("word", "freq", "seq")
+      val got = BpeQueries.applyMerges(vocab, rules)
+        .select($"word", $"seq").as[(String, String)].collect().toMap
+      words.zipWithIndex.foreach { case (w, i) =>
+        val expected = rules.foldLeft(w: Seq[String]) {
+          case (s, (l, r)) => refMerge(s, l, r)
+        }
+        assert(got(s"w$i") == expected.mkString(""),
+          s"fold diverged on $w with rules $rules: " +
+            s"got ${got(s"w$i").split('').toSeq}, want $expected")
+      }
+    }
+  }
+
   test("applyMerges reproduces the trained segmentation") {
     val words = Seq(("scanner", 4L), ("scan", 2L), ("banner", 1L))
       .toDF("word", "freq")
