@@ -312,22 +312,34 @@ object GraphQueries {
     * (≪ edges). `edges` must already contain both directions.
     */
   def bfsHops(edges: DataFrame, s: String, t: String,
-      seeds: DataFrame, node: String, iters: Int = 4): DataFrame = {
+      seeds: DataFrame, node: String, iters: Int = 4,
+      broadcastLimit: Long = BroadcastNodeLimit): DataFrame = {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(s).as("__s"), col(t).as("__t"))
       .localCheckpoint(true) // consumed every round
-    // Two optimization attempts are on record as washes (r10 A/Bs):
-    // vertex-broadcast rounds, and pre-partition+pre-sort of e at the
-    // checkpoint ("sort once, join k times"). With only `iters`
-    // rounds, the graph build + checkpoint materialization dominate
-    // and the per-round SMJ of the integer edge list is cheap —
-    // contrast pageRank, whose 8 rounds on a wider frame made the
-    // broadcast a 2× win.
+    // Vertex-broadcast rounds were an r10 wash — but only because the
+    // per-query graph BUILD dominated then. With the build now shared
+    // (coPurchasePairs memoization) the per-round cost is visible, and
+    // this is exactly pageRank's situation: both join inputs are
+    // checkpointed LogicalRDDs, so AQE has no shuffle stats and plans
+    // an SMJ that RE-SORTS the full edge list every round. Broadcast
+    // the node-grain frontier explicitly while the graph is below
+    // [[BroadcastNodeLimit]] (the frontier is ≤ the node set ≪ edges);
+    // past the limit the co-keyed shuffle join is the scale shape.
+    // Re-A/B (r11, fresh-JVM min-of-5, standalone, idle, back-to-back):
+    // SMJ rounds 6.09 s → broadcast rounds 2.16 s (2.8×) at sf0.1.
+    // The second r10 wash (pre-partition+pre-sort of e) stays retired:
+    // the broadcast path eliminates the per-round sort entirely.
+    // the frontier is bounded by the node set, which is bounded by
+    // 2× the edge rows — an edge-row count is a COUNT over the
+    // checkpointed RDD (no shuffle), unlike a distinct-node probe
+    val small = e.count() <= broadcastLimit
+    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
     var dist = seeds.select(col(node).as("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      dist = e.join(dist, $"__s" === $"node")
+      dist = e.join(hinted(dist), $"__s" === $"node")
         .select($"__t".as("node"), ($"hops" + 1L).as("hops"))
         .unionAll(dist)
         .groupBy($"node").agg(min($"hops").as("hops"))

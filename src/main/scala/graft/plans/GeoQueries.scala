@@ -115,20 +115,6 @@ object GeoQueries {
       .select($"cust_a", $"cust_b", round($"d", 6).as("dist_km"))
   }
 
-  /** q19c — geo HOTSPOT clustering: order mass binned to 1° cells at
-    * the customers' demo coordinates, cells above MEAN mass flagged
-    * dense (an integer rule — cnt·n_cells > total — so the density
-    * bar scales with the data and the audit can't go vacuous at any
-    * SF), and 8-adjacent dense cells merged into hotspot regions via
-    * [[graft.operators.ConnectedComponents]] (min-cell-id labels).
-    * The grid-density-then-merge shape is the scalable skeleton of
-    * DBSCAN-class clustering: counts are one hash agg, adjacency is
-    * an equi-join on neighbor cell ids (the q19b probe device), and
-    * the merge runs at DENSE-CELL grain — bounded by the geographic
-    * grid, never the fact. The oracle rebuilds the merge as a
-    * recursive-CTE transitive closure with MIN labels, independently
-    * validating the iterative propagation.
-    */
   /** 8-adjacency between dense cells as an EQUI-join (the q19b probe
     * device): one side keeps its home (clat, clon), the other explodes
     * to its 3×3 neighborhood (dy=dx=0 keeps the self-pair the
@@ -153,6 +139,20 @@ object GeoQueries {
     a.join(probes, Seq("clat", "clon")).select(col("ea"), col("eb"))
   }
 
+  /** q19c — geo HOTSPOT clustering: order mass binned to 1° cells at
+    * the customers' demo coordinates, cells above MEAN mass flagged
+    * dense (an integer rule — cnt·n_cells > total — so the density
+    * bar scales with the data and the audit can't go vacuous at any
+    * SF), and 8-adjacent dense cells merged into hotspot regions via
+    * [[graft.operators.ConnectedComponents]] (min-cell-id labels).
+    * The grid-density-then-merge shape is the scalable skeleton of
+    * DBSCAN-class clustering: counts are one hash agg, adjacency is
+    * an equi-join on neighbor cell ids (the q19b probe device), and
+    * the merge runs at DENSE-CELL grain — bounded by the geographic
+    * grid, never the fact. The oracle rebuilds the merge as a
+    * recursive-CTE transitive closure with MIN labels, independently
+    * validating the iterative propagation.
+    */
   val q19cGeoHotspots: GraftQuery = GraftQuery(
     "q19c_geo_hotspots",
     s"""WITH RECURSIVE pts AS (

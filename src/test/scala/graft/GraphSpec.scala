@@ -147,6 +147,25 @@ class GraphSpec extends SparkTestBase {
     assert(got == want, s"diff=${(got.toSet -- want.toSet) ++ (want.toSet -- got.toSet)}")
   }
 
+  test("bfsHops broadcast path and shuffle fallback agree exactly") {
+    // the broadcastLimit seam (the pageRank/triangle device): force the
+    // shuffle fallback with limit 0 and demand identical hop maps
+    val rnd = new scala.util.Random(11)
+    val up = (1 to 80).map(_ => (rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+      .filter { case (a, b) => a != b }.distinct
+    val edges = (up ++ up.map(_.swap)).toDF("s", "t")
+    val seeds = up.map(_._1).filter(_ % 4 == 0).distinct.toDF("node")
+    def run(limit: Long) =
+      GraphQueries.bfsHops(edges, "s", "t", seeds, "node", 4,
+        broadcastLimit = limit)
+        .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val viaBroadcast = run(Long.MaxValue)
+    val viaShuffle = run(0L)
+    assert(viaBroadcast.nonEmpty && viaBroadcast == viaShuffle,
+      s"paths diverge: ${(viaBroadcast.toSet diff viaShuffle.toSet) ++
+        (viaShuffle.toSet diff viaBroadcast.toSet)}")
+  }
+
   test("iteration plan is equi-join + hash agg — no cartesian") {
     val up = Seq((1L, 2L, 1L), (2L, 3L, 1L))
     val directed = up ++ up.map { case (s, t, w) => (t, s, w) }
