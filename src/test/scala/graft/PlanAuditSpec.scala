@@ -103,6 +103,61 @@ class PlanAuditSpec extends SparkTestBase {
         (if (stale.nonEmpty) s"\nstale allowlist entries (no BNLJ anymore): ${stale.toSeq.sorted.mkString(", ")}" else ""))
   }
 
+  /** Global (unpartitioned) windows move their frame to ONE task —
+    * legal only when the frame at that point is bounded by
+    * construction. A global WindowExec AUTO-passes when its own child
+    * subtree contains a limit node (TakeOrderedAndProject /
+    * GlobalLimit / CollectLimit): the window then runs over <=k rows
+    * no matter the input volume — the q14* md5-medoid seed device and
+    * q25c's top-20 re-rank. Every OTHER global window needs an entry
+    * here naming the grain that caps its cardinality independent of
+    * data volume. Data-scale global scans use PrefixSum /
+    * DistributedRank instead (q28, q3a_dist, q9t's ntile) — that
+    * design rule is what this test pins.
+    */
+  private val globalWindowAllowed: Map[String, String] = Map(
+    "q3b_moving_avg_ytd" -> "day grain after pre-agg (~2.4k rows)",
+    "q20e_gapfill_interp" -> "calendar-day spine",
+    "q9d_segmentation" ->
+      ("reference-fidelity exact qcut at customer grain; the scale twin " +
+        "is q9d_segmentation_approx (approx quantile cuts, window-free)"),
+    "q9f_revenue_share" -> "nation grain (25 rows)",
+    "q9r_survival_km" -> "distinct-duration grain (calendar days)",
+    "q9t_gains_table" -> "decile grain (10 rows)")
+
+  private def limitBounded(w: SparkPlan): Boolean =
+    w.children.exists(_.collectFirst {
+      case _: org.apache.spark.sql.execution.TakeOrderedAndProjectExec => ()
+      case _: org.apache.spark.sql.execution.GlobalLimitExec => ()
+      case _: org.apache.spark.sql.execution.CollectLimitExec => ()
+    }.isDefined)
+
+  test("global (unpartitioned) windows only on limit- or grain-bounded frames") {
+    val offenders = scala.collection.mutable.Map[String, String]()
+    val seen = scala.collection.mutable.Set[String]()
+    auditable.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+      val plan =
+        try fn(spark, sfDir).queryExecution.sparkPlan
+        catch { case _: Throwable => null } // fn failures surface in the audit test
+      if (plan != null) {
+        val unbounded = plan.collect {
+          case w: org.apache.spark.sql.execution.window.WindowExec
+              if w.partitionSpec.isEmpty && !limitBounded(w) => w
+        }
+        if (unbounded.nonEmpty) {
+          seen += name
+          if (!globalWindowAllowed.contains(name))
+            offenders(name) =
+              unbounded.map(_.windowExpression.mkString(",")).mkString("; ")
+        }
+      }
+    }
+    val stale = globalWindowAllowed.keySet -- seen
+    assert(offenders.isEmpty && stale.isEmpty,
+      s"unallowlisted global windows:\n${offenders.toSeq.sortBy(_._1).map { case (n, w) => s"  $n: $w" }.mkString("\n")}" +
+        (if (stale.nonEmpty) s"\nstale allowlist entries: ${stale.toSeq.sorted.mkString(", ")}" else ""))
+  }
+
   test("zero UDFs anywhere in the registry (native expressions only)") {
     val withUdf = auditable.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
       val udfs =
