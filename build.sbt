@@ -30,5 +30,9 @@ val jdk17AddOpens = Seq(
 javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
+  // 8g default measured a WASH vs 16g (r11 A/B, spaced idle runs at
+  // sf0.1: headline 11.0/12.1 vs 12.1/9.8, ext 60.0/52.6 vs 61.6/63.2
+  // — no consistent direction; run-to-run variance ~15% dominates any
+  // heap effect at this SF). Don't re-litigate below ~20% deltas.
   s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
 )
