@@ -40,6 +40,7 @@ object SparkEntry {
       graft.text.KMeansQueries.all ++
       graft.streaming.EventKpis.all ++
       graft.multimodal.Multimodal.all ++
+      graft.multimodal.AviQueries.all ++
       graft.sources.Sources.all ++
       graft.plans.GeoQueries.all ++
       graft.operators.AsofJoin.all ++
