@@ -42,6 +42,7 @@ object SparkEntry {
       graft.multimodal.Multimodal.all ++
       graft.multimodal.AviQueries.all ++
       graft.sources.Sources.all ++
+      graft.sources.AvroSources.all ++
       graft.plans.GeoQueries.all ++
       graft.operators.AsofJoin.all ++
       graft.operators.RangeJoin.all

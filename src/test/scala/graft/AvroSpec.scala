@@ -1,0 +1,82 @@
+package graft
+
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+import graft.sources.AvroSources
+
+/** Reader-level checks for the avro-core source (q17l) beyond the
+  * roundtrip hash gate: genuine container bytes on disk, declared-
+  * schema pruning, and the loud-failure contract (silent nulls or
+  * skipped files would pass row-count checks while corrupting data).
+  */
+class AvroSpec extends SparkTestBase {
+
+  private val out = java.nio.file.Files
+    .createTempDirectory("avro_spec").toString
+
+  private val schemaJson =
+    """{"type":"record","name":"r","fields":[
+      |  {"name":"k","type":"long"},
+      |  {"name":"s","type":"string"}
+      |]}""".stripMargin
+
+  private def writeSample(): Unit = {
+    import spark.implicits._
+    AvroSources.writeAvro(
+      Seq((1L, "a"), (2L, "b"), (3L, "c")).toDF("k", "s")
+        .repartition(2), schemaJson, out)
+  }
+
+  test("written files are genuine avro containers (magic + decodable)") {
+    writeSample()
+    val files = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      .iterator()
+    var n = 0
+    while (files.hasNext) {
+      val f = files.next()
+      val head = java.nio.file.Files.readAllBytes(f).take(4)
+      // avro object container magic: 'O' 'b' 'j' 1
+      assert(head.sameElements(Array[Byte]('O', 'b', 'j', 1)),
+        s"$f does not start with the avro container magic")
+      n += 1
+    }
+    assert(n >= 1)
+    val back = AvroSources.readAvro(spark, out, StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType))))
+    assert(back.orderBy("k").collect().map(r => (r.getLong(0), r.getString(1)))
+      .toSeq === Seq((1L, "a"), (2L, "b"), (3L, "c")))
+  }
+
+  test("declared-schema pruning reads a column subset") {
+    writeSample()
+    val ks = AvroSources.readAvro(spark, out,
+      StructType(Seq(StructField("k", LongType))))
+    assert(ks.columns.toSeq === Seq("k"))
+    assert(ks.agg(sum("k")).head().getLong(0) === 6L)
+  }
+
+  test("corrupt payloads, missing columns, and bad types fail loudly") {
+    writeSample()
+    // a declared column the files don't have
+    val missing = intercept[Exception] {
+      AvroSources.readAvro(spark, out, StructType(Seq(
+        StructField("nope", LongType)))).count()
+    }
+    assert(missing.getMessage.contains("nope"))
+    // a declared type the value can't take
+    val badType = intercept[Exception] {
+      AvroSources.readAvro(spark, out, StructType(Seq(
+        StructField("s", LongType)))).count()
+    }
+    assert(badType.getMessage.contains("unsupported avro value"))
+    // garbage bytes under the glob
+    val dir = java.nio.file.Files.createTempDirectory("avro_corrupt")
+    java.nio.file.Files.write(dir.resolve("junk.avro"),
+      "this is not an avro container".getBytes)
+    intercept[Exception] {
+      AvroSources.readAvro(spark, dir.toString, StructType(Seq(
+        StructField("k", LongType)))).count()
+    }
+  }
+}
