@@ -133,7 +133,13 @@ object Bench {
       // rides q27's fold profile, q17i/j the write-audit profile —
       // all stay out by the same rule.
       "q12z_countmin", "q29_bpe_train", "q26g_hll_merge",
-      "q16j_phash_dedup")) ++
+      "q16j_phash_dedup",
+      // round-11 addition: the avro-core reader is a genuinely new IO
+      // stack (binaryFile + DataFileReader decode), not a variant of
+      // the parquet/CSV paths already timed — track it. q16l/m stay
+      // out: their mapPartitions codec profile is q16j's, the q17f/g
+      // rule.
+      "q17l_avro_roundtrip")) ++
       // BENCH_ONLY names outside both membership lists (e.g. the graph
       // one-offs) still time — as ext entries
       only.fold(Seq.empty[String])(o =>
