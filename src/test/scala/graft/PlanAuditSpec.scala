@@ -78,22 +78,40 @@ class PlanAuditSpec extends SparkTestBase {
     "q14a_ann_brute_topk" -> "1-row probe vs guarded corpus",
     "q14k_ann_recall" -> "guarded probe set, brute truth for recall")
 
+  /** One shared planning pass: each fn is invoked ONCE (some are
+    * internally eager — writers, graph builds — so re-invoking per
+    * test would triple their side-effect cost) and the three audits
+    * below read the same captured plans.
+    */
+  private case class Audit(name: String, plan: SparkPlan, hasUdf: Boolean,
+                           failure: Option[String])
+
+  private lazy val audits: Seq[Audit] =
+    auditable.toSeq.sortBy(_._1).map { case (name, fn) =>
+      try {
+        val qe = fn(spark, sfDir).queryExecution
+        val hasUdf = qe.analyzed.collect {
+          case p => p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
+        }.flatten.nonEmpty
+        Audit(name, qe.sparkPlan, hasUdf, None)
+      } catch { case e: Throwable =>
+        Audit(name, null, hasUdf = false, Some(e.getMessage))
+      }
+    }
+
   test("no registered query plans a CartesianProduct; BNLJ only where bounded") {
     val offenders = scala.collection.mutable.Map[String, String]()
     val bnljSeen = scala.collection.mutable.Set[String]()
-    auditable.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan: SparkPlan =
-        try fn(spark, sfDir).queryExecution.sparkPlan
-        catch { case e: Throwable =>
-          offenders(name) = s"fn/plan failed: ${e.getMessage}"; null }
-      if (plan != null) {
-        val s = plan.toString
+    audits.foreach { a =>
+      a.failure.foreach(m => offenders(a.name) = s"fn/plan failed: $m")
+      if (a.plan != null) {
+        val s = a.plan.toString
         if (s.contains("CartesianProduct"))
-          offenders(name) = "CartesianProduct"
+          offenders(a.name) = "CartesianProduct"
         else if (s.contains("BroadcastNestedLoopJoin")) {
-          bnljSeen += name
-          if (!bnljAllowed.contains(name))
-            offenders(name) = "unallowlisted BroadcastNestedLoopJoin"
+          bnljSeen += a.name
+          if (!bnljAllowed.contains(a.name))
+            offenders(a.name) = "unallowlisted BroadcastNestedLoopJoin"
         }
       }
     }
@@ -135,19 +153,16 @@ class PlanAuditSpec extends SparkTestBase {
   test("global (unpartitioned) windows only on limit- or grain-bounded frames") {
     val offenders = scala.collection.mutable.Map[String, String]()
     val seen = scala.collection.mutable.Set[String]()
-    auditable.toSeq.sortBy(_._1).foreach { case (name, fn) =>
-      val plan =
-        try fn(spark, sfDir).queryExecution.sparkPlan
-        catch { case _: Throwable => null } // fn failures surface in the audit test
-      if (plan != null) {
-        val unbounded = plan.collect {
+    audits.foreach { a => // fn failures surface in the audit test
+      if (a.plan != null) {
+        val unbounded = a.plan.collect {
           case w: org.apache.spark.sql.execution.window.WindowExec
               if w.partitionSpec.isEmpty && !limitBounded(w) => w
         }
         if (unbounded.nonEmpty) {
-          seen += name
-          if (!globalWindowAllowed.contains(name))
-            offenders(name) =
+          seen += a.name
+          if (!globalWindowAllowed.contains(a.name))
+            offenders(a.name) =
               unbounded.map(_.windowExpression.mkString(",")).mkString("; ")
         }
       }
@@ -159,14 +174,7 @@ class PlanAuditSpec extends SparkTestBase {
   }
 
   test("zero UDFs anywhere in the registry (native expressions only)") {
-    val withUdf = auditable.toSeq.sortBy(_._1).flatMap { case (name, fn) =>
-      val udfs =
-        try fn(spark, sfDir).queryExecution.analyzed.collect {
-          case p => p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
-        }.flatten
-        catch { case _: Throwable => Nil } // fn failures surface in the audit test
-      if (udfs.nonEmpty) Some(name) else None
-    }
+    val withUdf = audits.filter(_.hasUdf).map(_.name)
     assert(withUdf.isEmpty, s"ScalaUDF found in: ${withUdf.mkString(", ")}")
   }
 }
