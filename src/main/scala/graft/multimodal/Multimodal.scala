@@ -592,7 +592,7 @@ object Multimodal {
     * shares a band, so candidates come from an equi-join on
     * (band, value) — never all pairs.
     */
-  private def hammingPairs(hashed: DataFrame): DataFrame = {
+  private[graft] def hammingPairs(hashed: DataFrame): DataFrame = {
     import hashed.sparkSession.implicits._
     val bandDefs = Seq((0, 1, 13), (1, 14, 13), (2, 27, 13),
       (3, 40, 13), (4, 53, 12))
