@@ -121,6 +121,10 @@ object Multimodal {
     * metadata). The explode is the real dataflow — one row per
     * sampled frame, the unit a downstream decode/embed stage
     * consumes; at scale it is a map-side generator, no shuffle.
+    * REAL-BYTES twins: q16h (animated GIF), and the AVI pair in
+    * [[AviQueries]] — q16l parses genuine RIFF containers with a
+    * pixel-exact DIB oracle, q16m decodes real MJPEG via the JDK
+    * JPEG codec.
     */
   val q16dFrameSample: GraftQuery = GraftQuery(
     "q16d_frame_sample",
