@@ -98,20 +98,29 @@ object AvroSources {
           val reader = new DataFileReader[GenericRecord](
             new org.apache.avro.file.SeekableByteArrayInput(bytes),
             new GenericDatumReader[GenericRecord]())
-          val out = scala.collection.mutable.ArrayBuffer.empty[Row]
-          try {
-            val fileSchema = reader.getSchema
-            while (reader.hasNext) {
-              val rec = reader.next()
-              out += Row.fromSeq(names.indices.map { i =>
-                val field = fileSchema.getField(names(i))
-                require(field != null,
-                  s"$path: declared column '${names(i)}' missing from avro schema")
-                convert(rec.get(field.pos()), types(i), names(i), path)
-              })
+          // field positions resolved ONCE per file (a per-record name
+          // lookup would hash every field of every row), and decode
+          // streams record-by-record — the raw bytes are the only
+          // whole-file buffer (binaryFile's unit), never decoded rows
+          val fileSchema = reader.getSchema
+          val pos = names.map { n =>
+            val f = fileSchema.getField(n)
+            require(f != null,
+              s"$path: declared column '$n' missing from avro schema")
+            f.pos()
+          }
+          new Iterator[Row] {
+            def hasNext: Boolean = {
+              val h = reader.hasNext
+              if (!h) reader.close()
+              h
             }
-          } finally reader.close()
-          out
+            def next(): Row = {
+              val rec = reader.next()
+              Row.fromSeq(names.indices.map(i =>
+                convert(rec.get(pos(i)), types(i), names(i), path)))
+            }
+          }
         }
       }(Encoders.row(schema))
     rows.toDF(names: _*)
