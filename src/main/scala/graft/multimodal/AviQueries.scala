@@ -120,8 +120,13 @@ object AviQueries {
     * codec: "DIB " (BI_RGB, frames from [[dibFrame]]) or "MJPG"
     * (frames from [[jpegFrame]]).
     */
+  /** `recGrouped` wraps each frame chunk in a 'rec ' LIST — the
+    * standard interleaved-mux grouping — so AviSpec can prove the
+    * parser walks real structure rather than replaying this writer's
+    * flat layout.
+    */
   def aviBytes(w: Int, h: Int, nFrames: Int, seed: Long,
-               handler: String): Array[Byte] = {
+               handler: String, recGrouped: Boolean = false): Array[Byte] = {
     val dib = handler == "DIB "
     val frames = (0 until nFrames).map { f =>
       if (dib) dibFrame(w, h, seed, f) else jpegFrame(w, h, f)
@@ -160,14 +165,20 @@ object AviQueries {
     }
     val hdrl = list("hdrl",
       chunk("avih", avih) ++ list("strl", chunk("strh", strh) ++ chunk("strf", strf)))
-    val moviChildren = frames.map(f => chunk(ckId, f))
+    val moviChildren = frames.map { f =>
+      val ck = chunk(ckId, f)
+      if (recGrouped) list("rec ", ck) else ck
+    }
     val movi = list("movi", moviChildren.flatten.toArray)
-    val idx1 = { // movi-relative offsets; first chunk sits at 4
+    val idx1 = { // movi-relative offsets; first child sits at 4
       val b = new ByteArrayOutputStream()
       var off = 4L
       frames.foreach { f =>
-        fcc(b, ckId); u32(b, 0x10); u32(b, off); u32(b, f.length.toLong)
-        off += 8 + f.length + (f.length % 2)
+        // with rec grouping the frame chunk sits 12 bytes into its
+        // wrapper (LIST + size + 'rec ')
+        val ckOff = if (recGrouped) off + 12 else off
+        fcc(b, ckId); u32(b, 0x10); u32(b, ckOff); u32(b, f.length.toLong)
+        off += (if (recGrouped) 12 else 0) + 8 + f.length + (f.length % 2)
       }
       b.toByteArray
     }
@@ -209,7 +220,10 @@ object AviQueries {
         id match {
           case "LIST" =>
             val listType = fourcc()
-            walk(dataStart + size, inMovi = listType == "movi")
+            // 'rec ' LISTs inside movi group interleaved frames (the
+            // standard muxer layout) — movi context must PROPAGATE
+            // into them, not reset
+            walk(dataStart + size, inMovi = inMovi || listType == "movi")
           case "strh" =>
             val a = new Array[Byte](8); buf.get(a)
             if (new String(a, 0, 4, "US-ASCII") == "vids")

@@ -51,14 +51,20 @@ object AvroSources {
   def writeAvro(df: DataFrame, schemaJson: String, outDir: String): Unit = {
     val dir = java.nio.file.Paths.get(outDir)
     if (java.nio.file.Files.exists(dir)) { // overwrite semantics
-      val old = java.nio.file.Files.list(dir).iterator()
-      while (old.hasNext) java.nio.file.Files.delete(old.next())
+      val listing = java.nio.file.Files.list(dir)
+      try {
+        val old = listing.iterator()
+        while (old.hasNext) java.nio.file.Files.delete(old.next())
+      } finally listing.close()
     } else java.nio.file.Files.createDirectories(dir)
     val cols = df.schema
     df.foreachPartition { rows: Iterator[Row] =>
       if (rows.hasNext) {
         val schema = new Schema.Parser().parse(schemaJson)
         val fields = schema.getFields
+        // row positions resolved once per partition, not per record
+        val rowIdx = (0 until fields.size)
+          .map(i => cols.fieldIndex(fields.get(i).name())).toArray
         val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
         val pid = TaskContext.getPartitionId()
@@ -68,15 +74,14 @@ object AvroSources {
           val rec = new GenericData.Record(schema)
           var i = 0
           while (i < fields.size) {
-            val name = fields.get(i).name()
-            val v = r.get(cols.fieldIndex(name)) match {
+            val v = r.get(rowIdx(i)) match {
               // DATE → avro logical date (epoch days), under either
               // java.sql or java8 datetime API
               case d: java.sql.Date => d.toLocalDate.toEpochDay.toInt
               case d: java.time.LocalDate => d.toEpochDay.toInt
               case other => other
             }
-            rec.put(name, v)
+            rec.put(i, v)
             i += 1
           }
           writer.append(rec)
@@ -98,6 +103,12 @@ object AvroSources {
           val reader = new DataFileReader[GenericRecord](
             new org.apache.avro.file.SeekableByteArrayInput(bytes),
             new GenericDatumReader[GenericRecord]())
+          // close deterministically even if the consumer stops early
+          // (limit/take) or a convert() error aborts mid-file — the
+          // deflate codec holds native zlib buffers until closed
+          val tc = TaskContext.get()
+          if (tc != null)
+            tc.addTaskCompletionListener[Unit](_ => reader.close())
           // field positions resolved ONCE per file (a per-record name
           // lookup would hash every field of every row), and decode
           // streams record-by-record — the raw bytes are the only

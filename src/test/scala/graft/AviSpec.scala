@@ -56,6 +56,18 @@ class AviSpec extends AnyFunSuite {
       })
   }
 
+  test("parser handles the standard 'rec ' interleaved frame grouping") {
+    val flat = AviQueries.parseAvi(bytes)
+    val rec = AviQueries.parseAvi(
+      AviQueries.aviBytes(5, 3, 4, seed = 42L, handler = "DIB ",
+        recGrouped = true))
+    assert((rec.width, rec.height, rec.handler, rec.frames.size) ===
+      ((flat.width, flat.height, flat.handler, flat.frames.size)))
+    assert(rec.frames.zip(flat.frames).forall { case (a, b) =>
+      java.util.Arrays.equals(a, b)
+    })
+  }
+
   test("corrupt payloads fail loudly, not silently") {
     intercept[IllegalArgumentException] {
       AviQueries.parseAvi("not a riff file at all".getBytes)
