@@ -131,10 +131,10 @@ object EtlQueries {
   val q7dCleanse: GraftQuery = GraftQuery(
     "q7d_cleanse",
     """SELECT p_partkey,
-      |       CASE WHEN regexp_replace(trim(p_name), '\s+', ' ', 'g') = ''
+      |       CASE WHEN regexp_replace(trim(p_name), '[ \t\n\x0B\f\r]+', ' ', 'g') = ''
       |            THEN 'unkown'
       |            ELSE regexp_replace(regexp_replace(trim(p_name),
-      |                   '\s+', ' ', 'g'), ' ', '_', 'g') END AS name_norm,
+      |                   '[ \t\n\x0B\f\r]+', ' ', 'g'), ' ', '_', 'g') END AS name_norm,
       |       upper(trim(p_brand)) AS brand_norm,
       |       lower(trim(p_type)) AS type_norm
       |FROM part""".stripMargin) { (spark, dir) =>
@@ -143,7 +143,7 @@ object EtlQueries {
     // reference cleanse chain: trim → collapse whitespace → '_' join,
     // empty → 'unkown' (sic — the reference's literal spelling,
     // `etl for products with scd2.ktr:871-920`)
-    val collapsed = regexp_replace(trim($"p_name"), "\\s+", " ")
+    val collapsed = regexp_replace(trim($"p_name"), "[ \\t\\n\\x0B\\f\\r]+", " ")
     t.part.select(
       $"p_partkey",
       when(collapsed === "", "unkown")

@@ -88,7 +88,7 @@ object BpeQueries {
     "q29_bpe_train",
     s"""WITH words AS (
        |  SELECT w AS word, CAST(COUNT(*) AS BIGINT) AS freq
-       |  FROM (SELECT unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |  FROM (SELECT unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |        FROM documents)
        |  WHERE length(w) > 0 AND strpos(w, chr(31)) = 0
        |  GROUP BY 1),
@@ -109,7 +109,7 @@ object BpeQueries {
     val docs = Tables(spark, dir).documents
     // the ONLY corpus-scale pass: word frequencies
     val words = docs
-      .select(explode(split(trim($"text"), "\\s+")).as("w"))
+      .select(explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("w"))
       .filter(length($"w") > 0 && !$"w".contains(US))
       .groupBy($"w").agg(count(lit(1)).as("freq"))
     var vocab = words.select($"w".as("word"), $"freq",

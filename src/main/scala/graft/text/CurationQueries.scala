@@ -97,7 +97,7 @@ object CurationQueries {
     import docs.sparkSession.implicits._
     import org.apache.spark.sql.GraftColumnBridge
     val ws = docs.select($"doc_id",
-      split(trim($"text"), "\\s+").as("ws"))
+      split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+").as("ws"))
     val tokStats = ws
       .select($"doc_id", explode($"ws").as("tok"))
       .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
@@ -127,7 +127,7 @@ object CurationQueries {
   /** SQL twin of [[repetitionStats]] over source relation `src`. */
   def repetitionSql(src: String): String =
     s"""WITH ws AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
        |  FROM $src),
        |tok AS (
        |  SELECT doc_id, unnest(ws) AS tok FROM ws),
@@ -210,7 +210,7 @@ object CurationQueries {
   /** SQL twin of [[contaminationFlags]] over source relation `src`. */
   def contaminationSql(src: String): String =
     s"""WITH ws AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws
+       |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS ws
        |  FROM $src),
        |sh AS (
        |  SELECT DISTINCT doc_id,
@@ -290,7 +290,7 @@ object CurationQueries {
   val q12jVocabStats: GraftQuery = GraftQuery(
     "q12j_vocab_stats",
     """WITH toks AS (
-      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  SELECT lang, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       |  FROM documents)
       |SELECT lang, COUNT(*) AS n_tokens,
       |       COUNT(DISTINCT tok) AS vocab_size,
@@ -299,7 +299,7 @@ object CurationQueries {
       |FROM toks GROUP BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     Tables(spark, dir).documents
-      .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .select($"lang", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_tokens"),
         countDistinct($"tok").as("vocab_size"),
@@ -326,13 +326,13 @@ object CurationQueries {
   val q12jVocabApprox: GraftQuery = GraftQuery(
     "q12j_vocab_approx",
     """WITH toks AS (
-      |  SELECT lang, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  SELECT lang, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       |  FROM documents)
       |SELECT lang, COUNT(*) AS n_tokens, true AS vocab_ok
       |FROM toks GROUP BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     Tables(spark, dir).documents
-      .select($"lang", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .select($"lang", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
       .groupBy($"lang")
       .agg(count(lit(1)).as("n_tokens"),
         approx_count_distinct($"tok", 0.01).as("v_approx"),
@@ -458,7 +458,7 @@ object CurationQueries {
     */
   private def tokenCounts(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
-    docs.select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+    docs.select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
       .groupBy($"doc_id").agg(count(lit(1)).as("n_tokens"))
   }
 
@@ -478,7 +478,7 @@ object CurationQueries {
     """WITH toks AS (
       |  SELECT doc_id, COUNT(*) AS n_tokens
       |  FROM (SELECT doc_id,
-      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |          unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       |        FROM documents) GROUP BY 1),
       |keyed AS (
       |  SELECT doc_id, n_tokens,
@@ -568,7 +568,7 @@ object CurationQueries {
     """WITH toks AS (
       |  SELECT doc_id, COUNT(*) AS n_tokens
       |  FROM (SELECT doc_id,
-      |          unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |          unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       |        FROM documents) GROUP BY 1)
       |SELECT doc_id, n_tokens,
       |       CAST(start_tok // 48 AS BIGINT) AS chunk_idx,
@@ -603,7 +603,7 @@ object CurationQueries {
   val q12wFilterFunnel: GraftQuery = GraftQuery(
     "q12w_filter_funnel",
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       |  FROM documents),
       |tt AS (
       |  SELECT doc_id, COUNT(*) AS n_tok, COUNT(DISTINCT tok) AS n_dis
@@ -630,7 +630,7 @@ object CurationQueries {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
     val tt = docs
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
       .groupBy($"doc_id")
       .agg(count(lit(1)).as("n_tok"), countDistinct($"tok").as("n_dis"))
     val lab = docs.join(tt, "doc_id").select(

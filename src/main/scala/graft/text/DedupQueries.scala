@@ -311,7 +311,7 @@ object DedupQueries {
   val q13dSimhash: GraftQuery = GraftQuery(
     "q13d_simhash",
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       |  FROM documents),
       |bits AS (
       |  SELECT doc_id, tok, b,
@@ -339,7 +339,7 @@ object DedupQueries {
     // hex digit value: conv(hexchar, 16, 10); same result as the
     // oracle's strpos-in-alphabet — only outputs must match, not calls
     val toks = docs
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+      .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
       .select($"doc_id", md5($"tok").as("h"))
     def bitval(b: Int) = {
       val digit = conv(substr($"h", lit(1 + b / 4), lit(1)), 16, 10)
@@ -441,7 +441,7 @@ object DedupQueries {
        |              ELSE text END AS text
        |  FROM documents),
        |toks AS (
-       |  SELECT doc_id, string_split_regex(trim(text), '\\s+') AS w
+       |  SELECT doc_id, string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |  FROM base),
        |chunks AS (
        |  SELECT doc_id,
@@ -469,7 +469,7 @@ object DedupQueries {
       when($"doc_id" % 3 === 0, concat(lit(Boiler + " "), $"text"))
         .otherwise($"text").as("text"))
     val chunks = base
-      .withColumn("w", split(trim($"text"), "\\s+"))
+      .withColumn("w", split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+"))
       .select($"doc_id", explode(expr(
         s"""transform(
            |  sequence(0, cast(ceil(size(w) / $ChunkTokens.0) as int) - 1),
@@ -557,7 +557,7 @@ object DedupQueries {
   val q13jEditdistJoin: GraftQuery = GraftQuery(
     "q13j_editdist_join",
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       |  FROM documents),
       |typo AS (
       |  SELECT CASE
@@ -575,7 +575,7 @@ object DedupQueries {
     (spark, dir) =>
       import spark.implicits._
       val toks = Tables(spark, dir).documents
-        .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+        .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
       val typo = toks.select(
         when($"doc_id" % 7 === 0 && length($"tok") >= 5,
           expr("substring(tok, 2)"))
@@ -660,7 +660,7 @@ object DedupQueries {
       |  SELECT doc_id,
       |         unnest(range(len(w))) AS pos,
       |         unnest(w) AS tok
-      |  FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS w
+      |  FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS w
       |        FROM documents)),
       |marked AS (
       |  SELECT doc_id, pos, tok,
@@ -682,7 +682,7 @@ object DedupQueries {
     import org.apache.spark.sql.expressions.Window
     val toks = Tables(spark, dir).documents
       .select($"doc_id",
-        posexplode(split(trim($"text"), "\\s+")).as(Seq("pos", "tok")))
+        posexplode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as(Seq("pos", "tok")))
     val w = Window.partitionBy($"doc_id").orderBy($"pos")
     val marked = toks.withColumn("chunk",
       sum((conv(substring(md5($"tok"), 1, 2), 16, 10).cast("int") % 8 === 0)

@@ -60,7 +60,7 @@ object HeavyHitterQueries {
   private def stream(docs: DataFrame): DataFrame = {
     import docs.sparkSession.implicits._
     val organic = docs
-      .withColumn("w", split(trim($"text"), "\\s+"))
+      .withColumn("w", split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(explode(expr(
         """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
           |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
@@ -78,7 +78,7 @@ object HeavyHitterQueries {
     }.mkString("\nUNION ALL\n")
     s"""SELECT unnest(list_transform(range(len(w) - 1),
        |                             i -> w[i + 1] || ' ' || w[i + 2])) AS bg
-       |FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+       |FROM (SELECT string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |      FROM documents)
        |UNION ALL
        |$plants""".stripMargin
@@ -150,7 +150,7 @@ object HeavyHitterQueries {
     s"""WITH bg AS (
        |  SELECT unnest(list_transform(range(len(w) - 1),
        |                               i -> w[i + 1] || ' ' || w[i + 2])) AS bg
-       |  FROM (SELECT string_split_regex(trim(text), '\\s+') AS w
+       |  FROM (SELECT string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+') AS w
        |        FROM documents)),
        |cells AS (
        |  SELECT r,
@@ -174,7 +174,7 @@ object HeavyHitterQueries {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
     val bg = docs
-      .withColumn("w", split(trim($"text"), "\\s+"))
+      .withColumn("w", split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+"))
       .select(explode(expr(
         """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
           |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))

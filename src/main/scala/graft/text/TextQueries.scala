@@ -19,7 +19,7 @@ object TextQueries {
   /** Word tokens, whitespace-split after trim (empty-safe). */
   private def tokens(df: DataFrame): DataFrame = {
     import df.sparkSession.implicits._
-    df.select($"doc_id", explode(split(trim($"text"), "\\s+")).as("tok"))
+    df.select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("tok"))
   }
 
   /** q12a — token counting: per-doc token totals, distinct counts,
@@ -28,7 +28,7 @@ object TextQueries {
   val q12aTokenStats: GraftQuery = GraftQuery(
     "q12a_token_stats",
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS tok
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS tok
       |  FROM documents)
       |SELECT doc_id, COUNT(*) AS n_tokens,
       |       COUNT(DISTINCT tok) AS n_distinct,
@@ -53,7 +53,7 @@ object TextQueries {
     * mode), so the match streams are identical.
     */
   private[graft] val bpePattern =
-    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^\\sa-zA-Z0-9]+|\\s+"
+    "'s|'t|'re|'ve|'m|'ll|'d| ?[a-zA-Z]+| ?[0-9]+| ?[^ \\t\\n\\x0B\\f\\ra-zA-Z0-9]+|[ \\t\\n\\x0B\\f\\r]+"
 
   /** q12e — BPE-ish token counting (builder contract: "token counting
     * (whitespace + a BPE-ish regex)"; q12a is the whitespace half).
@@ -72,7 +72,7 @@ object TextQueries {
        |ws AS (
        |  SELECT doc_id, COUNT(*) AS n_words
        |  FROM (SELECT doc_id,
-       |          unnest(string_split_regex(trim(text), '\\s+')) AS w
+       |          unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS w
        |        FROM documents) GROUP BY 1),
        |bpe AS (
        |  SELECT doc_id, COUNT(*) AS n_bpe,
@@ -183,7 +183,7 @@ object TextQueries {
     */
   def qualitySql(src: String): String =
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
        |  FROM $src),
        |f AS (
        |  SELECT doc_id, COUNT(*) AS n_tokens,
@@ -231,7 +231,7 @@ object TextQueries {
   val q12cLangId: GraftQuery = GraftQuery(
     "q12c_langid",
     s"""WITH toks AS (
-       |  SELECT doc_id, unnest(string_split_regex(trim(text), '\\s+')) AS tok
+       |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \\t\\n\\x0B\\f\\r]+')) AS tok
        |  FROM documents),
        |stop(slang, word) AS (VALUES ${stopLists
           .map { case (l, w) => s"('$l','$w')" }.mkString(",")}),
@@ -285,7 +285,7 @@ object TextQueries {
     // after explode. The HOF twin lives in shinglesHof for the
     // parity spec.
     docs
-      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .select($"doc_id", split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+").as("toks"))
       .select($"doc_id", explode(GraftColumnBridge.column(
         graft.functions.WordNGrams(
           GraftColumnBridge.expression($"toks"), 3))).as("sh"))
@@ -301,7 +301,7 @@ object TextQueries {
     // the step defaults to -1 when start > stop, and element_at(_, 0)
     // throws — so short docs must never reach the generator.
     docs
-      .select($"doc_id", split(trim($"text"), "\\s+").as("toks"))
+      .select($"doc_id", split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+").as("toks"))
       .select($"doc_id", explode(expr(
         """CASE WHEN size(toks) >= 3 THEN
           |  transform(sequence(1, size(toks) - 2),
@@ -315,7 +315,7 @@ object TextQueries {
     """SELECT DISTINCT doc_id,
       |       unnest(list_transform(range(1, greatest(len(ws) - 1, 1)),
       |         i -> ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2])) AS sh
-      |FROM (SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |FROM (SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws
       |      FROM documents)""".stripMargin
 
   /** q12d — document fingerprinting: winnowing-style min-hash over

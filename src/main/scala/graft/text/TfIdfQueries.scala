@@ -39,7 +39,7 @@ object TfIdfQueries {
   val q12oTfidfTopk: GraftQuery = GraftQuery(
     "q12o_tfidf_topk",
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
       |  FROM documents),
       |tf AS (
       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -58,7 +58,7 @@ object TfIdfQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
     val tf = docs
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
     // df aggregates tf's COUNT as well as its rows (cf = collection
@@ -137,7 +137,7 @@ object TfIdfQueries {
   val q12yBm25Topk: GraftQuery = GraftQuery(
     "q12y_bm25_topk",
     """WITH toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
       |  FROM documents),
       |tf AS (
       |  SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
@@ -191,7 +191,7 @@ object TfIdfQueries {
     import org.apache.spark.sql.expressions.Window
     val docs = Tables(spark, dir).documents
     val tf = docs
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))

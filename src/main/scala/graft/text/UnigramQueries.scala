@@ -36,7 +36,7 @@ object UnigramQueries {
     */
   private val xentCtes: String =
     """toks AS (
-      |  SELECT doc_id, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  SELECT doc_id, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
       |  FROM documents),
       |tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY 1, 2),
       |cf AS (SELECT term, CAST(SUM(tf) AS BIGINT) AS cf FROM tf GROUP BY 1),
@@ -60,7 +60,7 @@ object UnigramQueries {
       : org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
     val tf = docs
-      .select($"doc_id", explode(split(trim($"text"), "\\s+")).as("term"))
+      .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
     val cf = tf.groupBy($"term").agg(sum($"tf").as("cf"))
@@ -157,7 +157,7 @@ object UnigramQueries {
   val q12sSourceKl: GraftQuery = GraftQuery(
     "q12s_source_kl",
     """WITH toks AS (
-      |  SELECT source, unnest(string_split_regex(trim(text), '\s+')) AS term
+      |  SELECT source, unnest(string_split_regex(trim(text), '[ \t\n\x0B\f\r]+')) AS term
       |  FROM documents),
       |tfs AS (SELECT source, term, COUNT(*) AS cfs FROM toks GROUP BY 1, 2),
       |cf AS (SELECT term, CAST(SUM(cfs) AS BIGINT) AS cf FROM tfs GROUP BY 1),
@@ -186,7 +186,7 @@ object UnigramQueries {
     // materialized form. The corpus is tokenized exactly once by
     // construction, not by optimizer luck.
     val tfs = docs
-      .select($"source", explode(split(trim($"text"), "\\s+")).as("term"))
+      .select($"source", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"source", $"term")
       .agg(count(lit(1)).as("cfs"))
       .localCheckpoint(true)
@@ -227,7 +227,7 @@ object UnigramQueries {
   val q12xBigramLogprob: GraftQuery = GraftQuery(
     "q12x_bigram_logprob",
     """WITH lists AS (
-      |  SELECT doc_id, string_split_regex(trim(text), '\s+') AS ws
+      |  SELECT doc_id, string_split_regex(trim(text), '[ \t\n\x0B\f\r]+') AS ws
       |  FROM documents),
       |big AS (
       |  SELECT doc_id, ws[i] AS w1, ws[i+1] AS w2
@@ -253,7 +253,7 @@ object UnigramQueries {
     import spark.implicits._
     val docs = Tables(spark, dir).documents
     val tf = docs
-      .select($"doc_id", split(trim($"text"), "\\s+").as("ws"))
+      .select($"doc_id", split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+").as("ws"))
       .select($"doc_id", explode(expr(
         """transform(slice(ws, 1, size(ws) - 1),
           |  (x, i) -> struct(x AS w1, ws[i + 1] AS w2))""".stripMargin))
