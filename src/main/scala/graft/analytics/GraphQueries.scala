@@ -50,7 +50,10 @@ object GraphQueries {
     .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
 
   private[graft] def coPurchasePairs(
-      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame =
+      spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
+    // entries for stopped sessions pin their whole session graph (and
+    // checkpoint blocks) for the JVM's life — evict them on access
+    pairCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
     pairCache.getOrElseUpdate((spark, dir), {
       import spark.implicits._
       Tables(spark, dir).lineitem
@@ -66,6 +69,7 @@ object GraphQueries {
         .agg(count(lit(1)).as("w"))
         .localCheckpoint(true)
     })
+  }
 
   /** Node-grain frames (rank, degree, frontier distance) are ≪ edges
     * by construction; below this vertex count they are BROADCAST onto
@@ -112,14 +116,23 @@ object GraphQueries {
     // for AQE to re-plan from); a step stacked directly on another
     // step's aggregate leaves the choice to AQE, which sees the
     // node-grain runtime size and broadcasts on its own.
+    // Every step re-anchors on the full NODE set (outd's keys): a
+    // node with out-edges but no in-edges is contract-legal, and
+    // keying the step on __dst alone would drop it from pr — losing
+    // its outgoing mass from the NEXT round and corrupting every
+    // downstream rank. The left join's NULL fills its incoming sum
+    // with 0, so it keeps exactly the 0.15/N base mass.
+    val nodes = outd.select(col(src).as("node"))
     def step(prev: DataFrame, hint: Boolean): DataFrame = {
       val prJ = if (hint) hinted(prev) else prev
-      e.join(prJ, e("__src") === prJ("node"))
+      val agg = e.join(prJ, e("__src") === prJ("node"))
         .groupBy($"__dst")
         .agg(sum(floor($"pr" * $"__ratio" * 1e15 + 0.5).cast("long")).as("s"))
-        .select($"__dst".as("node"),
+      nodes.join(agg, $"node" === $"__dst", "left")
+        .select($"node",
           (lit(0.15) / lit(nD) +
-            lit(0.85) * ($"s".cast("double") / lit(1e15))).as("pr"))
+            lit(0.85) * (coalesce($"s", lit(0L)).cast("double") / lit(1e15)))
+            .as("pr"))
     }
     // Two rounds per materialization: lineage stays bounded, but half
     // the checkpoint/broadcast/job overhead of one-round-per-commit.
@@ -134,12 +147,16 @@ object GraphQueries {
     */
   private def pageRankSql(iters: Int): String = {
     val steps = (1 to iters).map { k =>
+      // anchored on outd (the node set), mirroring the Spark step's
+      // left join — zero-in-degree nodes keep their 0.15/N base mass
       s"""pr$k AS MATERIALIZED (
-         |  SELECT e.t AS node,
-         |    0.15 / nn + 0.85 * (CAST(SUM(CAST(FLOOR(p.pr * e.ratio * 1e15
-         |      + 0.5) AS BIGINT)) AS DOUBLE) / 1e15) AS pr
-         |  FROM e JOIN pr${k - 1} p ON e.s = p.node, nn
-         |  GROUP BY e.t, nn.nn)""".stripMargin
+         |  SELECT o.s AS node,
+         |    0.15 / nn + 0.85 * (CAST(COALESCE(a.sd, 0) AS DOUBLE) / 1e15) AS pr
+         |  FROM outd o CROSS JOIN nn LEFT JOIN (
+         |    SELECT e.t, SUM(CAST(FLOOR(p.pr * e.ratio * 1e15
+         |      + 0.5) AS BIGINT)) AS sd
+         |    FROM e JOIN pr${k - 1} p ON e.s = p.node GROUP BY e.t) a
+         |    ON a.t = o.s)""".stripMargin
     }
     steps.mkString(",\n")
   }
@@ -281,6 +298,10 @@ object GraphQueries {
         .select($"lo", $"hi",
           array_intersect($"nu", coalesce($"nv", emptyNbrs)).as("ws"))
         .select($"lo", $"hi", $"ws", size($"ws").cast("long").as("k"))
+        // two consumers (center + apex credits): without this the
+        // broadcast probes AND the hot array_intersect run twice —
+        // the file's multi-consumer checkpoint discipline (orE above)
+        .localCheckpoint(true)
       val centerCredits = per.filter($"k" > 0)
         .select(explode(array($"lo", $"hi")).as("v"), $"k")
       val apexCredits = per
@@ -331,15 +352,19 @@ object GraphQueries {
     // SMJ rounds 6.09 s → broadcast rounds 2.16 s (2.8×) at sf0.1.
     // The second r10 wash (pre-partition+pre-sort of e) stays retired:
     // the broadcast path eliminates the per-round sort entirely.
-    // the frontier is bounded by the node set, which is bounded by
-    // 2× the edge rows — an edge-row count is a COUNT over the
-    // checkpointed RDD (no shuffle), unlike a distinct-node probe
-    val small = e.count() <= broadcastLimit
-    def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df
+    // The broadcast frame is DIST — node-grain — so the gate counts
+    // dist itself, per round: it is checkpointed every round, so the
+    // count is a cheap RDD count with no shuffle. (An edge-row gate
+    // — the first cut here — had the wrong units both ways: a dense
+    // graph with few nodes lost the 2.8x broadcast path the moment
+    // edges passed the limit, and a sparse one could broadcast up to
+    // 2x the node budget.)
     var dist = seeds.select(col(node).as("node"), lit(0L).as("hops"))
       .localCheckpoint(true)
     for (_ <- 1 to iters) {
-      dist = e.join(hinted(dist), $"__s" === $"node")
+      val frontier =
+        if (dist.count() <= broadcastLimit) broadcast(dist) else dist
+      dist = e.join(frontier, $"__s" === $"node")
         .select($"__t".as("node"), ($"hops" + 1L).as("hops"))
         .unionAll(dist)
         .groupBy($"node").agg(min($"hops").as("hops"))

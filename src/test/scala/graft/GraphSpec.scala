@@ -23,9 +23,11 @@ class GraphSpec extends SparkTestBase {
         _.map { case (src, _, r) =>
           math.floor(pr(src) * r * 1e15 + 0.5).toLong
         }.sum).toMap
-      pr = s.map { case (node, acc) =>
-        node -> (0.15 / nD + 0.85 * (acc.toDouble / 1e15))
-      }
+      // re-anchor on the FULL node set each round, like the operator:
+      // a zero-in-degree node keeps its 0.15/N base mass
+      pr = out.keySet.map { node =>
+        node -> (0.15 / nD + 0.85 * (s.getOrElse(node, 0L).toDouble / 1e15))
+      }.toMap
     }
     pr
   }
@@ -44,6 +46,22 @@ class GraphSpec extends SparkTestBase {
     }
     // hub (node 3: heaviest total weight) outranks the pendant leaf
     assert(got(3L) > got(4L))
+  }
+
+  test("pageRank keeps zero-in-degree nodes (contract-legal directed graph)") {
+    // A feeds B but nothing feeds A: out-degree >= 1 everywhere (the
+    // documented contract) yet A must survive every round with its
+    // 0.15/N base mass — keying a step on dst alone would drop it and
+    // lose its outgoing mass from round 2 on
+    val directed = Seq((1L, 2L, 1L), (2L, 3L, 1L), (3L, 2L, 1L))
+    val got = GraphQueries.pageRank(directed.toDF("s", "t", "w"), "s", "t", "w")
+      .collect().map(r => r.getLong(0) -> r.getDouble(1)).toMap
+    val want = replay(directed, 8)
+    assert(got.keySet === Set(1L, 2L, 3L), s"node set wrong: ${got.keySet}")
+    got.foreach { case (node, pr) =>
+      assert(pr == want(node), s"node $node: $pr != ${want(node)}")
+    }
+    assert(got(1L) == 0.15 / 3.0, "source node must hold exactly base mass")
   }
 
   test("broadcast path and shuffle fallback produce bitwise-equal ranks") {
