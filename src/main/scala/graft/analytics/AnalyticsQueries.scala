@@ -1054,13 +1054,16 @@ object AnalyticsQueries {
               |END""".stripMargin)}),
          |z AS (
          |  SELECT metric, n_a, conv_a, n_b, conv_b,
-         |         CAST(FLOOR(
+         |         CASE WHEN n_a > 0 AND n_b > 0
+         |                AND conv_a + conv_b > 0
+         |                AND conv_a + conv_b < n_a + n_b
+         |         THEN CAST(FLOOR(
          |           (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
          |           * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
          |           / ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
          |              * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
          |              * (1.0 / n_a + 1.0 / n_b)) * 1e6 + 0.5) AS BIGINT)
-         |           AS z2_q6
+         |         ELSE NULL END AS z2_q6
          |  FROM agg)
          |SELECT metric, n_a, conv_a, n_b, conv_b, z2_q6,
          |       z2_q6 > 3841458 AS significant
@@ -1082,14 +1085,20 @@ object AnalyticsQueries {
           when($"o_orderkey" % 4 === 0, 1L).otherwise(0L))
           .otherwise(when($"o_orderkey" % 8 === 0, 1L).otherwise(0L)))
       organic.unionByName(planted)
+        // the CASE arms mirror the twin exactly; the guard makes the
+        // statistic NULL (not a divide-by-zero) when an arm is empty
+        // or the pooled rate is 0 or 1 — z is undefined there
         .withColumn("z2_q6", expr(
-          """CAST(FLOOR(
+          """CASE WHEN n_a > 0 AND n_b > 0
+            |       AND conv_a + conv_b > 0
+            |       AND conv_a + conv_b < n_a + n_b
+            |THEN CAST(FLOOR(
             |  (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
             |  * (CAST(conv_a AS DOUBLE) / n_a - CAST(conv_b AS DOUBLE) / n_b)
             |  / ((CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
             |     * (1.0 - CAST(conv_a + conv_b AS DOUBLE) / (n_a + n_b))
-            |     * (1.0 / n_a + 1.0 / n_b)) * 1e6 + 0.5) AS BIGINT)"""
-            .stripMargin))
+            |     * (1.0 / n_a + 1.0 / n_b)) * 1e6 + 0.5) AS BIGINT)
+            |ELSE NULL END""".stripMargin))
         .withColumn("significant", $"z2_q6" > 3841458L)
     }
   }

@@ -101,6 +101,11 @@ object GraphQueries {
     val outd = edges.groupBy(col(src)).agg(sum(col(w)).as("__out"))
       .localCheckpoint(true)
     val n = outd.count()
+    // Empty graph (a contract-legal filtered-to-nothing input): the
+    // twin's outd-anchored CTEs all yield zero rows, so the rank frame
+    // is empty — return it before the 1.0/N fold divides by zero.
+    if (n == 0L)
+      return outd.select(col(src).as("node"), lit(0.0).as("pr"))
     val nD = n.toDouble
     val small = n <= broadcastLimit
     def hinted(df: DataFrame): DataFrame = if (small) broadcast(df) else df

@@ -492,7 +492,10 @@ object Sources {
         year($"o_orderdate").cast(LongType).as("o_year"))
     writePartitioned(slice, PartOut, Seq("o_year"))
 
-    val parts = spark.read.parquet(PartOut)
+    // read back under the WRITTEN schema: a zero-row slice leaves the
+    // partition tree with no footers to infer from (only _SUCCESS),
+    // and the audit of an empty write is an empty ledger, not a crash
+    val parts = spark.read.schema(slice.schema).parquet(PartOut)
       .groupBy($"o_year".cast(LongType).as("o_year"))
       .agg(count(lit(1)).as("n_rows"))
     val preds = Seq((0L, 1995, 1996), (1L, 1997, 1998),
@@ -548,7 +551,9 @@ object Sources {
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .option("path", BucketOut)
       .saveAsTable("q17h_bucket_ext")
-    spark.read.parquet(BucketOut)
+    // explicit schema: an empty slice writes no bucket files (footers
+    // to infer from), and the empty table's bucket ledger is empty
+    spark.read.schema(slice.schema).parquet(BucketOut)
       .withColumn("f", input_file_name())
       // bucket id precedes any .cNNN file counter — a write that splits
       // files (e.g. maxRecordsPerFile on the session) emits .c001+, so
@@ -626,7 +631,7 @@ object Sources {
     base.write.mode("overwrite").partitionBy("o_year").parquet(UpsertOut)
 
     def listing(): Map[Int, Set[String]] =
-      spark.read.parquet(UpsertOut)
+      spark.read.schema(base.schema).parquet(UpsertOut)
         .select($"o_year", input_file_name().as("f")).distinct()
         .as[(Int, String)].collect()
         .groupBy(_._1).view.mapValues(_.map(_._2).toSet).toMap
@@ -657,7 +662,7 @@ object Sources {
       (y, before.get(y) == after.get(y))
     }.toDF("o_year", "files_preserved")
 
-    spark.read.parquet(UpsertOut)
+    spark.read.schema(base.schema).parquet(UpsertOut)
       .groupBy($"o_year")
       .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
       .join(broadcast(preserved), "o_year")
@@ -740,7 +745,10 @@ object Sources {
       // read-and-overwrite-the-same-path hazard
       affected.foreach { y =>
         val d = postState.filter($"o_year" === y)
-        val k = ((d.count() + TargetRows - 1) / TargetRows).toInt
+        // floor of 1: a year absent from the merge slice (degenerate
+        // input) must not ask for a 0-partition shuffle — the empty
+        // write is a no-op under dynamic overwrite either way
+        val k = math.max(1L, (d.count() + TargetRows - 1) / TargetRows).toInt
         d.repartition(k).write.mode("overwrite")
           .partitionBy("o_year").parquet(OptimizeOut)
       }
@@ -749,7 +757,7 @@ object Sources {
       case None    => spark.conf.unset(modeKey)
     }
 
-    spark.read.parquet(OptimizeOut)
+    spark.read.schema(base.schema).parquet(OptimizeOut)
       .select($"o_year", $"cents", input_file_name().as("f"))
       .groupBy($"o_year")
       .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"),
@@ -856,8 +864,10 @@ object Sources {
     writeManifest(2, (kept ++ snap2New).sorted)
 
     // as-of reads resolve through the STORED manifests
+    // explicit schema: an empty table yields an empty manifest, and an
+    // as-of read of an empty snapshot is an empty frame, not a crash
     def asOf(k: Int): org.apache.spark.sql.DataFrame =
-      spark.read.parquet(readManifest(k): _*)
+      spark.read.schema(base.schema).parquet(readManifest(k): _*)
         .groupBy($"o_year")
         .agg(count(lit(1)).as("n_rows"), sum($"cents").as("sum_cents"))
         .select(lit(k).as("snapshot"), $"o_year".cast(LongType).as("o_year"),
