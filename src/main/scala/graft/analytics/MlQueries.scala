@@ -4,7 +4,7 @@ import org.apache.spark.ml.classification.RandomForestClassifier
 import org.apache.spark.ml.evaluation.BinaryClassificationEvaluator
 import org.apache.spark.ml.feature.VectorAssembler
 import org.apache.spark.ml.regression.LinearRegression
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.operators.PrefixSum
@@ -124,8 +124,11 @@ object MlQueries {
     * the two cumulative counts ride [[PrefixSum]]'s distributed
     * two-pass skeleton instead of the single-task empty-partition
     * window the naive form uses. The grand totals are one broadcast
-    * row. Requires at least one positive and one negative label
-    * (fpr/tpr are undefined otherwise — division yields null).
+    * row. With no positive (or no negative) label the affected rate
+    * is UNDEFINED: that column is NULL on both engines — an explicit
+    * guard, because ANSI Spark turns the bare division into a
+    * DIVIDE_BY_ZERO runtime error on a one-class input (flushed by
+    * DegenerateInputSpec's constant warehouse).
     */
   def rocPoints(scored: DataFrame): DataFrame = {
     import scored.sparkSession.implicits._
@@ -137,10 +140,12 @@ object MlQueries {
       PrefixSum.exclusivePrefixSum(grain,
         Seq(col("score").desc), col("pos"), "ctp"),
       Seq(col("score").desc), col("neg"), "cfp")
+    def rate(num: Column, den: Column): Column =
+      when(den =!= 0L, num.cast("double") / den)
     cum.crossJoin(broadcast(totals))
       .select($"score".as("threshold"),
-        (($"cfp" + $"neg").cast("double") / $"nn").as("fpr"),
-        (($"ctp" + $"pos").cast("double") / $"np").as("tpr"))
+        rate($"cfp" + $"neg", $"nn").as("fpr"),
+        rate($"ctp" + $"pos", $"np").as("tpr"))
       .orderBy($"threshold".desc)
   }
 
@@ -174,11 +179,13 @@ object MlQueries {
       |c AS (SELECT score, pos, neg,
       |             CAST(SUM(pos) OVER (ORDER BY score DESC) AS BIGINT) AS tp,
       |             CAST(SUM(neg) OVER (ORDER BY score DESC) AS BIGINT) AS fp
-      |      FROM g)
+      |      FROM g),
+      |t AS (SELECT CAST(SUM(pos) AS BIGINT) AS np,
+      |             CAST(SUM(neg) AS BIGINT) AS nn FROM g)
       |SELECT CAST(score AS BIGINT) AS threshold,
-      |       CAST(fp AS DOUBLE) / (SELECT SUM(neg) FROM g) AS fpr,
-      |       CAST(tp AS DOUBLE) / (SELECT SUM(pos) FROM g) AS tpr
-      |FROM c ORDER BY threshold DESC""".stripMargin) { (spark, dir) =>
+      |       CASE WHEN nn <> 0 THEN CAST(fp AS DOUBLE) / nn END AS fpr,
+      |       CASE WHEN np <> 0 THEN CAST(tp AS DOUBLE) / np END AS tpr
+      |FROM c, t ORDER BY threshold DESC""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val m52 = conv(substring(md5(concat($"c_custkey".cast("string"),
       lit("|roc"))), 1, 13), 16, 10).cast("long")

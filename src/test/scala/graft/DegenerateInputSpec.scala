@@ -33,6 +33,8 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailTiny: Map[String, String] = Map.empty
 
+  private val mayFailConst: Map[String, String] = Map.empty
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -57,6 +59,10 @@ class DegenerateInputSpec extends SparkTestBase {
 
   test("every registered query survives a 3-row warehouse") {
     sweep(DegenerateData.tinyDir(spark), mayFailTiny)
+  }
+
+  test("every registered query survives a constant (zero-variance) warehouse") {
+    sweep(DegenerateData.constDir(spark), mayFailConst)
   }
 }
 
@@ -85,4 +91,25 @@ object DegenerateData {
 
   def emptyDir(spark: SparkSession): String = synchronized(build(spark, "empty", 0))
   def tinyDir(spark: SparkSession): String  = synchronized(build(spark, "tiny", 3))
+
+  /** Constant warehouse: ONE distinct row per table, replicated ×8 —
+    * zero variance in every measure and a single value in every key.
+    * The shape a constant column or an all-one-key partition hands
+    * every variance/quantile/ratio formula at scale.
+    */
+  def constDir(spark: SparkSession): String = synchronized {
+    val root = "target/degenerate/const"
+    val done = java.nio.file.Paths.get(root, "_BUILT")
+    if (!java.nio.file.Files.exists(done)) {
+      tables.foreach { t =>
+        val one = spark.read
+          .parquet(s"/root/testdata/sf0.001/$t.parquet").limit(1)
+        List.fill(8)(one).reduce(_ unionAll _)
+          .coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$t.parquet")
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    root
+  }
 }
