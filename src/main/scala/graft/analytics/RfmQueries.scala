@@ -122,8 +122,9 @@ object RfmQueries {
     "q28b_abc_classification",
     """WITH p AS (
       |  SELECT l_partkey,
-      |         CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
-      |                       AS BIGINT)) AS BIGINT) AS cents
+      |         CAST(COALESCE(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100
+      |                                      + 0.5) AS BIGINT)), 0)
+      |              AS BIGINT) AS cents
       |  FROM lineitem GROUP BY 1),
       |tot AS (SELECT CAST(SUM(cents) AS BIGINT) AS total FROM p),
       |c AS (
@@ -145,10 +146,13 @@ object RfmQueries {
       |         AS share_bps
       |FROM cls GROUP BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // COALESCE to 0 on both engines: a part whose every price is NULL
+    // (dirty feed) is zero revenue, not a NULL that crashes the scan
+    // and classifies divergently across engines
     val p = Tables(spark, dir).lineitem
       .groupBy($"l_partkey")
-      .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100
-        + 0.5).cast(LongType)).as("cents"))
+      .agg(coalesce(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount")
+        * 100 + 0.5).cast(LongType)), lit(0L)).as("cents"))
     val tot = p.agg(sum($"cents").as("total"))
     val cum = graft.operators.PrefixSum.exclusivePrefixSum(
       p, Seq($"cents".desc, $"l_partkey".asc), $"cents", "cum_excl")
@@ -161,7 +165,11 @@ object RfmQueries {
       .groupBy($"abc_class")
       .agg(count(lit(1)).as("n_parts"),
         sum($"cents").as("class_cents"),
-        expr("(sum(cents) * 10000) div max(total)").as("share_bps"))
+        // zero total revenue → share undefined → NULL, which is what
+        // DuckDB's `//` already yields on a 0 divisor; ANSI Spark
+        // would throw without the guard
+        expr("CASE WHEN max(total) <> 0 THEN (sum(cents) * 10000) div max(total) END")
+          .as("share_bps"))
   }
 
   val all: Seq[GraftQuery] = Seq(q28RfmSegments, q28bAbcClassification)

@@ -23,7 +23,12 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * the single-task global window.
   *
   * `orderCols` must be a total order (tie-broken) for a deterministic
-  * result; `valueCol` must be non-null (cast to LONG).
+  * result. A NULL `valueCol` contributes 0 to the running sum (the
+  * NULL-skipping SQL `SUM` applies to its window form too); unlike
+  * SQL, an all-NULL prefix still reads 0, not NULL — the exclusive
+  * scan's "first row gets 0" identity, which callers composing an
+  * inclusive cum (`out + value`) inherit NULL-propagation from
+  * naturally.
   */
 object PrefixSum {
 
@@ -58,7 +63,7 @@ object PrefixSum {
     val perPartition: Array[(Int, Long)] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
         var s = 0L
-        it.foreach(r => s += r.getLong(vIdx))
+        it.foreach(r => if (!r.isNullAt(vIdx)) s += r.getLong(vIdx))
         Iterator.single((pid, s))
       }.collect()
 
@@ -77,7 +82,7 @@ object PrefixSum {
       it.map { row =>
         val out = Row.fromSeq(
           row.toSeq.dropRight(1) :+ run) // drop __psum_v, append prefix
-        run += row.getLong(vIdx)
+        if (!row.isNullAt(vIdx)) run += row.getLong(vIdx)
         out
       }
     }

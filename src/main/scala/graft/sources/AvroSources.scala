@@ -160,14 +160,19 @@ object AvroSources {
   private val AvroOut: String =
     sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_roundtrip/q17l_avro"
 
+  /** Nullable Spark fields map to avro `["null", T]` unions — the
+    * spark-avro connector's convention; with bare types the container
+    * writer rejects the first NULL (AppendWriteException), which the
+    * null-warehouse degenerate sweep flushed.
+    */
   private val OrderSchemaJson =
     """{"type":"record","name":"order","fields":[
-      |  {"name":"o_orderkey","type":"long"},
-      |  {"name":"o_custkey","type":"long"},
-      |  {"name":"cents","type":"long"},
-      |  {"name":"o_totalprice","type":"double"},
-      |  {"name":"o_date","type":{"type":"int","logicalType":"date"}},
-      |  {"name":"o_orderpriority","type":"string"}
+      |  {"name":"o_orderkey","type":["null","long"]},
+      |  {"name":"o_custkey","type":["null","long"]},
+      |  {"name":"cents","type":["null","long"]},
+      |  {"name":"o_totalprice","type":["null","double"]},
+      |  {"name":"o_date","type":["null",{"type":"int","logicalType":"date"}]},
+      |  {"name":"o_orderpriority","type":["null","string"]}
       |]}""".stripMargin
 
   /** q17l — REAL avro roundtrip, ORACLE-GATED like q17b/c/d: a

@@ -602,7 +602,8 @@ object Sources {
       |  SELECT o_orderkey,
       |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
       |         year(o_orderdate) AS o_year
-      |  FROM orders),
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL),
       |upd AS (
       |  SELECT o_orderkey, cents + 1000 AS cents, o_year FROM base
       |  WHERE o_orderkey % 13 = 0 AND o_year IN (1996, 1997)),
@@ -620,7 +621,12 @@ object Sources {
       |       o_year NOT IN (1996, 1997) AS files_preserved
       |FROM merged GROUP BY o_year""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // a NULL order date derives a NULL partition key: that row's home
+    // is the error sink (the q7b operator), not a year partition — the
+    // upsert/compaction/snapshot contract is over partitionable rows,
+    // and both engines exclude the dirty rows identically
     val base = Tables(spark, dir).orders
+      .filter($"o_orderdate".isNotNull)
       .select($"o_orderkey",
         floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"),
         year($"o_orderdate").as("o_year"))
@@ -692,7 +698,8 @@ object Sources {
       |  SELECT o_orderkey,
       |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
       |         year(o_orderdate) AS o_year
-      |  FROM orders),
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL),
       |merged AS (
       |  SELECT * FROM base
       |  WHERE NOT (o_orderkey % 13 = 0 AND o_year IN (1996, 1997))
@@ -711,7 +718,12 @@ object Sources {
       |FROM merged GROUP BY o_year""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val TargetRows = 1000L
+    // a NULL order date derives a NULL partition key: that row's home
+    // is the error sink (the q7b operator), not a year partition — the
+    // upsert/compaction/snapshot contract is over partitionable rows,
+    // and both engines exclude the dirty rows identically
     val base = Tables(spark, dir).orders
+      .filter($"o_orderdate".isNotNull)
       .select($"o_orderkey",
         floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"),
         year($"o_orderdate").as("o_year"))
@@ -791,7 +803,8 @@ object Sources {
       |  SELECT o_orderkey,
       |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) AS cents,
       |         year(o_orderdate) AS o_year
-      |  FROM orders),
+      |  FROM orders
+      |  WHERE o_orderdate IS NOT NULL),
       |merged AS (
       |  SELECT * FROM base
       |  WHERE NOT (o_orderkey % 13 = 0 AND o_year IN (1996, 1997))
@@ -813,7 +826,12 @@ object Sources {
     val hconf = spark.sparkContext.hadoopConfiguration
     val fs = org.apache.hadoop.fs.FileSystem.get(hconf)
     fs.delete(new org.apache.hadoop.fs.Path(TimeTravelOut), true)
+    // a NULL order date derives a NULL partition key: that row's home
+    // is the error sink (the q7b operator), not a year partition — the
+    // upsert/compaction/snapshot contract is over partitionable rows,
+    // and both engines exclude the dirty rows identically
     val base = Tables(spark, dir).orders
+      .filter($"o_orderdate".isNotNull)
       .select($"o_orderkey",
         floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"),
         year($"o_orderdate").as("o_year"))

@@ -56,7 +56,11 @@ object PcaQueries {
   def covariance(emb: DataFrame): DataFrame = {
     val spark = emb.sparkSession
     import spark.implicits._
-    val xd = emb.select($"vec_id",
+    // a NULL vector is not an observation: excluded from the moments
+    // AND from n on both engines (counting it would deflate every
+    // covariance; letting it through NULLs the whole matrix and
+    // crashes the driver-side getDouble)
+    val xd = emb.filter($"embedding".isNotNull).select($"vec_id",
       expr("transform(embedding, x -> CAST(x AS DOUBLE))").as("xd"))
     // ONE corpus pass: pair moments (i ≤ j) and first moments (tagged
     // j = 0) ride the same inline fan-out into the same (i, j)-keyed
@@ -92,7 +96,8 @@ object PcaQueries {
   private def covSql(src: String): String =
     s"""ex AS (
        |  SELECT vec_id, i, CAST(embedding[i] AS DOUBLE) AS x
-       |  FROM $src, (SELECT unnest(range(1, ${D + 1})) AS i)),
+       |  FROM $src, (SELECT unnest(range(1, ${D + 1})) AS i)
+       |  WHERE embedding IS NOT NULL),
        |p2 AS (
        |  SELECT a.i AS i, b.i AS j,
        |    CAST(SUM(CAST(FLOOR(a.x * b.x * $MomScale + 0.5) AS BIGINT)) AS BIGINT) AS s_xy,
@@ -205,7 +210,9 @@ object PcaQueries {
     }
     val (pc1, eigval) = powerIteration(cq)
     val pcLit = array(pc1.map(lit(_)): _*)
-    emb.withColumn("__pc", pcLit)
+    // NULL vectors have no projection; the twin's JOIN through `ex`
+    // (which excludes them) drops the same rows
+    emb.filter($"embedding".isNotNull).withColumn("__pc", pcLit)
       .select($"vec_id",
         (expr(
           s"""CAST(aggregate(

@@ -56,6 +56,34 @@ class AvroSpec extends SparkTestBase {
     assert(ks.agg(sum("k")).head().getLong(0) === 6L)
   }
 
+  test("nullable union schema roundtrips NULLs (the dirty-feed shape)") {
+    import spark.implicits._
+    // the q17l production schema maps nullable Spark fields to avro
+    // `["null", T]` unions; with bare types the container writer
+    // rejects the first NULL — pin the union write AND the read-side
+    // null passthrough directly, not just via the degenerate sweep
+    val unionJson =
+      """{"type":"record","name":"r","fields":[
+        |  {"name":"k","type":"long"},
+        |  {"name":"s","type":["null","string"]},
+        |  {"name":"v","type":["null","long"]}
+        |]}""".stripMargin
+    val dir = java.nio.file.Files.createTempDirectory("avro_nulls").toString
+    AvroSources.writeAvro(
+      Seq((1L, Some("a"), None: Option[Long]),
+          (2L, None: Option[String], Some(7L)),
+          (3L, None: Option[String], None: Option[Long]))
+        .toDF("k", "s", "v"), unionJson, dir)
+    val back = AvroSources.readAvro(spark, dir, StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType),
+      StructField("v", LongType))))
+      .orderBy("k").collect()
+      .map(r => (r.getLong(0),
+        Option(r.get(1)).map(_.toString), if (r.isNullAt(2)) None else Some(r.getLong(2))))
+    assert(back.toSeq === Seq(
+      (1L, Some("a"), None), (2L, None, Some(7L)), (3L, None, None)))
+  }
+
   test("corrupt payloads, missing columns, and bad types fail loudly") {
     writeSample()
     // a declared column the files don't have

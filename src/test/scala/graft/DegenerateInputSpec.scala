@@ -35,6 +35,12 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailConst: Map[String, String] = Map.empty
 
+  private val mayFailNulls: Map[String, String] = Map(
+    "q9k_elasticity_lr" -> ("all prices NULL → every price band is " +
+      "filtered by avg_price > 0 → empty training set; Spark ML's " +
+      "loud refusal is the contract (same as the empty-warehouse " +
+      "q9j/q9k entries)"))
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -64,6 +70,10 @@ class DegenerateInputSpec extends SparkTestBase {
   test("every registered query survives a constant (zero-variance) warehouse") {
     sweep(DegenerateData.constDir(spark), mayFailConst)
   }
+
+  test("every registered query survives an all-NULL-measures warehouse") {
+    sweep(DegenerateData.nullsDir(spark), mayFailNulls)
+  }
 }
 
 /** Builds the degenerate warehouse dirs once per JVM: the sf0.001
@@ -91,6 +101,34 @@ object DegenerateData {
 
   def emptyDir(spark: SparkSession): String = synchronized(build(spark, "empty", 0))
   def tinyDir(spark: SparkSession): String  = synchronized(build(spark, "tiny", 3))
+
+  /** Null-measures warehouse: key/id columns intact (joins still
+    * resolve), EVERY other column NULL — the dirty-feed shape. Flushed
+    * five real latent crashes on first run: a getDouble on a NULL
+    * covariance, a NULL-unsafe PrefixSum, two `.as[Int]` decodes of a
+    * NULL-derived partition year, and an avro writer whose schema
+    * lacked the nullable-union mapping.
+    */
+  def nullsDir(spark: SparkSession): String = synchronized {
+    import org.apache.spark.sql.functions.{col, lit}
+    val keep = Set("l_linenumber", "event_id", "user_id", "doc_id", "vec_id")
+    val root = "target/degenerate/nulls"
+    val done = java.nio.file.Paths.get(root, "_BUILT")
+    if (!java.nio.file.Files.exists(done)) {
+      tables.foreach { t =>
+        val df = spark.read
+          .parquet(s"/root/testdata/sf0.001/$t.parquet").limit(3)
+        val cols = df.schema.fields.map { f =>
+          if (f.name.endsWith("key") || keep(f.name)) col(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }
+        df.select(cols.toIndexedSeq: _*).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$t.parquet")
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    root
+  }
 
   /** Constant warehouse: ONE distinct row per table, replicated ×8 —
     * zero variance in every measure and a single value in every key.

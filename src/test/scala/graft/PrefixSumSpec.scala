@@ -42,6 +42,21 @@ class PrefixSumSpec extends SparkTestBase {
       s"prefix sum collapsed to ${nonEmpty.length} partition(s)")
   }
 
+  test("NULL values skip like SQL window SUM; all-NULL prefix reads 0") {
+    import spark.implicits._
+    // contract (PrefixSum.scala header): NULL contributes 0 to the
+    // running sum, and the first rows read 0 even when every prior
+    // value is NULL — i.e. the coalesce(sum over w, 0) form exactly
+    val df = Seq(
+      (1L, None: Option[Long]), (2L, None: Option[Long]), // all-NULL prefix
+      (3L, Some(5L)), (4L, None: Option[Long]), (5L, Some(7L)))
+      .toDF("k", "v")
+    val out = PrefixSum.exclusivePrefixSum(
+      df, Seq($"k"), $"v", "pre", numPartitions = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 5L, 5L -> 5L))
+  }
+
   test("first row in order gets offset zero") {
     import spark.implicits._
     val df = Seq((3L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "v")
