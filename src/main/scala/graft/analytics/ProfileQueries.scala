@@ -35,7 +35,9 @@ object ProfileQueries {
     * (engine-default renderings disagree on fractional seconds).
     */
   private def canon(c: Column, dt: DataType): Column = dt match {
-    case DoubleType    => c.cast(DecimalType(18, 6)).cast(StringType)
+    // 24,6 not 18,6: 18 integer digits of headroom — a fat-finger
+    // 9.9e12 price is 13 digits and overflows 18,6's 12 (ANSI crash)
+    case DoubleType    => c.cast(DecimalType(24, 6)).cast(StringType)
     case TimestampType => date_format(c, "yyyy-MM-dd HH:mm:ss")
     case _             => c.cast(StringType)
   }
@@ -108,7 +110,7 @@ object ProfileQueries {
   private def profileOracle(table: String, cols: Seq[(String, String)]): String =
     cols.map { case (name, kind) =>
       def mm(f: String) = kind match {
-        case "double" => s"CAST(CAST($f($name) AS DECIMAL(18,6)) AS VARCHAR)"
+        case "double" => s"CAST(CAST($f($name) AS DECIMAL(24,6)) AS VARCHAR)"
         case "ts"     => s"STRFTIME($f($name), '%Y-%m-%d %H:%M:%S')"
         case _        => s"CAST($f($name) AS VARCHAR)"
       }

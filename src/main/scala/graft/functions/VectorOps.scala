@@ -40,7 +40,16 @@ object VectorOps {
       zip_with(a, b, (x, y) => x.cast("double") * y.cast("double")),
       lit(0.0), (acc, x) => acc + x)
 
-  /** cosine similarity from precomputed squared norms. */
+  /** cosine similarity from precomputed squared norms.
+    *
+    * PRECONDITION: callers must exclude zero-norm vectors first
+    * (`filter(n2 > 0)`, twin `WHERE n2 > 0`) — cosine is undefined
+    * for a vector with no direction, and the raw division is a
+    * DIVIDE_BY_ZERO runtime error under ANSI. Every cosine site
+    * filters at its `v` seam (the production-ANN convention: index
+    * builds drop zero vectors); the formula itself stays guard-free
+    * so the hot path keeps its single codegen'd expression.
+    */
   def cosineFrom(dotAb: Column, n2a: Column, n2b: Column): Column =
     dotAb / (sqrt(n2a) * sqrt(n2b))
 

@@ -366,10 +366,11 @@ object DedupQueries {
     */
   val q13eEmbedNeardup: GraftQuery = GraftQuery(
     "q13e_embed_neardup",
-    s"""WITH v AS (
+    s"""WITH v0 AS (
        |  SELECT vec_id, embedding,
        |         ${graft.functions.VectorOps.norm2Sql("embedding")} AS n2
-       |  FROM embeddings)
+       |  FROM embeddings),
+       |v AS (SELECT * FROM v0 WHERE n2 > 0)
        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
        |       ${graft.functions.VectorOps.dotSql("a.embedding", "b.embedding")}
        |         / (sqrt(a.n2) * sqrt(b.n2)) AS cosine
@@ -385,6 +386,7 @@ object DedupQueries {
         "q14b_ann_lsh (bucketed) or q14e_semantic_dedup (cell-bounded)")
       val v = emb.select($"vec_id", $"embedding",
         VectorOps.norm2($"embedding").as("n2"))
+        .filter($"n2" > 0) // zero-norm: no direction → no cosine (q14a)
       val a = v.toDF("vec_a", "emb_a", "n2_a")
       val b = v.toDF("vec_b", "emb_b", "n2_b")
       a.join(b, $"vec_a" < $"vec_b")

@@ -98,6 +98,7 @@ object MixtureQueries {
     "q12q_weighted_sample",
     """SELECT doc_id, source, n_chars
       |FROM documents
+      |WHERE n_chars + 1 > 0
       |ORDER BY CAST(FLOOR(
       |           -LN((CAST(('0x' || SUBSTR(md5(CAST(doc_id AS VARCHAR) || '|ws'),
       |                      1, 13)) AS BIGINT) + 1.0) / 4503599627370497.0)
@@ -105,7 +106,12 @@ object MixtureQueries {
       |         doc_id
       |LIMIT 100""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // w = n_chars + 1 ≤ 0 (dirty metadata) means zero sampling
+    // probability: excluded from the race on both engines — the raw
+    // −ln(u)/w would divide by zero (w = 0) or win with certainty
+    // (w < 0), both wrong answers for "weight nothing"
     Tables(spark, dir).documents
+      .filter($"n_chars" + 1 > 0)
       .withColumn("__u",
         (conv(substring(md5(concat($"doc_id".cast("string"), lit("|ws"))),
           1, 13), 16, 10).cast("long") + lit(1.0)) / lit(4503599627370497.0))

@@ -32,10 +32,11 @@ object SimilarityQueries {
     */
   val q14aAnnBruteTopk: GraftQuery = GraftQuery(
     "q14a_ann_brute_topk",
-    s"""WITH v AS (
+    s"""WITH v0 AS (
        |  SELECT vec_id, embedding,
        |         ${VectorOps.norm2Sql("embedding")} AS n2
        |  FROM embeddings),
+       |v AS (SELECT * FROM v0 WHERE n2 > 0),
        |scored AS (
        |  SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
        |         ${VectorOps.dotSql("q.embedding", "c.embedding")}
@@ -51,8 +52,12 @@ object SimilarityQueries {
     BruteForceGuard.guard("q14a_ann_brute_topk",
       emb.select($"vec_id").count(), BruteForceGuard.LinearScanMaxRows,
       "q14b_ann_lsh (bucketed) or q14c_ann_ivf (cell-probed)")
+    // zero-norm vectors have no direction — cosine is undefined for
+    // them, so they are excluded from scoring on BOTH engines (the
+    // production-ANN convention: index builds drop zero vectors)
     val v = emb
       .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
+      .filter($"n2" > 0)
     val q = v.filter($"vec_id" < 10).toDF("query_id", "emb_q", "n2_q")
     val c = v.toDF("cand_id", "emb_c", "n2_c")
     val scored = broadcast(q).join(c, $"query_id" =!= $"cand_id")
@@ -120,10 +125,11 @@ object SimilarityQueries {
     */
   val q14bAnnLsh: GraftQuery = GraftQuery(
     "q14b_ann_lsh",
-    s"""WITH v AS (
+    s"""WITH v0 AS (
        |  SELECT vec_id, embedding,
        |         ${VectorOps.norm2Sql("embedding")} AS n2
        |  FROM embeddings),
+       |v AS (SELECT * FROM v0 WHERE n2 > 0),
        |proj AS (
        |  SELECT vec_id, p,
        |         ${projectionSql("embedding", "p")} AS pr
@@ -154,8 +160,10 @@ object SimilarityQueries {
     import spark.implicits._
     // no cache: v is a cheap projection of the parquet scan, and a
     // cached copy would be corpus-sized at scale (r3 verdict note)
+    // zero-norm vectors excluded: no direction → no cosine (see q14a)
     val v = Tables(spark, dir).embeddings
       .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
+      .filter($"n2" > 0)
     // one-row metadata probe for the (uniform, by contract) embedding
     // dimension; null rows skipped, empty corpus → empty result with
     // the right schema instead of a head() crash
@@ -219,10 +227,11 @@ object SimilarityQueries {
     * of [[assignCells]].
     */
   private def ivfAssignSql(src: String): String =
-    s"""v AS (
+    s"""v0 AS (
        |  SELECT vec_id, embedding,
        |         ${VectorOps.norm2Sql("embedding")} AS n2
        |  FROM $src),
+       |v AS (SELECT * FROM v0 WHERE n2 > 0),
        |kk AS (
        |  SELECT GREATEST(16, CAST(ceil(count(*) / 128.0) AS BIGINT)) AS k
        |  FROM $src),
@@ -312,8 +321,10 @@ object SimilarityQueries {
        |        ORDER BY cosine DESC, cand_id) AS rnk FROM scored)
        |WHERE rnk <= 3""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // zero-norm vectors excluded: no direction → no cosine (see q14a)
     val v = Tables(spark, dir).embeddings
       .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
+      .filter($"n2" > 0)
     // one column-pruned count action sizes the quantizer; empty corpus
     // flows through as an empty centroid set -> empty (schema-correct)
     // result, no driver-side special case
@@ -374,6 +385,7 @@ object SimilarityQueries {
     // μs/row map work; the exchange cost exceeds the parallelism gain
     val v = Tables(spark, dir).embeddingsNoFanOut
       .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
+      .filter($"n2" > 0) // zero-norm: no direction → no cosine (q14a)
     val k = ivfK(Tables(spark, dir).embeddingsNoFanOut
       .select($"vec_id").count())
     val cent = centroids(v, k)
@@ -498,6 +510,7 @@ object SimilarityQueries {
           .select(($"vec_id" + 1000000).as("vec_id"), $"embedding"))
       val v = planted.select($"vec_id", $"embedding",
         VectorOps.norm2($"embedding").as("n2"))
+        .filter($"n2" > 0) // zero-norm: no direction → no cosine (q14a)
       val assigned =
         assignCells(v, ivfK(planted.select($"vec_id").count()))
       val a = assigned.toDF("vec_a", "emb_a", "n2_a", "cell")
@@ -569,10 +582,11 @@ object SimilarityQueries {
          |         flatten(list(cb.cemb[e.m * 8 + 1 : e.m * 8 + 8]
          |                      ORDER BY e.m)) AS rec
          |  FROM enc e JOIN cb USING (code) GROUP BY 1),
-         |recn AS (
+         |recn0 AS (
          |  SELECT a.vec_id, a.cell, r.rec,
          |         ${VectorOps.norm2Sql("r.rec")} AS rn2
          |  FROM rec r JOIN assigned a USING (vec_id)),
+         |recn AS (SELECT * FROM recn0 WHERE rn2 > 0),
          |scored AS (
          |  SELECT q.vec_id AS query_id, r.vec_id AS cand_id, q.cell,
          |         ${VectorOps.dotSql("q.embedding", "r.rec")}
@@ -598,6 +612,7 @@ object SimilarityQueries {
       val emb = Tables(spark, dir).embeddingsNoFanOut
       val v = emb.select($"vec_id", $"embedding",
         VectorOps.norm2($"embedding").as("n2"))
+        .filter($"n2" > 0) // zero-norm: no direction → no cosine (q14a)
       val k = ivfK(emb.select($"vec_id").count())
       val assigned = assignCells(v, k)
       // PQ codebook: the first 16 md5-medoids, code = rank
@@ -634,6 +649,9 @@ object SimilarityQueries {
             .stripMargin))
         .select($"vec_id".as("cand_id"), $"cell", $"rec",
           VectorOps.norm2($"rec").as("rn2"))
+        // a reconstruction CAN be zero-norm even from non-zero
+        // codebook vectors (all 8 coded slices zero) — same exclusion
+        .filter($"rn2" > 0)
       val q = assigned.filter($"vec_id" < 50)
         .select($"vec_id".as("query_id"), $"embedding".as("emb_q"),
           $"n2".as("n2_q"), $"cell")

@@ -41,6 +41,8 @@ class DegenerateInputSpec extends SparkTestBase {
       "loud refusal is the contract (same as the empty-warehouse " +
       "q9j/q9k entries)"))
 
+  private val mayFailOutlier: Map[String, String] = Map.empty
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -73,6 +75,10 @@ class DegenerateInputSpec extends SparkTestBase {
 
   test("every registered query survives an all-NULL-measures warehouse") {
     sweep(DegenerateData.nullsDir(spark), mayFailNulls)
+  }
+
+  test("every registered query survives a plausible-outlier warehouse") {
+    sweep(DegenerateData.outlierDir(spark), mayFailOutlier)
   }
 }
 
@@ -123,6 +129,82 @@ object DegenerateData {
           else lit(null).cast(f.dataType).as(f.name)
         }
         df.select(cols.toIndexedSeq: _*).coalesce(1)
+          .write.mode("overwrite").parquet(s"$root/$t.parquet")
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    root
+  }
+
+  /** Outlier warehouse: every value is a PLAUSIBLE dirty extreme — the
+    * fat-finger price, the return with negative quantity, the 100%
+    * discount, the 1900/2199 boundary date, malformed JSON props, an
+    * empty document next to a 60 kB one next to a single 50k-char
+    * token, combining-mark unicode, negative metadata, the zero-norm
+    * embedding. At 100 TB every one of these exists in the feed; a
+    * query that crashes on one outlier row is a job-killer. Values are
+    * chosen inside the engine's documented numeric domains (cents
+    * grain < 2^63, PCA fixed-point |x| ≲ 100), so any crash is a
+    * latent bug, not an out-of-domain demand.
+    */
+  def outlierDir(spark: SparkSession): String = synchronized {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val root = "target/degenerate/outlier"
+    val done = java.nio.file.Paths.get(root, "_BUILT")
+    if (!java.nio.file.Files.exists(done)) {
+      tables.foreach { t =>
+        val base = spark.read
+          .parquet(s"/root/testdata/sf0.001/$t.parquet").limit(3)
+        val keyCol = base.schema.fieldNames.head
+        val rn = row_number().over(Window.orderBy(col(keyCol)))
+        def pick(c1: Column, c2: Column, c3: Column): Column =
+          when(col("__rn") === 1, c1).when(col("__rn") === 2, c2).otherwise(c3)
+        val df = base.withColumn("__rn", rn)
+        val out = t match {
+          case "customer" => df
+            .withColumn("c_acctbal", pick(lit(-9.9e9), lit(9.99e11), lit(0.0)))
+          case "supplier" => df
+            .withColumn("s_acctbal", pick(lit(-9.9e9), lit(9.99e11), lit(0.0)))
+          case "part" => df
+            .withColumn("p_size", pick(lit(0), lit(1000000), lit(1)))
+            .withColumn("p_retailprice", pick(lit(-1.0), lit(9.9e9), lit(0.0)))
+          case "orders" => df
+            .withColumn("o_totalprice", pick(lit(-5.0e4), lit(9.9e12), lit(0.0)))
+            .withColumn("o_orderdate", pick(
+              lit("1900-01-01").cast("timestamp"),
+              lit("2199-12-31").cast("timestamp"), col("o_orderdate")))
+          case "lineitem" => df
+            .withColumn("l_quantity", pick(lit(-50.0), lit(1.0e6), lit(0.0)))
+            .withColumn("l_extendedprice", pick(lit(-1.0e4), lit(9.9e12), lit(0.0)))
+            .withColumn("l_discount", pick(lit(1.0), lit(0.5), lit(0.0)))
+            .withColumn("l_tax", pick(lit(1.0), lit(0.0), lit(0.0)))
+            .withColumn("l_shipdate", pick(
+              lit("1900-01-01").cast("timestamp"),
+              lit("2199-12-31").cast("timestamp"), col("l_shipdate")))
+          case "events" => df
+            .withColumn("ts", pick(
+              lit("1970-01-01 00:00:00").cast("timestamp"),
+              lit("2100-01-01 00:00:00").cast("timestamp"), col("ts")))
+            .withColumn("value", pick(lit(-1.0e12), lit(1.0e15), lit(0.0)))
+            .withColumn("props", pick(lit("{\"broken"), lit("{}"), col("props")))
+            .withColumn("event_type", pick(lit(""), col("event_type"), col("event_type")))
+          case "documents" => df
+            .withColumn("text", pick(
+              lit(""),
+              concat(repeat(lit("ab ćd 🚀 "), 6000), lit("héllo wörld")),
+              repeat(lit("x"), 50000)))
+            .withColumn("n_chars", pick(lit(-1L), lit(0L), lit(50000L)))
+          case "embeddings" => df
+            .withColumn("embedding", pick(
+              expr("transform(sequence(1, 64), i -> CAST(0.0 AS FLOAT))"),
+              expr("transform(sequence(1, 64), i -> CAST(10.0 AS FLOAT))"),
+              expr("transform(sequence(1, 64), i -> CAST(CASE WHEN i % 2 = 0 THEN 10.0 ELSE -10.0 END AS FLOAT))")))
+            .withColumn("label", pick(lit(-1), col("label"), col("label")))
+          case _ => df
+        }
+        out.drop("__rn").coalesce(1)
           .write.mode("overwrite").parquet(s"$root/$t.parquet")
       }
       java.nio.file.Files.createFile(done)
