@@ -80,6 +80,29 @@ class DegenerateInputSpec extends SparkTestBase {
   test("every registered query survives a plausible-outlier warehouse") {
     sweep(DegenerateData.outlierDir(spark), mayFailOutlier)
   }
+
+  /** The engine's NaN position, pinned: non-finite measures are
+    * OUT-OF-CONTRACT for the analytical paths (an ANSI cast fails
+    * loudly rather than emitting silent garbage), and the ingest
+    * validation gate is what catches them — `NaN <= bound` is false
+    * on both engines, so a NaN discount/tax row routes to the q7b
+    * error sink by construction, never into the warehouse. This test
+    * proves the routing actually happens rather than claiming it.
+    */
+  test("NaN measures route to the q7b error sink, not into the warehouse") {
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val dir = DegenerateData.nanLineitemDir(spark)
+    val sink = SparkEntry.queries("q7b_error_sink")(spark, dir)
+      .select($"l_orderkey", $"l_linenumber").collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val nanKeys = spark.read.parquet(s"$dir/lineitem.parquet")
+      .filter(isnan($"l_discount") || isnan($"l_tax"))
+      .select($"l_orderkey", $"l_linenumber")
+      .collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(nanKeys.nonEmpty, "fixture must contain NaN rows")
+    assert(nanKeys.subsetOf(sink),
+      s"NaN rows ${nanKeys -- sink} escaped the error sink")
+  }
 }
 
 /** Builds the degenerate warehouse dirs once per JVM: the sf0.001
@@ -206,6 +229,42 @@ object DegenerateData {
         }
         out.drop("__rn").coalesce(1)
           .write.mode("overwrite").parquet(s"$root/$t.parquet")
+      }
+      java.nio.file.Files.createFile(done)
+    }
+    root
+  }
+
+  /** Lineitem with one NaN-discount and one NaN-tax row (keys intact,
+    * other tables tiny-normal) — the fixture for the NaN-routing pin
+    * above. Deliberately NOT a full sweep dir: analytical paths
+    * assume VALIDATED feeds (their loud ANSI failure on NaN is the
+    * contract); only the validation gate itself is exercised.
+    */
+  def nanLineitemDir(spark: SparkSession): String = synchronized {
+    import org.apache.spark.sql.functions.{col, lit, when, row_number}
+    import org.apache.spark.sql.expressions.Window
+    val root = "target/degenerate/nan"
+    val done = java.nio.file.Paths.get(root, "_BUILT")
+    if (!java.nio.file.Files.exists(done)) {
+      tables.foreach { t =>
+        val base = spark.read
+          .parquet(s"/root/testdata/sf0.001/$t.parquet").limit(3)
+        val out =
+          if (t != "lineitem") base
+          else {
+            val rn = row_number().over(Window.orderBy(col("l_orderkey"),
+              col("l_linenumber")))
+            base.withColumn("__rn", rn)
+              .withColumn("l_discount",
+                when(col("__rn") === 1, lit(Double.NaN))
+                  .otherwise(col("l_discount")))
+              .withColumn("l_tax",
+                when(col("__rn") === 2, lit(Double.NaN))
+                  .otherwise(col("l_tax")))
+              .drop("__rn")
+          }
+        out.coalesce(1).write.mode("overwrite").parquet(s"$root/$t.parquet")
       }
       java.nio.file.Files.createFile(done)
     }
