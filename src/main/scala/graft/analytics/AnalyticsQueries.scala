@@ -35,10 +35,11 @@ object AnalyticsQueries {
       s"""SELECT '$m' AS measure, COUNT($m) AS n,
          |  CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          |    / COUNT($m) AS mean,
-         |  sqrt((COUNT($m) * CAST(CAST(SUM(CAST($m*$m AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+         |  CASE WHEN COUNT($m) >= 2 THEN
+         |  sqrt(GREATEST(0, COUNT($m) * CAST(CAST(SUM(CAST($m*$m AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
          |        - CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          |          * CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
-         |       / (COUNT($m) * (COUNT($m) - 1.0))) AS std,
+         |       / (COUNT($m) * (COUNT($m) - 1.0))) END AS std,
          |  MIN($m) AS min_v,
          |  quantile_cont($m, 0.25) AS p25,
          |  quantile_cont($m, 0.5) AS median,
@@ -92,10 +93,11 @@ object AnalyticsQueries {
       s"""SELECT '$m' AS measure, COUNT($m) AS n,
          |  CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          |    / COUNT($m) AS mean,
-         |  sqrt((COUNT($m) * CAST(CAST(SUM(CAST($m*$m AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+         |  CASE WHEN COUNT($m) >= 2 THEN
+         |  sqrt(GREATEST(0, COUNT($m) * CAST(CAST(SUM(CAST($m*$m AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
          |        - CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          |          * CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
-         |       / (COUNT($m) * (COUNT($m) - 1.0))) AS std,
+         |       / (COUNT($m) * (COUNT($m) - 1.0))) END AS std,
          |  MIN($m) AS min_v, MAX($m) AS max_v,
          |  true AS p25_ok, true AS median_ok, true AS p75_ok
          |FROM lineitem""".stripMargin
@@ -117,17 +119,21 @@ object AnalyticsQueries {
           percentile_approx(c, lit(0.75), lit(10000)).as("p75a"))
         // second linear pass: exact rank interval of each sketch value
         // (strictly-below and at-most counts — the interval a value
-        // with ties occupies), verified against q·n ± err
-        val ranked = li.crossJoin(broadcast(sketch)).agg(
-          first($"n").as("n"), first($"mean").as("mean"),
-          first($"std").as("std"), first($"min_v").as("min_v"),
-          first($"max_v").as("max_v"),
-          sum(when(c < $"p25a", 1L).otherwise(0L)).as("b25"),
-          sum(when(c <= $"p25a", 1L).otherwise(0L)).as("a25"),
-          sum(when(c < $"p50a", 1L).otherwise(0L)).as("b50"),
-          sum(when(c <= $"p50a", 1L).otherwise(0L)).as("a50"),
-          sum(when(c < $"p75a", 1L).otherwise(0L)).as("b75"),
-          sum(when(c <= $"p75a", 1L).otherwise(0L)).as("a75"))
+        // with ties occupies), verified against q·n ± err. The rank
+        // sums ride their own 1-row aggregate joined back to the
+        // sketch row (not a first()-re-aggregation of the crossJoin):
+        // an EMPTY feed empties the crossJoin, which would NULL the
+        // re-aggregated stats (n must read 0, not NULL) — the rank
+        // sums instead coalesce to 0 and the verdicts hold vacuously,
+        // matching the twin's n=0/true row (degenerate-dir twin
+        // audit, SURVEY §8.9).
+        def rsum(cond: Column, name: String) =
+          coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(name)
+        val ranks = li.crossJoin(broadcast(sketch)).agg(
+          rsum(c < $"p25a", "b25"), rsum(c <= $"p25a", "a25"),
+          rsum(c < $"p50a", "b50"), rsum(c <= $"p50a", "a50"),
+          rsum(c < $"p75a", "b75"), rsum(c <= $"p75a", "a75"))
+        val ranked = sketch.crossJoin(broadcast(ranks))
         val err = greatest(lit(1.0), $"n" / 1000.0)
         def ok(q: Double, below: String, atMost: String) =
           (col(below) <= lit(q) * $"n" + err) &&
@@ -832,9 +838,19 @@ object AnalyticsQueries {
       "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))"
     val det2 =
       "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))"
-    val b0 = s"$det0 / $det"
-    val b1 = s"$det1 / $det"
-    val b2 = s"$det2 / $det"
+    // Degrees-of-freedom guard, shared by both engines: with n ≤ 3
+    // points the 3-parameter system is exactly- or under-determined —
+    // det → 0 and the solve amplifies sub-9dp quantization asymmetry
+    // (Spark's string-path vs DuckDB's multiply-then-round
+    // double→decimal cast) into arbitrary coefficients. A fit with
+    // zero residual degrees of freedom is statistically meaningless,
+    // so both engines answer NULL; the bitwise cross-engine contract
+    // holds for over-determined systems (degenerate-dir twin audit,
+    // SURVEY §8.9 — flushed by the 3-row outlier warehouse).
+    def solved(e: String) = s"CASE WHEN n > 3 THEN $e END"
+    val b0 = solved(s"$det0 / $det")
+    val b1 = solved(s"$det1 / $det")
+    val b2 = solved(s"$det2 / $det")
     val sse = s"(syy - (($b0) * sy + ($b1) * s1y + ($b2) * s2y))"
     val sst = "(syy - sy * sy / n)"
     val selectSql =

@@ -378,7 +378,12 @@ object ProfileQueries {
     // groupBy counts a NULL-key group while COUNT(DISTINCT) skips it,
     // and the two sort NULLs to opposite ends — and a NULL join key
     // never collides in a hash join anyway, so it carries no skew to
-    // audit.
+    // audit. The WHERE EXISTS guard pins the EMPTY-table shape: an
+    // empty audited table has no hottest key, so it contributes NO
+    // audit row — the Spark side reaches the same answer through the
+    // crossJoin with the empty TakeOrdered(1) argmax, while the
+    // FROM-less scalar-subquery branch would otherwise always emit one
+    // row (degenerate-dir twin audit, SURVEY §8.9).
     def oracleOne(label: String, table: String, key: String): String =
       s"""SELECT '$label' AS audited,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table
@@ -390,7 +395,8 @@ object ProfileQueries {
          |   ORDER BY COUNT(*) DESC, $key ASC LIMIT 1) AS top_key,
          |  (SELECT CAST(COUNT(*) AS BIGINT) FROM $table
          |   WHERE $key IS NOT NULL GROUP BY $key
-         |   ORDER BY COUNT(*) DESC, $key ASC LIMIT 1) AS top_count""".stripMargin
+         |   ORDER BY COUNT(*) DESC, $key ASC LIMIT 1) AS top_count
+         |WHERE EXISTS (SELECT 1 FROM $table WHERE $key IS NOT NULL)""".stripMargin
     GraftQuery(
       "q26f_skew_audit",
       s"""WITH base AS (

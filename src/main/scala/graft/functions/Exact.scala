@@ -64,11 +64,25 @@ object Exact {
     */
   def dstddev(c: Column, scale: Int = 4): Column = {
     // squares of 2dp values are exact at scale 4, and x²·10⁴ stays
-    // under 2^53 for |x| ≤ ~3e4 — see the scale discussion above
+    // under 2^53 for |x| ≤ ~3e4 — see the scale discussion above.
+    // Two degenerate-input guards, symmetric on both engines
+    // (degenerate-dir twin audit, SURVEY §8.9):
+    //  - n ≥ 2: sample stddev is undefined below two observations.
+    //    Without the branch, n = 0 divides 0/0 — and because
+    //    greatest() SKIPS the NULL sums of an empty feed, the old
+    //    NULL-numerator short-circuit no longer saves it: double 0/0
+    //    THROWS under ANSI (Spark 4 default) while DuckDB answers
+    //    NULL. Both engines now answer NULL for n < 2.
+    //  - clamp ≥ 0: the numerator is ≥ 0 by Cauchy-Schwarz; a
+    //    NEGATIVE value is pure double rounding of the exact-decimal
+    //    moments (reachable only at zero variance, e.g. a constant
+    //    column). Unclamped, Spark's sqrt answers NaN while DuckDB's
+    //    THROWS — an engine-divergent crash on a constant feed.
     val n   = count(c).cast(DoubleType)
     val sx  = dsum(c, Scale)
     val sxx = dsum(c * c, scale)
-    sqrt((n * sxx - sx * sx) / (n * (n - lit(1.0))))
+    when(n >= 2,
+      sqrt(greatest(lit(0.0), n * sxx - sx * sx) / (n * (n - lit(1.0)))))
   }
 
   /** Pearson correlation from exact decimal moments (same shape as

@@ -43,13 +43,18 @@ object Multimodal {
   /** q16a — SQL-visible metadata extraction over the binary column
     * (octet_length + md5-derived dims), oracle-checked. The md5 runs
     * on the source text (DuckDB's md5 is VARCHAR-only) — same bytes.
+    * The twin's STRING→BLOB uses `encode(...)` (UTF-8 bytes), not
+    * `CAST(... AS BLOB)`: the cast demands hex-escaped input and
+    * throws on any non-ascii character (flushed by the outlier
+    * warehouse's unicode documents), while encode and Spark's
+    * octet_length agree on the UTF-8 byte count for all text.
     */
   val q16aMediaMeta: GraftQuery = GraftQuery(
     "q16a_media_meta",
     """SELECT doc_id AS media_id,
       |       CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio'
       |            ELSE 'video' END AS kind,
-      |       CAST(octet_length(CAST(text AS BLOB)) AS INTEGER) AS n_bytes,
+      |       CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
       |       CAST(1 + (strpos('0123456789abcdef', substr(md5(text), 1, 1)) - 1) * 16
       |              + strpos('0123456789abcdef', substr(md5(text), 2, 1)) - 1
       |            AS INTEGER) % 64 + 1 AS width_stub

@@ -118,6 +118,15 @@ object AnalyticalQueries {
 
   /** 2A — GROUPING SETS (year,month,segment) → (y,m) → (y) → () with
     * GROUPING() labels (ref `TASK 2A…sql:73-105`).
+    *
+    * The twin's `HAVING COUNT(*) > 0` pins the EMPTY-INPUT grand
+    * total: Spark expands grouping sets into a keyed aggregate
+    * (Expand + groupBy grouping_id), so zero input rows → zero output
+    * rows for EVERY set including (); DuckDB computes () as a global
+    * aggregate and would emit a lone COUNT=0 grand-total row. The
+    * HAVING is a no-op on non-empty groups (emitted groups always
+    * have COUNT(*) ≥ 1) and aligns the empty-warehouse shape — the
+    * degenerate-dir twin audit device (SURVEY §8.9).
     */
   val q2aGroupingSets: GraftQuery = GraftQuery(
     "q2a_grouping_sets",
@@ -136,7 +145,8 @@ object AnalyticalQueries {
        |GROUP BY GROUPING SETS (
        |  (year(o_orderdate), month(o_orderdate), c_mktsegment),
        |  (year(o_orderdate), month(o_orderdate)),
-       |  (year(o_orderdate)), ())""".stripMargin) { (spark, dir) =>
+       |  (year(o_orderdate)), ())
+       |HAVING COUNT(*) > 0""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
     // pre-aggregate to order grain BEFORE the 4-way grouping-sets
@@ -172,7 +182,8 @@ object AnalyticalQueries {
   }
 
   /** 2B — ROLLUP brand → part with subtotal/grand-total labels
-    * (ref `TASK 2A…sql:110-123`).
+    * (ref `TASK 2A…sql:110-123`). Twin `HAVING COUNT(*) > 0` = the
+    * q2a empty-input grand-total device (no-op on non-empty groups).
     */
   val q2bRollup: GraftQuery = GraftQuery(
     "q2b_rollup",
@@ -183,7 +194,8 @@ object AnalyticalQueries {
        |            ELSE 'DETAIL' END AS row_type,
        |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue
        |FROM lineitem JOIN part ON l_partkey = p_partkey
-       |GROUP BY ROLLUP (p_brand, p_partkey)""".stripMargin) { (spark, dir) =>
+       |GROUP BY ROLLUP (p_brand, p_partkey)
+       |HAVING COUNT(*) > 0""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
     t.lineitem

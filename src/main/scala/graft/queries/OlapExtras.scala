@@ -46,7 +46,9 @@ object OlapExtras {
   }
 
   /** q20b — CUBE over (year, returnflag): all four grouping
-    * combinations with GROUPING() labels.
+    * combinations with GROUPING() labels. Twin `HAVING COUNT(*) > 0`
+    * = the q2a empty-input grand-total device (no-op on non-empty
+    * groups; see AnalyticalQueries.q2aGroupingSets).
     */
   val q20bCube: GraftQuery = GraftQuery(
     "q20b_cube",
@@ -59,7 +61,8 @@ object OlapExtras {
        |            ELSE 'DETAIL' END AS row_type,
        |       CAST(CAST(SUM($revSql) AS VARCHAR) AS DOUBLE) AS revenue
        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-       |GROUP BY CUBE (year(o_orderdate), l_returnflag)""".stripMargin) {
+       |GROUP BY CUBE (year(o_orderdate), l_returnflag)
+       |HAVING COUNT(*) > 0""".stripMargin) {
     (spark, dir) =>
       import spark.implicits._
       val t = Tables(spark, dir)
@@ -116,7 +119,12 @@ object OlapExtras {
 
   /** q20d — unpivot/melt: the four lineitem measures to long form
     * (`Dataset.unpivot`, the inverse of q20a's pivot), re-aggregated
-    * per measure. Oracle expresses the melt as UNION ALL.
+    * per measure. Oracle expresses the melt as UNION ALL; each branch
+    * carries `GROUP BY 1` on the constant label so an EMPTY feed
+    * yields zero rows on both engines (Spark's groupBy(measure)
+    * semantics) instead of four global-aggregate COUNT=0 rows — the
+    * q2a empty-input device, UNION-ALL form (degenerate-dir twin
+    * audit, SURVEY §8.9).
     */
   val q20dUnpivot: GraftQuery = {
     val measures = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
@@ -126,7 +134,7 @@ object OlapExtras {
         s"""SELECT '$m' AS measure, COUNT(*) AS n,
            |  CAST(CAST(SUM(CAST($m AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
            |    AS total
-           |FROM lineitem""".stripMargin).mkString("\nUNION ALL\n")) {
+           |FROM lineitem GROUP BY 1""".stripMargin).mkString("\nUNION ALL\n")) {
       (spark, dir) =>
         import spark.implicits._
         Tables(spark, dir).lineitem
@@ -196,13 +204,20 @@ object OlapExtras {
     * double conversion happens once, after the merge, through the
     * exact string path. The oracle is the full recompute over all
     * data, so the gate proves merge(state, delta) ≡ recompute.
+    * Both sides exclude NULL order dates: the incremental contract
+    * partitions history BY DATE, and an undateable row belongs to
+    * neither the state nor the delta (it is error-sink material, the
+    * q17i/j/k principle) — the Spark split predicates already drop it
+    * (NULL fails both `< cutoff` and `>= cutoff`), so the recompute
+    * twin must too or the gate diverges on dirty feeds.
     */
   val q22IncrementalAgg: GraftQuery = GraftQuery(
     "q22_incremental_agg",
     """SELECT o_orderstatus, o_orderpriority, COUNT(*) AS n_orders,
       |       CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
       |            AS DOUBLE) AS total
-      |FROM orders GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      |FROM orders WHERE o_orderdate IS NOT NULL
+      |GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val orders = Tables(spark, dir).orders
     val cutoff = "1997-01-01"

@@ -95,11 +95,18 @@ object Sources {
 
   /** q17a — semi-structured JSON column parse: events.props →
     * typed field + aggregation (get_json_object / from_json).
+    * Malformed JSON yields NULL on both engines: Spark's
+    * get_json_object returns NULL by design, and the twin guards with
+    * json_valid because DuckDB's json_extract_string THROWS on bad
+    * bytes (flushed by the outlier warehouse's truncated-props row) —
+    * a dirty event must bucket as unknown, not kill the scan.
     */
   val q17aJsonProps: GraftQuery = GraftQuery(
     "q17a_json_props",
     """SELECT event_type,
-      |       CAST(json_extract_string(props, '$.k') AS INTEGER) % 10
+      |       CAST(CASE WHEN json_valid(props)
+      |                 THEN json_extract_string(props, '$.k') END
+      |            AS INTEGER) % 10
       |         AS k_bucket,
       |       COUNT(*) AS n,
       |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
@@ -486,8 +493,13 @@ object Sources {
        |FROM preds p CROSS JOIN parts pt
        |GROUP BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // same contract as q17i/j/k: a NULL order date derives a NULL
+    // partition key whose home is the error sink, not a year
+    // partition — unfiltered, Spark writes it to the Hive default
+    // partition dir, which the twin's CAST(o_year AS BIGINT) over
+    // hive_partitioning cannot read (engine-divergent crash)
     val slice = Tables(spark, dir).orders
-      .filter($"o_orderkey" % 4 === 0)
+      .filter($"o_orderkey" % 4 === 0 && $"o_orderdate".isNotNull)
       .select($"o_orderkey", $"o_totalprice",
         year($"o_orderdate").cast(LongType).as("o_year"))
     writePartitioned(slice, PartOut, Seq("o_year"))

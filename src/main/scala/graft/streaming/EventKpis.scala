@@ -59,7 +59,7 @@ object EventKpis {
       |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |         AS total_value,
       |       COUNT(DISTINCT user_id) AS n_users
-      |FROM events GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
+      |FROM events WHERE ts IS NOT NULL GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     tumblingKpis(Tables(spark, dir).events, exactDistinct = true)
   }
 
@@ -69,7 +69,8 @@ object EventKpis {
       |  SELECT CAST(time_bucket(INTERVAL 30 MINUTE, ts)
       |              - k.off * INTERVAL 30 MINUTE AS VARCHAR) AS window_start,
       |         event_type, value
-      |  FROM events CROSS JOIN (VALUES (0), (1)) k(off))
+      |  FROM events CROSS JOIN (VALUES (0), (1)) k(off)
+      |  WHERE ts IS NOT NULL)
       |SELECT window_start, event_type, COUNT(*) AS n_events,
       |       CAST(CAST(SUM(CAST(value AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
       |         AS total_value
@@ -145,6 +146,7 @@ object EventKpis {
       |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
+      |  WHERE ts IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,

@@ -37,10 +37,22 @@ object PcaQueries {
 
   private val D = 64
   /** Moment quantizer (values ≤0.6 ⇒ row terms ≤3.6e11; 1e7 rows still
-    * fit BIGINT with 2,500× headroom). */
+    * fit BIGINT with 2,500× headroom). OUT-OF-ENVELOPE inputs (e.g. a
+    * dirty corpus of |x| = 10 unnormalized vectors past ~9e4 rows,
+    * where row terms hit 1e14) overflow the BIGINT sum LOUDLY under
+    * ANSI (ARITHMETIC_OVERFLOW) — detection, not silent corruption,
+    * the same contract as the NaN position in SURVEY §8.9. The q12y
+    * adaptive DECIMAL(38) escape hatch is the known widening if a
+    * real corpus ever needs the larger envelope. */
   private val MomScale = "1e12"
   /** Iteration quantizer (covariances ≤0.1, |v|≤1 ⇒ 64-term sums
-    * ≤6.4e15 < 2^53, so the BIGINT→DOUBLE casts stay exact). */
+    * ≤6.4e15 < 2^53, so the BIGINT→DOUBLE casts stay exact).
+    * Out-of-envelope covariances (unnormalized dirty corpora) overflow
+    * the TWIN's INT64 iteration loudly while the Spark side's
+    * driver-float iteration does not — a known, documented asymmetry
+    * of the quantized-oracle device itself (the degenerate-dir twin
+    * audit, SURVEY §8.9): bitwise cross-engine equality is defined
+    * within the envelope; outside it one engine refuses. */
   private val ItScale = "1e15"
 
   /** The one covariance formula, shared textually by both engines. */
@@ -145,7 +157,16 @@ object PcaQueries {
       val u = s.map(_.toDouble / itScale)
       val q = u.map(x => math.floor(x * x * itScale + 0.5).toLong).sum
       lambda = math.sqrt(q.toDouble / itScale)
-      v = u.map(_ / lambda)
+      // λ = 0 means |C·v| rounds to zero at quantizer resolution — a
+      // zero-variance corpus has NO principal direction. Normalizing
+      // by 0 would go engine-DIVERGENT garbage (this loop saturates
+      // through ±Inf→Long.MaxValue; the twin propagates NaN), so both
+      // engines pin v := 0: the iteration is then a stable fixed point
+      // and the query answers eigval 0 / all-zero projections
+      // (degenerate-dir twin audit, SURVEY §8.9 — flushed by the flat
+      // warehouse). Whenever λ > 0 it equals ≈|u|, so v stays a unit
+      // vector and this branch is never taken on real data.
+      v = if (lambda == 0.0) Array.fill(D)(0.0) else u.map(_ / lambda)
     }
     (v, lambda)
   }
@@ -168,7 +189,8 @@ object PcaQueries {
          |    AS DOUBLE) / $ItScale) AS nrm
          |  FROM s$k),
          |it$k AS MATERIALIZED (
-         |  SELECT i, (CAST(s AS DOUBLE) / $ItScale) / nrm AS v
+         |  SELECT i, CASE WHEN nrm = 0 THEN 0.0
+         |            ELSE (CAST(s AS DOUBLE) / $ItScale) / nrm END AS v
          |  FROM s$k, n$k)""".stripMargin
     }
     (it0 +: steps).mkString(",\n")

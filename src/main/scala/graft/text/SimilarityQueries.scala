@@ -165,10 +165,10 @@ object SimilarityQueries {
       .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
       .filter($"n2" > 0)
     // one-row metadata probe for the (uniform, by contract) embedding
-    // dimension; null rows skipped, empty corpus → empty result with
-    // the right schema instead of a head() crash
-    val dimRow = v.filter($"embedding".isNotNull)
-      .select(size($"embedding")).limit(1).collect()
+    // dimension; v's n2 > 0 filter already excludes NULL embeddings
+    // (norm2(NULL) is NULL), so every surviving row is probeable;
+    // empty corpus → empty result with the right schema, no head() crash
+    val dimRow = v.select(size($"embedding")).limit(1).collect()
     if (dimRow.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
@@ -728,6 +728,11 @@ object SimilarityQueries {
           .select(lit(label).as("method"), $"n_queries", $"n_retrieved",
             $"n_hits",
             expr("(n_hits * 10000) div n_retrieved").as("recall_bps"))
+          // the twin's GROUP BY method emits NO row for a method whose
+          // candidate set is empty, while this global agg always emits
+          // one — drop the empty-method row so both engines agree
+          // (recall of zero retrievals is undefined anyway)
+          .filter($"n_retrieved" > 0)
       }.reduce(_ unionByName _)
     }
   }

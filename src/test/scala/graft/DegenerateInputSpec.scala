@@ -35,6 +35,8 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailConst: Map[String, String] = Map.empty
 
+  private val mayFailFlat: Map[String, String] = Map.empty
+
   private val mayFailNulls: Map[String, String] = Map(
     "q9k_elasticity_lr" -> ("all prices NULL → every price band is " +
       "filtered by avg_price > 0 → empty training set; Spark ML's " +
@@ -71,6 +73,10 @@ class DegenerateInputSpec extends SparkTestBase {
 
   test("every registered query survives a constant (zero-variance) warehouse") {
     sweep(DegenerateData.constDir(spark), mayFailConst)
+  }
+
+  test("every registered query survives a flat (key-unique zero-variance) warehouse") {
+    sweep(DegenerateData.flatDir(spark), mayFailFlat)
   }
 
   test("every registered query survives an all-NULL-measures warehouse") {
@@ -113,13 +119,20 @@ object DegenerateData {
   private val tables = Seq("region", "nation", "customer", "supplier",
     "part", "orders", "lineitem", "events", "documents", "embeddings")
 
-  private def build(spark: SparkSession, label: String, n: Int): String = {
+  /** The one build scaffold every fixture shares: per-table transform
+    * of the raw sf0.001 read, single-file write, `_BUILT` marker for
+    * once-per-JVM idempotence. A new degenerate shape is just its
+    * transform.
+    */
+  private def buildDir(spark: SparkSession, label: String)(
+      transform: (String, org.apache.spark.sql.DataFrame)
+        => org.apache.spark.sql.DataFrame): String = synchronized {
     val root = s"target/degenerate/$label"
     val done = java.nio.file.Paths.get(root, "_BUILT")
     if (!java.nio.file.Files.exists(done)) {
       tables.foreach { t =>
-        spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet")
-          .limit(n)
+        transform(t,
+          spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet"))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$root/$t.parquet")
       }
@@ -128,8 +141,10 @@ object DegenerateData {
     root
   }
 
-  def emptyDir(spark: SparkSession): String = synchronized(build(spark, "empty", 0))
-  def tinyDir(spark: SparkSession): String  = synchronized(build(spark, "tiny", 3))
+  def emptyDir(spark: SparkSession): String =
+    buildDir(spark, "empty")((_, df) => df.limit(0))
+  def tinyDir(spark: SparkSession): String =
+    buildDir(spark, "tiny")((_, df) => df.limit(3))
 
   /** Null-measures warehouse: key/id columns intact (joins still
     * resolve), EVERY other column NULL — the dirty-feed shape. Flushed
@@ -138,25 +153,17 @@ object DegenerateData {
     * NULL-derived partition year, and an avro writer whose schema
     * lacked the nullable-union mapping.
     */
-  def nullsDir(spark: SparkSession): String = synchronized {
+  def nullsDir(spark: SparkSession): String = {
     import org.apache.spark.sql.functions.{col, lit}
     val keep = Set("l_linenumber", "event_id", "user_id", "doc_id", "vec_id")
-    val root = "target/degenerate/nulls"
-    val done = java.nio.file.Paths.get(root, "_BUILT")
-    if (!java.nio.file.Files.exists(done)) {
-      tables.foreach { t =>
-        val df = spark.read
-          .parquet(s"/root/testdata/sf0.001/$t.parquet").limit(3)
-        val cols = df.schema.fields.map { f =>
-          if (f.name.endsWith("key") || keep(f.name)) col(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }
-        df.select(cols.toIndexedSeq: _*).coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/$t.parquet")
+    buildDir(spark, "nulls") { (_, raw) =>
+      val df = raw.limit(3)
+      val cols = df.schema.fields.map { f =>
+        if (f.name.endsWith("key") || keep(f.name)) col(f.name)
+        else lit(null).cast(f.dataType).as(f.name)
       }
-      java.nio.file.Files.createFile(done)
+      df.select(cols.toIndexedSeq: _*)
     }
-    root
   }
 
   /** Outlier warehouse: every value is a PLAUSIBLE dirty extreme — the
@@ -166,20 +173,19 @@ object DegenerateData {
     * token, combining-mark unicode, negative metadata, the zero-norm
     * embedding. At 100 TB every one of these exists in the feed; a
     * query that crashes on one outlier row is a job-killer. Values are
-    * chosen inside the engine's documented numeric domains (cents
-    * grain < 2^63, PCA fixed-point |x| ≲ 100), so any crash is a
-    * latent bug, not an out-of-domain demand.
+    * chosen inside the engine's numeric domains AT FIXTURE SCALE
+    * (cents grain < 2^63; the ±10 vectors keep PCA's BIGINT moment
+    * sums at 3·1e14 ≪ 2^63 for n = 3 — a 100 TB corpus of such
+    * unnormalized vectors would instead hit the quantizer's LOUD ANSI
+    * overflow, the documented MomScale envelope contract), so any
+    * crash here is a latent bug, not an out-of-domain demand.
     */
-  def outlierDir(spark: SparkSession): String = synchronized {
+  def outlierDir(spark: SparkSession): String = {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    val root = "target/degenerate/outlier"
-    val done = java.nio.file.Paths.get(root, "_BUILT")
-    if (!java.nio.file.Files.exists(done)) {
-      tables.foreach { t =>
-        val base = spark.read
-          .parquet(s"/root/testdata/sf0.001/$t.parquet").limit(3)
+    buildDir(spark, "outlier") { (t, raw) =>
+        val base = raw.limit(3)
         val keyCol = base.schema.fieldNames.head
         val rn = row_number().over(Window.orderBy(col(keyCol)))
         def pick(c1: Column, c2: Column, c3: Column): Column =
@@ -227,12 +233,8 @@ object DegenerateData {
             .withColumn("label", pick(lit(-1), col("label"), col("label")))
           case _ => df
         }
-        out.drop("__rn").coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/$t.parquet")
-      }
-      java.nio.file.Files.createFile(done)
+        out.drop("__rn")
     }
-    root
   }
 
   /** Lineitem with one NaN-discount and one NaN-tax row (keys intact,
@@ -241,54 +243,67 @@ object DegenerateData {
     * assume VALIDATED feeds (their loud ANSI failure on NaN is the
     * contract); only the validation gate itself is exercised.
     */
-  def nanLineitemDir(spark: SparkSession): String = synchronized {
+  def nanLineitemDir(spark: SparkSession): String = {
     import org.apache.spark.sql.functions.{col, lit, when, row_number}
     import org.apache.spark.sql.expressions.Window
-    val root = "target/degenerate/nan"
-    val done = java.nio.file.Paths.get(root, "_BUILT")
-    if (!java.nio.file.Files.exists(done)) {
-      tables.foreach { t =>
-        val base = spark.read
-          .parquet(s"/root/testdata/sf0.001/$t.parquet").limit(3)
-        val out =
-          if (t != "lineitem") base
-          else {
-            val rn = row_number().over(Window.orderBy(col("l_orderkey"),
-              col("l_linenumber")))
-            base.withColumn("__rn", rn)
-              .withColumn("l_discount",
-                when(col("__rn") === 1, lit(Double.NaN))
-                  .otherwise(col("l_discount")))
-              .withColumn("l_tax",
-                when(col("__rn") === 2, lit(Double.NaN))
-                  .otherwise(col("l_tax")))
-              .drop("__rn")
-          }
-        out.coalesce(1).write.mode("overwrite").parquet(s"$root/$t.parquet")
+    buildDir(spark, "nan") { (t, raw) =>
+      val base = raw.limit(3)
+      if (t != "lineitem") base
+      else {
+        val rn = row_number().over(Window.orderBy(col("l_orderkey"),
+          col("l_linenumber")))
+        base.withColumn("__rn", rn)
+          .withColumn("l_discount",
+            when(col("__rn") === 1, lit(Double.NaN))
+              .otherwise(col("l_discount")))
+          .withColumn("l_tax",
+            when(col("__rn") === 2, lit(Double.NaN))
+              .otherwise(col("l_tax")))
+          .drop("__rn")
       }
-      java.nio.file.Files.createFile(done)
     }
-    root
   }
 
   /** Constant warehouse: ONE distinct row per table, replicated ×8 —
     * zero variance in every measure and a single value in every key.
     * The shape a constant column or an all-one-key partition hands
-    * every variance/quantile/ratio formula at scale.
+    * every variance/quantile/ratio formula at scale. CRASH-SWEEP
+    * ONLY: replicating the PRIMARY KEY ×8 violates the warehouse
+    * key-uniqueness contract the oracle twins' key-joins legitimately
+    * assume (TPC-H PKs are unique; ingest dedup is what guarantees
+    * it), so a twin replay over this dir multiplies through the dup
+    * keys by construction — [[flatDir]] is the key-unique
+    * zero-variance shape the twin audit uses instead.
     */
-  def constDir(spark: SparkSession): String = synchronized {
-    val root = "target/degenerate/const"
-    val done = java.nio.file.Paths.get(root, "_BUILT")
-    if (!java.nio.file.Files.exists(done)) {
-      tables.foreach { t =>
-        val one = spark.read
-          .parquet(s"/root/testdata/sf0.001/$t.parquet").limit(1)
-        List.fill(8)(one).reduce(_ unionAll _)
-          .coalesce(1)
-          .write.mode("overwrite").parquet(s"$root/$t.parquet")
-      }
-      java.nio.file.Files.createFile(done)
+  def constDir(spark: SparkSession): String =
+    buildDir(spark, "const") { (_, raw) =>
+      val one = raw.limit(1)
+      List.fill(8)(one).reduce(_ unionAll _)
     }
-    root
+
+  /** Flat warehouse: REAL key columns from the first 8 rows (unique —
+    * joins and key-grain operators keep their contract), every other
+    * column overwritten with the FIRST row's value — zero variance in
+    * every measure, duplicate text across distinct doc ids, one
+    * constant timestamp. The key-unique twin of [[constDir]], used by
+    * both the crash sweep and the degenerate-dir twin audit
+    * (tools/audit_degenerate.sh): key-joins stay 1:1 on both engines,
+    * so what the audit compares is the zero-variance ARITHMETIC, not
+    * join multiplicity.
+    */
+  def flatDir(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions.col
+    val keep = Set("l_linenumber", "event_id", "user_id", "doc_id", "vec_id")
+    buildDir(spark, "flat") { (_, raw) =>
+      val df = raw.limit(8)
+      val fields = df.schema.fieldNames
+      val isKey = (n: String) => n.endsWith("key") || keep(n)
+      val keyCols = fields.filter(isKey)
+      val valCols = fields.filterNot(isKey)
+      if (valCols.isEmpty) df
+      else df.select(keyCols.map(col).toIndexedSeq: _*)
+        .crossJoin(raw.limit(1).select(valCols.map(col).toIndexedSeq: _*))
+        .select(fields.map(col).toIndexedSeq: _*)
+    }
   }
 }

@@ -1,0 +1,84 @@
+#!/usr/bin/env bash
+# Degenerate-dir twin audit (SURVEY §8.9): run the full registry via
+# graft.Verify against each degenerate fixture dir, then replay every
+# oracle twin in DuckDB over the SAME dir and value-compare.
+#
+# The sf0.01 oracle gate proves cross-engine equality on WELL-FORMED
+# data; this audit proves the twins stay engine-SYMMETRIC on the shapes
+# the DegenerateInputSpec sweeps only crash-test (empty / tiny / const /
+# all-NULL measures / plausible outliers) — a twin that throws or
+# diverges on a dirty feed would silently weaken the oracle the round
+# the driver's testdata grows such rows.
+#
+# Prereqs: fixtures built (sbt "testOnly graft.DegenerateInputSpec"),
+# classes compiled. MUST NOT run concurrently with sbt test: the
+# roundtrip queries (q17b/c/d/l) write to fixed temp dirs and the
+# audit would race the specs on them.
+#
+# Default shapes: empty tiny flat nulls outlier. `const` is CRASH-SWEEP
+# ONLY (DegenerateInputSpec): it replicates primary keys ×8, and the
+# twins' key-joins legitimately assume unique warehouse keys — `flat`
+# is the key-unique zero-variance shape the audit uses instead.
+#
+# Known audit exclusions (oracle-TOOL limitations, not divergences),
+# MECHANIZED below — any OTHER failing query, or an exclusion that
+# stops failing (stale entry), exits nonzero, so the audit is a
+# ratchet in both directions like DegenerateInputSpec's allowlists:
+#   empty/nulls q17g, empty q17h — Spark writes NO files for an empty
+#     partitioned/bucketed write and DuckDB's read_parquet glob throws
+#     on a zero-match pattern; the Spark side itself is crash-free.
+#   outlier q14j — the twin's INT64 fixed-point power iteration
+#     overflows loudly outside the documented ItScale envelope while
+#     Spark's driver-float iteration does not (see PcaQueries).
+#
+# Usage: tools/audit_degenerate.sh [shape ...]   (default set above)
+set -u
+cd "$(dirname "$0")/.."
+excluded() { # excluded <shape> <query>
+  case "$1/$2" in
+    empty/q17g_partition_audit|empty/q17h_bucket_audit) return 0 ;;
+    nulls/q17g_partition_audit) return 0 ;;
+    outlier/q14j_pca_project) return 0 ;;
+    *) return 1 ;;
+  esac
+}
+OPENS=""
+for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
+         java.nio java.util java.util.concurrent java.util.concurrent.atomic \
+         sun.nio.ch sun.nio.cs sun.security.action sun.util.calendar; do
+  OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
+done
+shapes=("$@")
+[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier)
+rc=0
+for shape in "${shapes[@]}"; do
+  dir="target/degenerate/$shape"
+  out="/tmp/degenerate_audit/$shape"
+  if [ ! -f "$dir/_BUILT" ]; then
+    echo "== $shape: fixture missing ($dir) — run DegenerateInputSpec first"
+    rc=1; continue
+  fi
+  rm -rf "$out"
+  echo "== $shape: Verify =="
+  # shellcheck disable=SC2086
+  java $OPENS -Xmx8g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Verify "$dir" "$out" 2>&1 | grep "^\[verify\]" || true
+  echo "== $shape: DuckDB twin replay =="
+  replay=$(python3 tools/check_oracle.py "$dir" "$out")
+  echo "$replay" | grep -v "^PASS" || true
+  # ratchet: every FAIL must be a known exclusion, and every known
+  # exclusion for this shape must still FAIL (stale otherwise)
+  while read -r q; do
+    [ -n "$q" ] || continue
+    if ! excluded "$shape" "$q"; then
+      echo "** $shape: UNEXPECTED failure $q"; rc=1
+    fi
+  done <<< "$(echo "$replay" | sed -n 's/^FAIL \([^:]*\):.*/\1/p')"
+  for q in q17g_partition_audit q17h_bucket_audit q14j_pca_project; do
+    if excluded "$shape" "$q" && \
+       ! echo "$replay" | grep -q "^FAIL $q:"; then
+      echo "** $shape: STALE exclusion $q (no longer fails)"; rc=1
+    fi
+  done
+done
+exit $rc

@@ -23,8 +23,14 @@ def main(sf_dir: str, out_dir: str) -> int:
     for t in TABLES:
         # A missing parquet (e.g. embeddings at some sf) only matters for
         # queries that reference it — those fail per-query below.
+        # Accept both layouts: a single file (the driver's testdata) and a
+        # Spark-written directory of part files (the degenerate fixtures).
+        import os
+        src = f"{sf_dir}/{t}.parquet"
+        if os.path.isdir(src):
+            src = f"{src}/*.parquet"
         try:
-            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+            con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{src}'")
         except Exception as e:
             print(f"WARN: no view for {t}: {e}")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
