@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -44,10 +44,20 @@ object Sources {
   /** Bucketed table: both sides bucketed on the join key → sort-merge
     * join with NO exchange (asserted in SourcesSpec). The plain-
     * parquet co-location strategy for repeated fact⋈fact joins.
+    *
+    * The pre-write `repartition(numBuckets, bucketCol)` uses the SAME
+    * pmod(murmur3) Spark's bucket assignment uses, so each writer task
+    * holds exactly one bucket → exactly ONE file per bucket. Without
+    * it every input task emits a file per bucket it touches — T×B
+    * small files at 100 TB (the bucketed-write fragmentation
+    * explosion), and a physical layout that varies with the upstream
+    * task layout (flushed by ParallelismInvarianceSpec's
+    * scrambled-layout pass on q17h's ledger).
     */
   def writeBucketed(df: DataFrame, table: String, bucketCol: String,
                     numBuckets: Int): Unit =
-    df.write.mode("overwrite")
+    df.repartition(numBuckets, col(bucketCol))
+      .write.mode("overwrite")
       .bucketBy(numBuckets, bucketCol)
       .sortBy(bucketCol)
       .saveAsTable(table)
@@ -56,11 +66,21 @@ object Sources {
     * 100 TB table neither fragments into millions of small files nor
     * concentrates into unsplittable monoliths. Pair with
     * [[writePartitioned]]'s date partitioning for pruning.
+    *
+    * `layoutKey` hash-distributes rows across the files: the written
+    * layout is then a pure function of the DATA, not of the upstream
+    * task layout. The keyless `repartition(files)` form is round-robin
+    * — its per-file row counts shift with input partitioning, which
+    * makes the compaction ledger (and any downstream file-grain
+    * algebra) nondeterministic across cluster layouts
+    * (ParallelismInvarianceSpec). For min/max-clustered files use
+    * [[writeZOrdered]], which range-partitions by explicit bounds —
+    * deterministic because the bounds are supplied, not sampled.
     */
   def writeCompacted(df: DataFrame, path: String, targetFileRows: Long,
-                     approxRows: Long): Unit = {
+                     approxRows: Long, layoutKey: Column): Unit = {
     val files = math.max(1, (approxRows.toDouble / targetFileRows).ceil.toInt)
-    df.repartition(files)
+    df.repartition(files, layoutKey)
       .write.mode("overwrite")
       .option("maxRecordsPerFile", targetFileRows)
       .parquet(path)
@@ -431,13 +451,17 @@ object Sources {
     val slice = Tables(spark, dir).orders
       .filter($"o_orderkey" % 2 === 0)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
-    // the anti-pattern: one file per upstream task, rows ÷ 64 each
-    slice.repartition(64)
+    // the anti-pattern: 64 tiny files (hash-keyed so the fragmented
+    // layout itself is a pure function of the data — a round-robin
+    // repartition(64) writes per-file row counts that shift with the
+    // upstream task layout, ParallelismInvarianceSpec)
+    slice.repartition(64, $"o_orderkey")
       .write.mode("overwrite").parquet(FragOut)
     // the cure: file count derived from target rows-per-file
     val approxRows = slice.count()
     writeCompacted(slice, CompactOut,
-      targetFileRows = 2048L, approxRows = approxRows)
+      targetFileRows = 2048L, approxRows = approxRows,
+      layoutKey = $"o_orderkey")
 
     def fileRows(path: String): DataFrame =
       spark.read.parquet(path)
@@ -559,7 +583,14 @@ object Sources {
       .filter($"o_orderkey" % 8 === 0)
       .select($"o_orderkey", $"o_custkey", $"o_totalprice")
     spark.sql("DROP TABLE IF EXISTS q17h_bucket_ext")
-    slice.write.mode("overwrite")
+    // pre-shuffle on the bucket column with the writer's own
+    // pmod(murmur3): one task per bucket → exactly ONE file per
+    // bucket, whatever the upstream layout (the writeBucketed device;
+    // unpinned, every input task emits a file per bucket it touches —
+    // T×B files at scale and a layout-dependent n_files ledger,
+    // flushed by ParallelismInvarianceSpec's scrambled-layout pass)
+    slice.repartition(8, $"o_custkey")
+      .write.mode("overwrite")
       .bucketBy(8, "o_custkey").sortBy("o_custkey")
       .option("path", BucketOut)
       .saveAsTable("q17h_bucket_ext")

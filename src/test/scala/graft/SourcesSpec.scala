@@ -56,7 +56,8 @@ class SourcesSpec extends SparkTestBase {
     val dir = Files.createTempDirectory("graft-compact").toString
     val li = Tables(spark, sfDir).lineitem
     val n = li.count()
-    Sources.writeCompacted(li, dir, targetFileRows = 2000, approxRows = n)
+    Sources.writeCompacted(li, dir, targetFileRows = 2000, approxRows = n,
+      layoutKey = $"l_orderkey")
     val read = spark.read.parquet(dir)
     assert(read.count() == n)
     val files = read.inputFiles.length
