@@ -17,8 +17,20 @@ import org.apache.spark.sql.expressions.Aggregator
   */
 object BoundedList {
 
-  /** over = the group exceeded cap distinct elements (buffer dropped). */
-  final case class Buf(over: Boolean, elems: List[Long])
+  /** over = the group exceeded cap distinct elements (buffer dropped).
+    *
+    * `elems` is declared `Seq` (not `List`): Spark's PRODUCT encoder
+    * officially supports Seq fields, and only the CODEGEN'd
+    * deserializer happens to insert the Seq→List conversion a List
+    * field needs — the interpreted path (factoryMode=NO_CODEGEN, the
+    * conservative/debugging session) passes the raw Seq to the
+    * constructor and dies with EXPRESSION_DECODING_FAILED /
+    * "argument type mismatch" (flushed by
+    * ParallelismInvarianceSpec's execution-mode axis). The runtime
+    * values are still Lists; only the declared field type changes,
+    * so buffers, results, and the oracle are untouched.
+    */
+  final case class Buf(over: Boolean, elems: Seq[Long])
 
   final case class BoundedListAggregator(cap: Int)
       extends Aggregator[Long, Buf, Option[Seq[Long]]] {
@@ -29,12 +41,12 @@ object BoundedList {
     override def reduce(b: Buf, e: Long): Buf =
       if (b.over || b.elems.contains(e)) b // contains is O(cap), cap ≤ ~50
       else if (b.elems.length >= cap) Buf(over = true, Nil)
-      else Buf(over = false, e :: b.elems)
+      else Buf(over = false, e +: b.elems)
 
     override def merge(a: Buf, b: Buf): Buf =
       if (a.over || b.over) Buf(over = true, Nil)
       else {
-        val es = (a.elems ::: b.elems).distinct
+        val es = (a.elems ++ b.elems).distinct
         if (es.length > cap) Buf(over = true, Nil) else Buf(over = false, es)
       }
 

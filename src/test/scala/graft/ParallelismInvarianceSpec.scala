@@ -79,6 +79,31 @@ class ParallelismInvarianceSpec extends SparkTestBase {
   private def canon(df: DataFrame): (String, Seq[String]) =
     (df.schema.toDDL, df.collect().toSeq.map(render).sorted)
 
+  /** Run the perturbed pass for one query and diff it against the
+    * baseline. A CRASH under the perturbed config is itself a
+    * finding (e.g. an encoder whose interpreted path diverges from
+    * its codegen'd one), so it is reported per-query instead of
+    * aborting the sweep.
+    */
+  private def compare(n: String, base: (String, Seq[String]),
+                      run: () => DataFrame): Option[(String, String)] = {
+    val (ddlA, rowsA) = base
+    try {
+      val (ddlB, rowsB) = canon(run())
+      if (ddlA != ddlB) Some(n -> s"schema drift: $ddlA vs $ddlB")
+      else if (rowsA != rowsB) {
+        val onlyA = rowsA.diff(rowsB).take(2)
+        val onlyB = rowsB.diff(rowsA).take(2)
+        Some(n -> (s"${rowsA.size}/${rowsB.size} rows; " +
+          s"onlyA=${onlyA.mkString("; ")} onlyB=${onlyB.mkString("; ")}"))
+      } else None
+    } catch {
+      case e: Throwable => Some(n ->
+        (s"crashed under perturbed config: ${e.getClass.getSimpleName}: " +
+          String.valueOf(e.getMessage).take(200)))
+    }
+  }
+
   /** The same warehouse, physically re-laid-out: 3 files per table,
     * rows range-partitioned + sorted by `xxhash64(*)` — a
     * deterministic scramble of both file count and row order. Built
@@ -105,29 +130,20 @@ class ParallelismInvarianceSpec extends SparkTestBase {
     root
   }
 
-  test("every registered query is invariant to shuffle/scan parallelism") {
-    val names = SparkEntry.queries.keys.toSeq.sorted
-    val passA = names.map(n =>
-      n -> canon(SparkEntry.queries(n)(spark, sfDir))).toMap
+  // the baseline pass, shared by both axes (computed once per run)
+  private lazy val names = SparkEntry.queries.keys.toSeq.sorted
+  private lazy val passA = names.map(n =>
+    n -> canon(SparkEntry.queries(n)(spark, sfDir))).toMap
 
+  test("every registered query is invariant to shuffle/scan parallelism") {
     val dirB = shuffledDir
     val sb = spark.newSession()
     GraftConf.tune(sb)
     sb.conf.set("spark.sql.shuffle.partitions", "7")
     sb.conf.set("spark.sql.files.maxPartitionBytes", "16384")
 
-    val varied = names.flatMap { n =>
-      val (ddlA, rowsA) = passA(n)
-      val (ddlB, rowsB) = canon(SparkEntry.queries(n)(sb, dirB))
-      if (ddlA != ddlB)
-        Some(n -> s"schema drift: $ddlA vs $ddlB")
-      else if (rowsA != rowsB) {
-        val onlyA = rowsA.diff(rowsB).take(2)
-        val onlyB = rowsB.diff(rowsA).take(2)
-        Some(n -> (s"${rowsA.size}/${rowsB.size} rows; " +
-          s"onlyA=${onlyA.mkString("; ")} onlyB=${onlyB.mkString("; ")}"))
-      } else None
-    }.toMap
+    val varied = names.flatMap(n =>
+      compare(n, passA(n), () => SparkEntry.queries(n)(sb, dirB))).toMap
 
     val unexpected = varied -- mayVary.keySet
     assert(unexpected.isEmpty,
@@ -138,5 +154,34 @@ class ParallelismInvarianceSpec extends SparkTestBase {
     val coincided = mayVary.keySet -- varied.keySet
     if (coincided.nonEmpty)
       info(s"mayVary entries invariant this run (permitted): $coincided")
+  }
+
+  /** Execution-MODE invariance, the orthogonal axis: same data, same
+    * layout, but every expression evaluated INTERPRETED
+    * (factoryMode=NO_CODEGEN), whole-stage codegen off, and AQE off —
+    * the planner and eval stack a conservative or debugging session
+    * would run. This is the registry-wide codegen≡eval equivalence
+    * check for the custom Catalyst expressions (a `doGenCode` whose
+    * generated code drifts from `eval()` is the classic
+    * native-expression bug, invisible to the oracle because the gate
+    * only ever sees one mode), and the AQE-off half pins that
+    * broadcast-vs-shuffle join selection never changes VALUES, only
+    * plans. Pass C reads pass A's layout so execution mode is the
+    * only variable.
+    */
+  test("every registered query is invariant to interpreted eval + AQE off") {
+    val sc = spark.newSession()
+    GraftConf.tune(sc)
+    sc.conf.set("spark.sql.adaptive.enabled", "false")
+    sc.conf.set("spark.sql.codegen.wholeStage", "false")
+    sc.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+
+    val varied = names.flatMap(n =>
+      compare(n, passA(n), () => SparkEntry.queries(n)(sc, sfDir))).toMap
+
+    val unexpected = varied -- mayVary.keySet
+    assert(unexpected.isEmpty,
+      "execution-mode-dependent results:\n" + unexpected.toSeq.sortBy(_._1)
+        .map { case (n, d) => s"  $n: ${d.take(400)}" }.mkString("\n"))
   }
 }
