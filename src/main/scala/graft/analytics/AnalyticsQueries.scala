@@ -108,6 +108,13 @@ object AnalyticsQueries {
       val li = Tables(spark, dir).lineitem
       def one(m: String): DataFrame = {
         val c = col(m)
+        // the 1-row sketch is consumed TWICE (ranks' broadcast and
+        // ranked's left side) — eager localCheckpoint so the full
+        // percentile_approx scan runs ONCE per measure, not per
+        // consumer (Spark does not reuse the exchange between a
+        // broadcast and a non-broadcast occurrence of the same
+        // subtree; the q9b one-row-moment device, chosen over .cache()
+        // for CacheSpec's no-session-lifetime-entries invariant)
         val sketch = li.agg(
           count(c).as("n"),
           Exact.davg(c).as("mean"),
@@ -117,6 +124,7 @@ object AnalyticsQueries {
           percentile_approx(c, lit(0.25), lit(10000)).as("p25a"),
           percentile_approx(c, lit(0.5), lit(10000)).as("p50a"),
           percentile_approx(c, lit(0.75), lit(10000)).as("p75a"))
+          .localCheckpoint(true)
         // second linear pass: exact rank interval of each sketch value
         // (strictly-below and at-most counts — the interval a value
         // with ties occupies), verified against q·n ± err. The rank
@@ -186,17 +194,26 @@ object AnalyticsQueries {
         |JOIN part ON l_partkey = p_partkey
         |JOIN customer ON o_custkey = c_custkey
         |JOIN supplier ON l_suppkey = s_suppkey""".stripMargin
+    // correlation is undefined when either side has zero variance —
+    // CASE-guard BOTH variance terms to NULL on BOTH engines: a
+    // constant measure (dirty ingest default, e.g. tax ≡ 0) makes the
+    // denominator an exact double 0, and the raw 0/0 THROWS under
+    // ANSI on Spark while DuckDB answers NaN (the dstddev class —
+    // degenerate-dir twin audit, SURVEY §8.9; the guard also absorbs
+    // the tiny-NEGATIVE pure-rounding variance, where sqrt goes NaN
+    // vs THROW). Variance exprs are exact-moment-derived, so the
+    // guard decision is engine-identical.
+    def duckVar(x: String): String =
+      s"""(COUNT(*) * CAST(CAST(SUM(CAST($x*$x AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
+         |   - CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
+         |     * CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))""".stripMargin
     def duckPair(x: String, y: String): String =
       s"""SELECT '${x}_vs_$y' AS pair, COUNT(*) AS n,
+         |  CASE WHEN ${duckVar(x)} > 0 AND ${duckVar(y)} > 0 THEN
          |  (COUNT(*) * CAST(CAST(SUM(CAST($x*$y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
          |   - CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
          |     * CAST(CAST(SUM(CAST($y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
-         |  / (sqrt(COUNT(*) * CAST(CAST(SUM(CAST($x*$x AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
-         |          - CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
-         |            * CAST(CAST(SUM(CAST($x AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE))
-         |     * sqrt(COUNT(*) * CAST(CAST(SUM(CAST($y*$y AS DECIMAL(38,4))) AS VARCHAR) AS DOUBLE)
-         |            - CAST(CAST(SUM(CAST($y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)
-         |              * CAST(CAST(SUM(CAST($y AS DECIMAL(38,6))) AS VARCHAR) AS DOUBLE)))
+         |  / (sqrt(${duckVar(x)}) * sqrt(${duckVar(y)})) END
          |    AS corr FROM base""".stripMargin
     GraftQuery(
       "q9b_correlations",
@@ -239,10 +256,15 @@ object AnalyticsQueries {
         val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
         pairs.map { case (x, y) =>
           val n = $"n".cast(DoubleType)
+          // zero-variance guard, twin of duckPair's CASE (see the
+          // oracle-side comment): constant measure → NULL, not a
+          // Spark-throws-DuckDB-NaN divergence
+          val vx = n * col(s"sxx_$x") - col(s"sx_$x") * col(s"sx_$x")
+          val vy = n * col(s"sxx_$y") - col(s"sx_$y") * col(s"sx_$y")
           m.select(lit(s"${x}_vs_$y").as("pair"), $"n",
-            ((n * col(s"sxy_${x}_$y") - col(s"sx_$x") * col(s"sx_$y"))
-              / (sqrt(n * col(s"sxx_$x") - col(s"sx_$x") * col(s"sx_$x"))
-                * sqrt(n * col(s"sxx_$y") - col(s"sx_$y") * col(s"sx_$y"))))
+            when(vx > 0 && vy > 0,
+              (n * col(s"sxy_${x}_$y") - col(s"sx_$x") * col(s"sx_$y"))
+                / (sqrt(vx) * sqrt(vy)))
               .as("corr"))
         }.reduce(_ unionByName _)
     }
@@ -838,16 +860,25 @@ object AnalyticsQueries {
       "(n * (s1y * s22 - s12 * s2y) - sy * (s1 * s22 - s12 * s2) + s2 * (s1 * s2y - s1y * s2))"
     val det2 =
       "(n * (s11 * s2y - s1y * s12) - s1 * (s1 * s2y - s1y * s2) + sy * (s1 * s12 - s11 * s2))"
-    // Degrees-of-freedom guard, shared by both engines: with n ≤ 3
-    // points the 3-parameter system is exactly- or under-determined —
-    // det → 0 and the solve amplifies sub-9dp quantization asymmetry
-    // (Spark's string-path vs DuckDB's multiply-then-round
-    // double→decimal cast) into arbitrary coefficients. A fit with
-    // zero residual degrees of freedom is statistically meaningless,
-    // so both engines answer NULL; the bitwise cross-engine contract
-    // holds for over-determined systems (degenerate-dir twin audit,
-    // SURVEY §8.9 — flushed by the 3-row outlier warehouse).
-    def solved(e: String) = s"CASE WHEN n > 3 THEN $e END"
+    // Solvability guard, shared by both engines, two conditions:
+    //  - n > 3: with n ≤ 3 points the 3-parameter system is exactly-
+    //    or under-determined — det → 0 and the solve amplifies
+    //    sub-9dp quantization asymmetry (Spark's string-path vs
+    //    DuckDB's multiply-then-round double→decimal cast) into
+    //    arbitrary coefficients. A fit with zero residual degrees of
+    //    freedom is statistically meaningless (flushed by the 3-row
+    //    outlier warehouse).
+    //  - det ≠ 0: n > 3 alone does not imply full rank — a CONSTANT
+    //    regressor (dirty ingest default, e.g. discount ≡ 0 on every
+    //    row) zeroes det EXACTLY at any n, and the raw det/det is a
+    //    double 0/0, which THROWS under ANSI on Spark while DuckDB
+    //    answers NaN (the dstddev engine-divergence class). Rank
+    //    deficiency means no unique solution → NULL on both engines.
+    // det is exact-moment-derived and textually shared, so the guard
+    // decision is engine-identical; the bitwise cross-engine contract
+    // holds for full-rank over-determined systems (degenerate-dir
+    // twin audit, SURVEY §8.9).
+    def solved(e: String) = s"CASE WHEN n > 3 AND $det <> 0 THEN $e END"
     val b0 = solved(s"$det0 / $det")
     val b1 = solved(s"$det1 / $det")
     val b2 = solved(s"$det2 / $det")

@@ -137,7 +137,12 @@ object BehaviorQueries {
   /** q24c — event-transition counts (first-order Markov structure):
     * per-user LAG over (ts, event_id) — the unique event_id breaks
     * ts ties so the previous-event assignment is deterministic —
-    * then a tiny (|types|+1)² hash-agg.
+    * then a tiny (|types|+1)² hash-agg. An UNDATEABLE event (NULL ts)
+    * has no position in a sequence, so both engines exclude it (the
+    * q15c convention): unfiltered, Spark's window orders NULLS FIRST
+    * and DuckDB's NULLS LAST, assigning the dirty row a different
+    * neighbor on each engine (degenerate-dir twin audit — flushed by
+    * the outlier fixture's mixed null/non-null user).
     */
   val q24cEventTransitions: GraftQuery = GraftQuery(
     "q24c_event_transitions",
@@ -145,12 +150,14 @@ object BehaviorQueries {
       |  SELECT COALESCE(lag(event_type) OVER w, 'START') AS prev_type,
       |         event_type
       |  FROM events
+      |  WHERE ts IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id))
       |SELECT prev_type, event_type, COUNT(*) AS n
       |FROM lagged GROUP BY 1, 2""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     Tables(spark, dir).events
+      .filter($"ts".isNotNull)
       .select($"user_id", $"ts", $"event_id", $"event_type")
       .withColumn("prev_type",
         coalesce(lag($"event_type", 1).over(w), lit("START")))

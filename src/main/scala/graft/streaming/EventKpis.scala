@@ -91,6 +91,7 @@ object EventKpis {
       |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
+      |  WHERE ts IS NOT NULL
       |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
       |sessions AS (
       |  SELECT user_id, ts,
@@ -108,7 +109,15 @@ object EventKpis {
       |         AS avg_session_secs
       |FROM stats GROUP BY 1""".stripMargin) { (spark, dir) =>
     import spark.implicits._
-    val events = Tables(spark, dir).events
+    // an undateable event cannot be sessionized — NULL ts is excluded
+    // on BOTH engines (the q15a/b/d convention). Unfiltered, the two
+    // engines DIVERGE on a mixed feed: Spark's window orders NULLS
+    // FIRST (the NULL row becomes its own leading session), DuckDB's
+    // NULLS LAST (it joins the final session) — different n_sessions
+    // for the same data (degenerate-dir twin audit class, SURVEY
+    // §8.9; the all-NULL fixture is accidentally symmetric, only a
+    // MIXED feed exposes the ordering asymmetry).
+    val events = Tables(spark, dir).events.filter($"ts".isNotNull)
     val w = Window.partitionBy($"user_id").orderBy($"ts", $"event_id")
     val usec = (c: org.apache.spark.sql.Column) =>
       unix_micros(c)

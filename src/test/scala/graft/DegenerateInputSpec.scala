@@ -213,9 +213,16 @@ object DegenerateData {
               lit("1900-01-01").cast("timestamp"),
               lit("2199-12-31").cast("timestamp"), col("l_shipdate")))
           case "events" => df
+            // row 3 is an UNDATEABLE event (NULL ts) and shares
+            // user_id with row 2's 2100 boundary — a MIXED
+            // null/non-null per-user window, the shape that flushes
+            // NULLS FIRST (Spark) vs NULLS LAST (DuckDB) ordering
+            // divergence in sessionization twins (the all-NULL
+            // fixture is accidentally symmetric there)
             .withColumn("ts", pick(
               lit("1970-01-01 00:00:00").cast("timestamp"),
-              lit("2100-01-01 00:00:00").cast("timestamp"), col("ts")))
+              lit("2100-01-01 00:00:00").cast("timestamp"),
+              lit(null).cast("timestamp")))
             .withColumn("value", pick(lit(-1.0e12), lit(1.0e15), lit(0.0)))
             .withColumn("props", pick(lit("{\"broken"), lit("{}"), col("props")))
             .withColumn("event_type", pick(lit(""), col("event_type"), col("event_type")))

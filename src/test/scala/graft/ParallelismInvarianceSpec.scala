@@ -107,15 +107,27 @@ class ParallelismInvarianceSpec extends SparkTestBase {
   /** The same warehouse, physically re-laid-out: 3 files per table,
     * rows range-partitioned + sorted by `xxhash64(*)` — a
     * deterministic scramble of both file count and row order. Built
-    * once per checkout under target/ (same idempotence device as
-    * DegenerateData).
+    * once per checkout under target/. UNLIKE the DegenerateData
+    * fixtures (self-contained: both engines read the same files, so a
+    * stale copy stays internally consistent), this copy is
+    * cross-compared against the LIVE sfDir baseline — a stale
+    * scramble after a testdata regeneration would fail every query
+    * with a bogus "parallelism-dependent" verdict. The marker
+    * therefore records the SOURCE mtimes and the build reruns when
+    * they change.
     */
   private def shuffledDir: String = {
     val root = "target/invariance/shuffled"
+    val tables = Seq("region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
     val done = java.nio.file.Paths.get(root, "_BUILT")
-    if (!java.nio.file.Files.exists(done)) {
-      for (t <- Seq("region", "nation", "customer", "supplier", "part",
-          "orders", "lineitem", "events", "documents", "embeddings")) {
+    val stamp = tables.map(t => java.nio.file.Files
+      .getLastModifiedTime(java.nio.file.Paths.get(s"$sfDir/$t.parquet"))
+      .toMillis).mkString(",")
+    val fresh = java.nio.file.Files.exists(done) &&
+      java.nio.file.Files.readString(done) == stamp
+    if (!fresh) {
+      for (t <- tables) {
         val df = spark.read.parquet(s"$sfDir/$t.parquet")
         df.withColumn("__h",
             org.apache.spark.sql.functions.xxhash64(df.columns.map(
@@ -125,7 +137,7 @@ class ParallelismInvarianceSpec extends SparkTestBase {
           .drop("__h")
           .write.mode("overwrite").parquet(s"$root/$t.parquet")
       }
-      java.nio.file.Files.createFile(done)
+      java.nio.file.Files.writeString(done, stamp)
     }
     root
   }

@@ -34,11 +34,13 @@
 # Usage: tools/audit_degenerate.sh [shape ...]   (default set above)
 set -u
 cd "$(dirname "$0")/.."
+# single source of truth for the exclusions: shape/query pairs; both
+# the FAIL-tolerance check and the staleness check derive from it
+EXCLUSIONS="empty/q17g_partition_audit empty/q17h_bucket_audit \
+nulls/q17g_partition_audit outlier/q14j_pca_project"
 excluded() { # excluded <shape> <query>
-  case "$1/$2" in
-    empty/q17g_partition_audit|empty/q17h_bucket_audit) return 0 ;;
-    nulls/q17g_partition_audit) return 0 ;;
-    outlier/q14j_pca_project) return 0 ;;
+  case " $EXCLUSIONS " in
+    *" $1/$2 "*) return 0 ;;
     *) return 1 ;;
   esac
 }
@@ -63,9 +65,24 @@ for shape in "${shapes[@]}"; do
   # shellcheck disable=SC2086
   java $OPENS -Xmx8g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
     graft.Verify "$dir" "$out" 2>&1 | grep "^\[verify\]" || true
+  # a Verify that died at startup (bad classpath, OOM) leaves no
+  # oracle dump — that must read as a loud failure, not an empty
+  # (vacuously green) replay
+  if [ ! -f "$out/oracle_sql.json" ]; then
+    echo "** $shape: Verify produced no oracle dump ($out)"; rc=1; continue
+  fi
   echo "== $shape: DuckDB twin replay =="
-  replay=$(python3 tools/check_oracle.py "$dir" "$out")
+  # check_oracle exits 1 when any query FAILs — that is a per-query
+  # verdict the loops below adjudicate against the exclusions, not a
+  # tool failure, so capture output regardless of exit status; a
+  # genuine tool crash (traceback, no summary) is caught by the
+  # summary-line check
+  replay=$(python3 tools/check_oracle.py "$dir" "$out") || true
   echo "$replay" | grep -v "^PASS" || true
+  # an empty/summary-less replay means the compare never ran
+  if ! echo "$replay" | grep -qE "^== [1-9][0-9]* pass"; then
+    echo "** $shape: replay produced no pass/fail summary"; rc=1; continue
+  fi
   # ratchet: every FAIL must be a known exclusion, and every known
   # exclusion for this shape must still FAIL (stale otherwise)
   while read -r q; do
@@ -74,9 +91,10 @@ for shape in "${shapes[@]}"; do
       echo "** $shape: UNEXPECTED failure $q"; rc=1
     fi
   done <<< "$(echo "$replay" | sed -n 's/^FAIL \([^:]*\):.*/\1/p')"
-  for q in q17g_partition_audit q17h_bucket_audit q14j_pca_project; do
-    if excluded "$shape" "$q" && \
-       ! echo "$replay" | grep -q "^FAIL $q:"; then
+  for sq in $EXCLUSIONS; do
+    [ "${sq%%/*}" = "$shape" ] || continue
+    q="${sq#*/}"
+    if ! echo "$replay" | grep -q "^FAIL $q:"; then
       echo "** $shape: STALE exclusion $q (no longer fails)"; rc=1
     fi
   done
