@@ -47,14 +47,37 @@ object GraphQueries {
     * scan measured a wash (r10 A/B).
     */
   private val pairCache = scala.collection.concurrent.TrieMap
-    .empty[(org.apache.spark.sql.SparkSession, String), DataFrame]
+    .empty[(org.apache.spark.sql.SparkSession, String, String), DataFrame]
+
+  /** Cheap content fingerprint of the lineitem source: file listing +
+    * lengths + mtimes via the Hadoop FS (works on any FS the session
+    * can read). Keys the pair-frame cache so a live session that
+    * re-reads a dir whose parquet was REWRITTEN (fixture regeneration,
+    * re-ingest) recomputes instead of silently serving stale edges.
+    * One listStatus per graph query — file-count grain, no data read.
+    */
+  private def lineitemFingerprint(
+      spark: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val p = new org.apache.hadoop.fs.Path(dir, "lineitem.parquet")
+    val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(p)) "absent"
+    else fs.listStatus(p)
+      .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
+      .sorted.mkString("|").hashCode.toString
+  }
 
   private[graft] def coPurchasePairs(
       spark: org.apache.spark.sql.SparkSession, dir: String): DataFrame = {
-    // entries for stopped sessions pin their whole session graph (and
-    // checkpoint blocks) for the JVM's life — evict them on access
-    pairCache.filterInPlace { case ((s, _), _) => !s.sparkContext.isStopped }
-    pairCache.getOrElseUpdate((spark, dir), {
+    val fp = lineitemFingerprint(spark, dir)
+    // evict on access: entries for stopped sessions pin their whole
+    // session graph (and checkpoint blocks) for the JVM's life, and a
+    // stale-fingerprint entry for this (session, dir) is dead weight
+    // (its checkpoint blocks stay pinned until the session ends — the
+    // bounded cost of rewriting a warehouse under a live session)
+    pairCache.filterInPlace { case ((s, d, f), _) =>
+      !s.sparkContext.isStopped && !(s.eq(spark) && d == dir && f != fp)
+    }
+    pairCache.getOrElseUpdate((spark, dir, fp), {
       import spark.implicits._
       Tables(spark, dir).lineitem
         .select($"l_orderkey", $"l_partkey")

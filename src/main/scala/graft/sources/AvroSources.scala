@@ -49,13 +49,23 @@ object AvroSources {
     * wire format).
     */
   def writeAvro(df: DataFrame, schemaJson: String, outDir: String): Unit = {
+    // The writer targets the local filesystem directly (no Hadoop
+    // committer), so driver-side overwrite + executor-side create only
+    // compose when both sides see one FS — true exactly in local mode.
+    // Fail loudly rather than silently scatter files across a cluster.
+    require(df.sparkSession.sparkContext.isLocal,
+      "writeAvro writes to the driver-local filesystem; it requires local mode")
     val dir = java.nio.file.Paths.get(outDir)
     if (java.nio.file.Files.exists(dir)) { // overwrite semantics
-      val listing = java.nio.file.Files.list(dir)
+      // recursive (deepest-first) delete: an interrupted prior run can
+      // leave subdirectories (e.g. a _temporary dir), which a flat
+      // Files.delete pass would trip over with DirectoryNotEmptyException
+      val walk = java.nio.file.Files.walk(dir)
       try {
-        val old = listing.iterator()
-        while (old.hasNext) java.nio.file.Files.delete(old.next())
-      } finally listing.close()
+        walk.sorted(java.util.Comparator.reverseOrder())
+          .filter(p => p != dir)
+          .forEach(p => java.nio.file.Files.delete(p))
+      } finally walk.close()
     } else java.nio.file.Files.createDirectories(dir)
     val cols = df.schema
     df.foreachPartition { rows: Iterator[Row] =>
@@ -67,9 +77,18 @@ object AvroSources {
           .map(i => cols.fieldIndex(fields.get(i).name())).toArray
         val writer = new DataFileWriter(new GenericDatumWriter[GenericRecord](schema))
         writer.setCodec(org.apache.avro.file.CodecFactory.deflateCodec(6))
-        val pid = TaskContext.getPartitionId()
-        val f = new java.io.File(outDir, f"part-$pid%05d.avro")
-        writer.create(schema, f)
+        // Minimal commit protocol: each attempt writes to a temp name
+        // unique to the TASK ATTEMPT, then atomically renames into the
+        // final per-partition name on success — a retried or
+        // speculative attempt can never interleave bytes with another
+        // writer on the same file, and a failed attempt leaves only a
+        // .tmp that the next overwrite sweeps.
+        val tc = TaskContext.get()
+        val pid = tc.partitionId()
+        val tmp = new java.io.File(outDir,
+          f"part-$pid%05d.avro.tmp-attempt-${tc.taskAttemptId()}")
+        val fin = new java.io.File(outDir, f"part-$pid%05d.avro")
+        writer.create(schema, tmp)
         try rows.foreach { r =>
           val rec = new GenericData.Record(schema)
           var i = 0
@@ -86,6 +105,10 @@ object AvroSources {
           }
           writer.append(rec)
         } finally writer.close()
+        java.nio.file.Files.move(tmp.toPath, fin.toPath,
+          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        ()
       }
     }
   }
@@ -121,9 +144,14 @@ object AvroSources {
             f.pos()
           }
           new Iterator[Row] {
+            // once exhausted the reader is CLOSED; a consumer that
+            // polls hasNext again must get false, not an avro exception
+            // from a closed stream
+            private var finished = false
             def hasNext: Boolean = {
+              if (finished) return false
               val h = reader.hasNext
-              if (!h) reader.close()
+              if (!h) { finished = true; reader.close() }
               h
             }
             def next(): Row = {

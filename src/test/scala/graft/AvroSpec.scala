@@ -84,6 +84,55 @@ class AvroSpec extends SparkTestBase {
       (1L, Some("a"), None), (2L, None, Some(7L)), (3L, None, None)))
   }
 
+  test("overwrite sweeps stale subdirectories and temp files; no final-name collisions") {
+    writeSample()
+    // simulate an interrupted prior run: a nested _temporary dir and a
+    // stranded attempt temp file inside the output dir — the recursive
+    // overwrite sweep must clear both instead of wedging on
+    // DirectoryNotEmptyException, and a re-read must see only the
+    // committed (renamed) files
+    val tmpDir = java.nio.file.Paths.get(out, "_temporary", "0")
+    java.nio.file.Files.createDirectories(tmpDir)
+    java.nio.file.Files.write(tmpDir.resolve("stray"), Array[Byte](1, 2))
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-00099.avro.tmp-attempt-42"),
+      Array[Byte](3))
+    writeSample() // must not throw
+    val names = {
+      val l = java.nio.file.Files.list(java.nio.file.Paths.get(out))
+      try {
+        val b = Seq.newBuilder[String]
+        l.iterator().forEachRemaining(p => b += p.getFileName.toString)
+        b.result()
+      } finally l.close()
+    }
+    assert(names.forall(n => n.matches("part-\\d{5}\\.avro")),
+      s"uncommitted artifacts survived the overwrite: $names")
+    val back = AvroSources.readAvro(spark, out, StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType))))
+    assert(back.count() === 3L)
+  }
+
+  test("exhausted reader iterator answers hasNext=false, not a closed-stream error") {
+    writeSample()
+    import org.apache.spark.sql.Row
+    // drive the same iterator shape readAvro builds, through a consumer
+    // that polls hasNext AGAIN after exhaustion (grouped/buffered
+    // consumers do this) — the closed DataFileReader must not be touched
+    val schema = StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType)))
+    val polled = AvroSources.readAvro(spark, out, schema)
+      .mapPartitions { it =>
+        var n = 0L
+        while (it.hasNext) { it.next(); n += 1 }
+        // the poll-after-exhaustion that used to hit a closed stream
+        assert(!it.hasNext && !it.hasNext)
+        Iterator(Row(n, "ok"))
+      }(org.apache.spark.sql.Encoders.row(schema))
+      .agg(sum("k")).head().getLong(0)
+    assert(polled === 3L)
+  }
+
   test("corrupt payloads, missing columns, and bad types fail loudly") {
     writeSample()
     // a declared column the files don't have

@@ -184,6 +184,28 @@ class GraphSpec extends SparkTestBase {
         (viaShuffle.toSet diff viaBroadcast.toSet)}")
   }
 
+  test("pair-frame cache serves cached on identical bytes, recomputes on rewrite") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("graph_cache").toString
+    def writeLineitem(orders: Seq[(Long, Long)]): Unit =
+      orders.toDF("l_orderkey", "l_partkey")
+        .coalesce(1).write.mode("overwrite")
+        .parquet(s"$dir/lineitem.parquet")
+    // one order with items {1,2,3} → 3 co-purchase pairs
+    writeLineitem(Seq((10L, 1L), (10L, 2L), (10L, 3L)))
+    val first = GraphQueries.coPurchasePairs(spark, dir)
+    assert(first.count() === 3L)
+    // identical bytes → the memoized frame itself comes back
+    assert(GraphQueries.coPurchasePairs(spark, dir) eq first)
+    // REWRITE the warehouse under the live session: one order with
+    // items {1,2} → exactly 1 pair. A path-keyed cache would serve the
+    // stale 3-pair frame; the content fingerprint must recompute.
+    writeLineitem(Seq((20L, 1L), (20L, 2L)))
+    val second = GraphQueries.coPurchasePairs(spark, dir)
+    assert(second.count() === 1L,
+      "pair cache served stale edges after the source parquet was rewritten")
+  }
+
   test("iteration plan is equi-join + hash agg — no cartesian") {
     val up = Seq((1L, 2L, 1L), (2L, 3L, 1L))
     val directed = up ++ up.map { case (s, t, w) => (t, s, w) }
