@@ -364,17 +364,36 @@ object AnalyticsQueries {
     * twin and asserts the plan is Window-free.
     * Ref semantics preserved: `PythonAnalysis.py:459-468, 480-504`.
     */
-  val q9dApproxSegmentation: GraftQuery = GraftQuery.noOracle(
-    "q9d_segmentation_approx") { (spark, dir) =>
-    import spark.implicits._
-    val cust = custSpendOrders(spark, dir)
-    // descending tertiles: tile 1 = top third → thresholds at the
-    // ascending 2/3 and 1/3 quantiles
-    val cuts = cust.agg(
-      percentile_approx($"spend", lit(2.0 / 3), lit(10000)).as("spend_hi"),
-      percentile_approx($"spend", lit(1.0 / 3), lit(10000)).as("spend_lo"),
-      percentile_approx($"n_orders", lit(2.0 / 3), lit(10000)).as("ord_hi"),
-      percentile_approx($"n_orders", lit(1.0 / 3), lit(10000)).as("ord_lo"))
+  /** q9d_approx body over EXPLICIT cutpoints, factored so the verdict
+    * spec can feed deliberately-wrong cuts and pin that the appended
+    * `cuts_in_rank_band` verdict FLIPS. The verdict is the q9a_approx
+    * rank-guarantee device emitted as data for the driver's rows-only
+    * gate: a second linear pass counts each cut's strictly-below /
+    * at-most ranks and checks them against q·n ± max(1, n/10000) (the
+    * GK sketch's contract at accuracy 10000 — ties widen a value's
+    * rank INTERVAL, which is exactly what the two-sided count pair
+    * measures). Empty feed → coalesced 0-counts → vacuously true,
+    * matching the exact twin's empty output.
+    */
+  private[graft] def approxSegmentationFrom(
+      cust: DataFrame, cuts: DataFrame): DataFrame = {
+    import cust.sparkSession.implicits._
+    def rsum(cond: Column, name: String) =
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(name)
+    val ranks = cust.crossJoin(broadcast(cuts)).agg(
+      count(lit(1)).as("nC"),
+      rsum($"spend" < $"spend_hi", "b_shi"), rsum($"spend" <= $"spend_hi", "a_shi"),
+      rsum($"spend" < $"spend_lo", "b_slo"), rsum($"spend" <= $"spend_lo", "a_slo"),
+      rsum($"n_orders" < $"ord_hi", "b_ohi"), rsum($"n_orders" <= $"ord_hi", "a_ohi"),
+      rsum($"n_orders" < $"ord_lo", "b_olo"), rsum($"n_orders" <= $"ord_lo", "a_olo"))
+    val err = greatest(lit(1.0), $"nC" / 10000.0)
+    def ok(q: Double, below: String, atMost: String) =
+      (col(below) <= lit(q) * $"nC" + err) &&
+        (col(atMost) >= lit(q) * $"nC" - err)
+    val verdict = ranks.select(
+      (ok(2.0 / 3, "b_shi", "a_shi") && ok(1.0 / 3, "b_slo", "a_slo") &&
+        ok(2.0 / 3, "b_ohi", "a_ohi") && ok(1.0 / 3, "b_olo", "a_olo"))
+        .as("cuts_in_rank_band"))
     val seg = cust.crossJoin(broadcast(cuts))
       .withColumn("value_tertile",
         when($"spend" > $"spend_hi", 1)
@@ -391,6 +410,24 @@ object AnalyticsQueries {
           .when($"value_tertile" === 3 && $"freq_tertile" === 3,
             "reactivate_or_drop")
           .otherwise("nurture")).as("action"))
+      .crossJoin(broadcast(verdict))
+  }
+
+  val q9dApproxSegmentation: GraftQuery = GraftQuery.noOracle(
+    "q9d_segmentation_approx") { (spark, dir) =>
+    import spark.implicits._
+    val cust = custSpendOrders(spark, dir)
+    // descending tertiles: tile 1 = top third → thresholds at the
+    // ascending 2/3 and 1/3 quantiles. The cuts frame feeds THREE
+    // consumers (bucketing + the two rank-verdict counts ride one
+    // aggregate) — eager localCheckpoint so the sketch scan runs once.
+    val cuts = cust.agg(
+      percentile_approx($"spend", lit(2.0 / 3), lit(10000)).as("spend_hi"),
+      percentile_approx($"spend", lit(1.0 / 3), lit(10000)).as("spend_lo"),
+      percentile_approx($"n_orders", lit(2.0 / 3), lit(10000)).as("ord_hi"),
+      percentile_approx($"n_orders", lit(1.0 / 3), lit(10000)).as("ord_lo"))
+      .localCheckpoint(true)
+    approxSegmentationFrom(cust, cuts)
   }
 
   /** q9e — churn feature table + 90-day label (ref churn features

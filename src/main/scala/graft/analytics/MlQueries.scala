@@ -50,6 +50,78 @@ object MlQueries {
     df.join(broadcast(counts), df("label") === counts("wlabel")).drop("wlabel")
   }
 
+  /** Verdict rows for the churn model — the r11-verdict device of
+    * emitting assertion results AS DATA, so the driver's rows-only gate
+    * on the statistical entry carries real correctness signal (the
+    * dumped parquet is self-describing: every `ok` must read true).
+    * The bands are DATA-INDEPENDENT contracts (the reference's
+    * published 87.1%/98.3% operating point is Olist-specific — on the
+    * harness's TPC-H-shaped warehouse the same recipe reads ~0.84/0.82,
+    * so a published-band verdict would be vacuously false here; the
+    * published-point recovery stays pinned on the Olist-shaped fixture
+    * in MlPublishedMetricsSpec):
+    *
+    *  - precision beats the test-set churn BASE RATE (lift > 1 — an
+    *    uninformative classifier's expected precision IS the base rate)
+    *  - recall beats the PREDICTED-POSITIVE rate (an uninformative
+    *    classifier flagging at rate r has expected recall r)
+    *  - evaluator AUC > 0.6 AND matches the RELATIONAL pairwise AUC
+    *    computed over the same predictions by the hash-gated
+    *    [[PrefixSum]] path (±0.005: the evaluator's
+    *    BinaryClassificationMetrics downsamples the curve to 1000 bins,
+    *    exact equality holds only while distinct scores ≤ 1000)
+    *  - feature importances non-negative, summing to 1 ± 1e-6
+    *
+    * Factored out so MlVerdictSpec can feed perturbed metrics and pin
+    * that each verdict FLIPS (a gate that can't fail is not a gate).
+    */
+  private[graft] def churnVerdicts(
+      tp: Long, fp: Long, fn: Long, tn: Long,
+      auc: Double, aucRelational: Option[Double],
+      importances: Seq[(String, Double)]): Seq[(String, Double, Boolean)] = {
+    val nTest = (tp + fp + fn + tn).toDouble
+    val baseRate = if (nTest == 0) 1.0 else (tp + fn) / nTest
+    val predPos  = if (nTest == 0) 1.0 else (tp + fp) / nTest
+    val precision = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
+    val recall    = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
+    val impSum = importances.map(_._2).sum
+    val impOk  = math.abs(impSum - 1.0) < 1e-6 &&
+      importances.forall(_._2 >= 0.0)
+    val aucOk = auc > 0.6 &&
+      aucRelational.exists(a => math.abs(a - auc) <= 0.005)
+    Seq(
+      ("precision_churn", precision, tp + fp > 0 && precision > baseRate),
+      ("recall_churn", recall, recall > predPos),
+      ("auc_roc", auc, aucOk),
+      ("auc_roc_relational", aucRelational.getOrElse(Double.NaN), aucOk),
+      ("feature_importance_sum", impSum, impOk)) ++
+      importances.map { case (f, v) => (s"importance_$f", v, impOk) }
+  }
+
+  /** Exact pairwise AUC = P(score⁺ > score⁻) + ½·P(tie), computed
+    * RELATIONALLY on score grain (one hash agg collapses the
+    * predictions, then one [[PrefixSum]] two-pass — the q9l skeleton,
+    * never a single-task window): for each score s,
+    * neg_s · (posAbove_s + pos_s/2), normalized by np·nn. This is
+    * bit-identical to the trapezoid over the full ROC curve, so it
+    * independently cross-checks the evaluator's statistical path with
+    * an operator whose math is already DuckDB-hash-gated (q9l). None
+    * when either class is absent (AUC undefined).
+    */
+  private[graft] def pairwiseAuc(scored: DataFrame): Option[Double] = {
+    import scored.sparkSession.implicits._
+    val grain = scored.groupBy($"score")
+      .agg(sum(when($"label" === 1.0, 1L).otherwise(0L)).as("pos"),
+        sum(when($"label" === 1.0, 0L).otherwise(1L)).as("neg"))
+    val r = PrefixSum.exclusivePrefixSum(grain,
+        Seq(col("score").desc), col("pos"), "cpos")
+      .agg(sum($"neg".cast("double") * ($"cpos" + $"pos" / 2.0)).as("num"),
+        sum($"pos").as("np"), sum($"neg").as("nn"))
+      .head()
+    if (r.isNullAt(1) || r.getLong(1) == 0L || r.getLong(2) == 0L) None
+    else Some(r.getDouble(0) / (r.getLong(1).toDouble * r.getLong(2).toDouble))
+  }
+
   val q9jChurnModel: GraftQuery = GraftQuery.noOracle("q9j_churn_model") {
     (spark, dir) =>
       import spark.implicits._
@@ -66,29 +138,45 @@ object MlQueries {
           .setNumTrees(200).setSeed(42L).setWeightCol("w")
           .setLabelCol("label").setFeaturesCol("features")
         val model = rf.fit(assembler.transform(train))
-        // pred feeds 4 actions (3 counts + AUC); cache for their
-        // duration only — unpersisted below so no CacheManager entry
-        // outlives the query (CacheSpec invariant).
+        // pred feeds 6 actions (4 counts + evaluator AUC + relational
+        // AUC); cache for their duration only — unpersisted below so no
+        // CacheManager entry outlives the query (CacheSpec invariant).
         val pred  = model.transform(assembler.transform(test)).cache()
-        val (tp, fp, fn, auc) = try {
+        val (tp, fp, fn, tn, auc, aucRel) = try {
           val tp = pred.filter($"label" === 1.0 && $"prediction" === 1.0).count()
           val fp = pred.filter($"label" === 0.0 && $"prediction" === 1.0).count()
           val fn = pred.filter($"label" === 1.0 && $"prediction" === 0.0).count()
+          val tn = pred.filter($"label" === 0.0 && $"prediction" === 0.0).count()
           val auc = new BinaryClassificationEvaluator()
             .setLabelCol("label").setMetricName("areaUnderROC").evaluate(pred)
-          (tp, fp, fn, auc)
+          val aucRel = pairwiseAuc(pred.select(
+            org.apache.spark.ml.functions.vector_to_array($"probability")(1)
+              .as("score"), $"label"))
+          (tp, fp, fn, tn, auc, aucRel)
         } finally pred.unpersist()
-        val precision = if (tp + fp == 0) 0.0 else tp.toDouble / (tp + fp)
-        val recall    = if (tp + fn == 0) 0.0 else tp.toDouble / (tp + fn)
         val importances = FeatureCols.zip(model.featureImportances.toArray)
-        val metrics = Seq(
-          ("precision_churn", precision),
-          ("recall_churn", recall),
-          ("auc_roc", auc)) ++
-          importances.map { case (f, v) => (s"importance_$f", v) }
-        metrics.toDF("metric", "value")
+        churnVerdicts(tp, fp, fn, tn, auc, aucRel, importances)
+          .toDF("metric", "value", "ok")
       } finally data.unpersist()
   }
+
+  /** Verdict rows for the elasticity LR: each spark.ml scalar must
+    * match q9hElasticity's CLOSED-FORM solution on the same price
+    * bands — and q9h is itself DuckDB-hash-gated, so these booleans
+    * chain the statistical entry to an oracle-checked ground truth
+    * (the MlSpec cross-check, emitted as data for the driver's gate).
+    * Tolerances are MlSpec's: the LR path folds raw doubles where the
+    * closed form snaps per-band logs to DECIMAL(38,9). NaN closed-form
+    * inputs (degenerate <2-band feeds) read as not-ok, never a crash.
+    * Factored out so MlVerdictSpec can pin that perturbed fits flip.
+    */
+  private[graft] def elasticityVerdicts(
+      slope: Double, intercept: Double, r2: Double,
+      cfSlope: Double, cfIntercept: Double, cfR2: Double)
+      : Seq[(String, Double, Boolean)] = Seq(
+    ("elasticity_slope", slope, math.abs(slope - cfSlope) < 1e-4),
+    ("intercept", intercept, math.abs(intercept - cfIntercept) < 1e-3),
+    ("r2", r2, math.abs(r2 - cfR2) < 1e-4))
 
   val q9kElasticityLr: GraftQuery = GraftQuery.noOracle("q9k_elasticity_lr") {
     (spark, dir) =>
@@ -105,10 +193,17 @@ object MlQueries {
       val lr = new LinearRegression().setFeaturesCol("features")
         .setLabelCol("label")
       val model = lr.fit(assembled)
-      Seq(
-        ("elasticity_slope", model.coefficients(0)),
-        ("intercept", model.intercept),
-        ("r2", model.summary.r2)).toDF("metric", "value")
+      // the oracle-gated closed form on the same bands (1 row — a
+      // bounded driver action, same grain as the model scalars)
+      val cf = AnalyticsQueries.q9hElasticity.fn(spark, dir).head()
+      def d(name: String): Double = {
+        val i = cf.fieldIndex(name)
+        if (cf.isNullAt(i)) Double.NaN else cf.getDouble(i)
+      }
+      elasticityVerdicts(
+        model.coefficients(0), model.intercept, model.summary.r2,
+        d("elasticity_slope"), d("intercept"), d("r2"))
+        .toDF("metric", "value", "ok")
   }
 
   /** ROC curve points (ref `roc_curve` `PythonAnalysis.py:301-302`,
