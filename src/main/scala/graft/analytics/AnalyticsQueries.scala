@@ -418,9 +418,9 @@ object AnalyticsQueries {
     import spark.implicits._
     val cust = custSpendOrders(spark, dir)
     // descending tertiles: tile 1 = top third → thresholds at the
-    // ascending 2/3 and 1/3 quantiles. The cuts frame feeds THREE
-    // consumers (bucketing + the two rank-verdict counts ride one
-    // aggregate) — eager localCheckpoint so the sketch scan runs once.
+    // ascending 2/3 and 1/3 quantiles. The cuts frame feeds TWO plan
+    // consumers (the bucketing pass and the rank-verdict aggregate) —
+    // eager localCheckpoint so the sketch scan runs once.
     val cuts = cust.agg(
       percentile_approx($"spend", lit(2.0 / 3), lit(10000)).as("spend_hi"),
       percentile_approx($"spend", lit(1.0 / 3), lit(10000)).as("spend_lo"),

@@ -67,9 +67,10 @@ object MlQueries {
     *    classifier flagging at rate r has expected recall r)
     *  - evaluator AUC > 0.6 AND matches the RELATIONAL pairwise AUC
     *    computed over the same predictions by the hash-gated
-    *    [[PrefixSum]] path (±0.005: the evaluator's
-    *    BinaryClassificationMetrics downsamples the curve to 1000 bins,
-    *    exact equality holds only while distinct scores ≤ 1000)
+    *    [[PrefixSum]] path, within `aucTol` — 1e-9 while the curve is
+    *    exact (distinct scores ≤ the evaluator's 1000-bin curve
+    *    downsampling threshold, summation-order noise only), 0.005
+    *    beyond it (the binned-curve allowance)
     *  - feature importances non-negative, summing to 1 ± 1e-6
     *
     * Factored out so MlVerdictSpec can feed perturbed metrics and pin
@@ -78,7 +79,8 @@ object MlQueries {
   private[graft] def churnVerdicts(
       tp: Long, fp: Long, fn: Long, tn: Long,
       auc: Double, aucRelational: Option[Double],
-      importances: Seq[(String, Double)]): Seq[(String, Double, Boolean)] = {
+      importances: Seq[(String, Double)],
+      aucTol: Double = 0.005): Seq[(String, Double, Boolean)] = {
     val nTest = (tp + fp + fn + tn).toDouble
     val baseRate = if (nTest == 0) 1.0 else (tp + fn) / nTest
     val predPos  = if (nTest == 0) 1.0 else (tp + fp) / nTest
@@ -88,7 +90,7 @@ object MlQueries {
     val impOk  = math.abs(impSum - 1.0) < 1e-6 &&
       importances.forall(_._2 >= 0.0)
     val aucOk = auc > 0.6 &&
-      aucRelational.exists(a => math.abs(a - auc) <= 0.005)
+      aucRelational.exists(a => math.abs(a - auc) <= aucTol)
     Seq(
       ("precision_churn", precision, tp + fp > 0 && precision > baseRate),
       ("recall_churn", recall, recall > predPos),
@@ -106,9 +108,12 @@ object MlQueries {
     * bit-identical to the trapezoid over the full ROC curve, so it
     * independently cross-checks the evaluator's statistical path with
     * an operator whose math is already DuckDB-hash-gated (q9l). None
-    * when either class is absent (AUC undefined).
+    * when either class is absent (AUC undefined); otherwise
+    * (auc, distinctScores) — the score-grain cardinality decides
+    * whether the evaluator's curve was downsampled (> 1000 bins) and
+    * therefore how tight the cross-check tolerance may be.
     */
-  private[graft] def pairwiseAuc(scored: DataFrame): Option[Double] = {
+  private[graft] def pairwiseAuc(scored: DataFrame): Option[(Double, Long)] = {
     import scored.sparkSession.implicits._
     val grain = scored.groupBy($"score")
       .agg(sum(when($"label" === 1.0, 1L).otherwise(0L)).as("pos"),
@@ -116,10 +121,12 @@ object MlQueries {
     val r = PrefixSum.exclusivePrefixSum(grain,
         Seq(col("score").desc), col("pos"), "cpos")
       .agg(sum($"neg".cast("double") * ($"cpos" + $"pos" / 2.0)).as("num"),
-        sum($"pos").as("np"), sum($"neg").as("nn"))
+        sum($"pos").as("np"), sum($"neg").as("nn"),
+        count(lit(1)).as("nd"))
       .head()
     if (r.isNullAt(1) || r.getLong(1) == 0L || r.getLong(2) == 0L) None
-    else Some(r.getDouble(0) / (r.getLong(1).toDouble * r.getLong(2).toDouble))
+    else Some((r.getDouble(0) / (r.getLong(1).toDouble * r.getLong(2).toDouble),
+      r.getLong(3)))
   }
 
   val q9jChurnModel: GraftQuery = GraftQuery.noOracle("q9j_churn_model") {
@@ -155,8 +162,11 @@ object MlQueries {
           (tp, fp, fn, tn, auc, aucRel)
         } finally pred.unpersist()
         val importances = FeatureCols.zip(model.featureImportances.toArray)
-        churnVerdicts(tp, fp, fn, tn, auc, aucRel, importances)
-          .toDF("metric", "value", "ok")
+        // exact curve (no evaluator downsampling) → demand equality to
+        // summation-order noise; binned curve → the 0.005 allowance
+        val aucTol = if (aucRel.exists(_._2 <= 1000L)) 1e-9 else 0.005
+        churnVerdicts(tp, fp, fn, tn, auc, aucRel.map(_._1), importances,
+          aucTol).toDF("metric", "value", "ok")
       } finally data.unpersist()
   }
 

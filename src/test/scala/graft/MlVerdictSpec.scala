@@ -44,6 +44,12 @@ class MlVerdictSpec extends SparkTestBase {
     assert(!v(80, 20, 20, 80, 0.55, Some(0.55), goodImp)("auc_roc"))
     // one-class predictions: pairwise AUC undefined
     assert(!v(80, 20, 20, 80, 0.9, None, goodImp)("auc_roc"))
+    // exact-curve tolerance: a 1e-6 cross-path divergence passes the
+    // binned allowance but must flip under the exact-curve 1e-9
+    assert(MlQueries.churnVerdicts(80, 20, 20, 80, 0.9, Some(0.9 + 1e-6),
+      goodImp).find(_._1 == "auc_roc").get._3)
+    assert(!MlQueries.churnVerdicts(80, 20, 20, 80, 0.9, Some(0.9 + 1e-6),
+      goodImp, aucTol = 1e-9).find(_._1 == "auc_roc").get._3)
     // importances not a distribution (sum ≠ 1 / negative weight)
     assert(!v(80, 20, 20, 80, 0.9, Some(0.9),
       Seq("a" -> 0.7, "b" -> 0.7))("importance_a"))
@@ -57,7 +63,7 @@ class MlVerdictSpec extends SparkTestBase {
     // (2,2)=tie → AUC = (3 + 0.5) / 4 = 0.875
     val scored = Seq((3.0, 1.0), (2.0, 1.0), (2.0, 0.0), (1.0, 0.0))
       .toDF("score", "label")
-    assert(MlQueries.pairwiseAuc(scored).contains(0.875))
+    assert(MlQueries.pairwiseAuc(scored).contains((0.875, 3L)))
     // one-class input: undefined, never a division crash
     assert(MlQueries.pairwiseAuc(
       Seq((1.0, 1.0), (2.0, 1.0)).toDF("score", "label")).isEmpty)
