@@ -416,11 +416,15 @@ object AnalyticsQueries {
   val q9dApproxSegmentation: GraftQuery = GraftQuery.noOracle(
     "q9d_segmentation_approx") { (spark, dir) =>
     import spark.implicits._
-    val cust = custSpendOrders(spark, dir)
+    // THREE consumers read the customer-grain frame (sketch cuts, the
+    // rank-verdict counts, the bucketing pass), and each recompute is
+    // a full lineitem scan + shuffle — eager localCheckpoint pins ONE
+    // scan (customer grain ≪ lineitem, the node-grain-checkpoint rule;
+    // the q9a_approx single-scan device applied a level lower).
+    val cust = custSpendOrders(spark, dir).localCheckpoint(true)
     // descending tertiles: tile 1 = top third → thresholds at the
-    // ascending 2/3 and 1/3 quantiles. The cuts frame feeds TWO plan
-    // consumers (the bucketing pass and the rank-verdict aggregate) —
-    // eager localCheckpoint so the sketch scan runs once.
+    // ascending 2/3 and 1/3 quantiles. The cuts frame likewise feeds
+    // TWO plan consumers — checkpointed so the sketch runs once.
     val cuts = cust.agg(
       percentile_approx($"spend", lit(2.0 / 3), lit(10000)).as("spend_hi"),
       percentile_approx($"spend", lit(1.0 / 3), lit(10000)).as("spend_lo"),
