@@ -80,8 +80,13 @@ class MlPublishedMetricsSpec extends SparkTestBase {
   test("churn RF recovers the published 87.1% precision / 98.3% recall " +
     "operating point on the Olist-shaped fixture") {
     val dir = buildChurnFixture()
-    val m = MlQueries.q9jChurnModel.fn(spark, dir)
-      .collect().map(r => r.getString(0) -> r.getDouble(1)).toMap
+    val rows = MlQueries.q9jChurnModel.fn(spark, dir).collect()
+    // the r12 verdict columns are data-independent contracts — they
+    // must hold on the Olist-shaped fixture too, not just the TPC-H
+    // warehouse MlVerdictSpec pins
+    rows.foreach(r => assert(r.getBoolean(2),
+      s"${r.getString(0)} verdict false on the Olist fixture"))
+    val m = rows.map(r => r.getString(0) -> r.getDouble(1)).toMap
     // designed ground truth: precision 0.871, recall 0.983; the 70/30
     // stratified sample moves the realized test-set ratios by a few
     // binomial sigma, so the pins are bands around the published
