@@ -168,6 +168,35 @@ class ParallelismInvarianceSpec extends SparkTestBase {
       info(s"mayVary entries invariant this run (permitted): $coincided")
   }
 
+  /** The mayVary exemption is VALUE-level only. Since r12 the trio's
+    * outputs carry verdict columns encoding data-independent contracts
+    * (lift over base rates, evaluator≡relational AUC, rank-guarantee
+    * cuts — SURVEY §8.10), and THOSE must hold under any task layout
+    * even while the model they describe varies: a layout that flipped
+    * a verdict would mean the contract itself is partition-dependent,
+    * which is exactly the class this spec exists to ban.
+    */
+  test("mayVary entries keep all-true verdict columns under a perturbed layout") {
+    val dirB = shuffledDir
+    val sb = spark.newSession()
+    GraftConf.tune(sb)
+    sb.conf.set("spark.sql.shuffle.partitions", "5")
+    sb.conf.set("spark.sql.files.maxPartitionBytes", "32768")
+    for (n <- mayVary.keys.toSeq.sorted) {
+      val df = SparkEntry.queries(n)(sb, dirB)
+      val boolCols = df.schema.fields
+        .filter(_.dataType == org.apache.spark.sql.types.BooleanType)
+        .map(_.name)
+      assert(boolCols.nonEmpty, s"$n carries no verdict columns")
+      val rows = df.collect()
+      assert(rows.nonEmpty, s"$n returned no rows under the perturbed layout")
+      for (r <- rows; c <- boolCols)
+        assert(r.getAs[Boolean](c),
+          s"$n: verdict '$c' flipped false under a perturbed layout " +
+            s"(row ${r.mkString(",").take(120)})")
+    }
+  }
+
   /** Execution-MODE invariance, the orthogonal axis: same data, same
     * layout, but every expression evaluated INTERPRETED
     * (factoryMode=NO_CODEGEN), whole-stage codegen off, and AQE off —
