@@ -63,7 +63,7 @@ object GraphQueries {
     if (!fs.exists(p)) "absent"
     else fs.listStatus(p)
       .map(s => s"${s.getPath.getName}:${s.getLen}:${s.getModificationTime}")
-      .sorted.mkString("|").hashCode.toString
+      .sorted.mkString("|") // the listing itself (tiny) — no lossy hash
   }
 
   private[graft] def coPurchasePairs(
