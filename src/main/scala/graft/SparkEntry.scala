@@ -56,7 +56,16 @@ object SparkEntry {
     registry.map(q => q.name -> q.fn).toMap
 
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
+    * the same parquet tables. Omit for non-SQL-expressible ops — the
+    * driver then records a weaker rows-only check, and BY REPO
+    * CONVENTION (r12) every such entry's output carries SELF-VERIFYING
+    * verdict columns: boolean assertion results computed inside the
+    * query (bands cross-checked against oracle-gated relational twins),
+    * all of which must read true on well-formed data. MlVerdictSpec
+    * pins both directions (all-true on the warehouse, perturbations
+    * flip); ParallelismInvarianceSpec pins the verdicts stay true under
+    * perturbed task layouts even where the values may legitimately vary.
+    */
   def oracleSql: Map[String, String] =
     registry.flatMap(q => q.oracle.map(q.name -> _)).toMap
 }
