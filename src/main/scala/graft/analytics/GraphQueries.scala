@@ -55,6 +55,15 @@ object GraphQueries {
     * re-reads a dir whose parquet was REWRITTEN (fixture regeneration,
     * re-ingest) recomputes instead of silently serving stale edges.
     * One listStatus per graph query — file-count grain, no data read.
+    *
+    * Granularity limit (deliberate): the fingerprint is name+length+
+    * mtime, not content bytes — an in-place rewrite that preserves all
+    * three would still serve the cached frame. Spark's own overwrite
+    * mode always generates fresh part-file names (and a manual
+    * same-name rewrite still moves the millisecond mtime), so the
+    * residual window is a byte-patched file with a forged mtime —
+    * accepted: closing it would mean hashing the data, which is the
+    * recompute the cache exists to avoid.
     */
   private def lineitemFingerprint(
       spark: org.apache.spark.sql.SparkSession, dir: String): String = {

@@ -75,6 +75,16 @@ object MlQueries {
     *
     * Factored out so MlVerdictSpec can feed perturbed metrics and pin
     * that each verdict FLIPS (a gate that can't fail is not a gate).
+    *
+    * Degenerate one-class inputs (like the missing-AUC None case): on
+    * an all-positive test set baseRate = 1.0, so `precision >
+    * baseRate` is unsatisfiable even for a perfect classifier — the
+    * precision verdict reads VACUOUSLY FALSE, by design. Lift over
+    * base rate is undefined when there is no negative class to lift
+    * over, and the safe failure direction is red: a degenerate-sweep
+    * reader should interpret a false verdict on a one-class fixture as
+    * "no signal possible here", not as a model regression (MlVerdictSpec
+    * pins the one-class case).
     */
   private[graft] def churnVerdicts(
       tp: Long, fp: Long, fn: Long, tn: Long,

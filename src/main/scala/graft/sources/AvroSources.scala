@@ -82,11 +82,16 @@ object AvroSources {
         // final per-partition name on success — a retried or
         // speculative attempt can never interleave bytes with another
         // writer on the same file, and a failed attempt leaves only a
-        // .tmp that the next overwrite sweeps.
+        // temp that the next overwrite sweeps. The temp name starts
+        // with '.' so Spark's InMemoryFileIndex treats it as hidden: a
+        // read of the directory between a writer crash and the next
+        // overwrite sweep never feeds a truncated container to
+        // DataFileReader (readAvro's pathGlobFilter is the second
+        // fence on the same window).
         val tc = TaskContext.get()
         val pid = tc.partitionId()
         val tmp = new java.io.File(outDir,
-          f"part-$pid%05d.avro.tmp-attempt-${tc.taskAttemptId()}")
+          f".part-$pid%05d.avro.tmp-attempt-${tc.taskAttemptId()}")
         val fin = new java.io.File(outDir, f"part-$pid%05d.avro")
         writer.create(schema, tmp)
         try rows.foreach { r =>
@@ -105,9 +110,22 @@ object AvroSources {
           }
           writer.append(rec)
         } finally writer.close()
-        java.nio.file.Files.move(tmp.toPath, fin.toPath,
-          java.nio.file.StandardCopyOption.ATOMIC_MOVE,
-          java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        // ATOMIC_MOVE+REPLACE_EXISTING relies on POSIX rename(2)
+        // overwrite semantics — guaranteed on the local Linux FS the
+        // require(isLocal) above pins, but per the javadoc an
+        // implementation may reject the combination; fall back to a
+        // plain replace rather than strand the attempt file (the
+        // atomicity only matters under concurrent writers, which the
+        // attempt-unique temp name already excludes per final name).
+        try
+          java.nio.file.Files.move(tmp.toPath, fin.toPath,
+            java.nio.file.StandardCopyOption.ATOMIC_MOVE,
+            java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        catch {
+          case _: java.nio.file.AtomicMoveNotSupportedException =>
+            java.nio.file.Files.move(tmp.toPath, fin.toPath,
+              java.nio.file.StandardCopyOption.REPLACE_EXISTING)
+        }
         ()
       }
     }
@@ -118,7 +136,12 @@ object AvroSources {
                schema: StructType): DataFrame = {
     val names = schema.fieldNames
     val types = schema.fields.map(_.dataType)
-    val rows = spark.read.format("binaryFile").load(glob)
+    // pathGlobFilter: only COMMITTED container files. Hidden-name temp
+    // files are already skipped by the file index, but a reader should
+    // not depend on the writer's naming discipline to avoid feeding a
+    // half-written attempt file to DataFileReader.
+    val rows = spark.read.format("binaryFile")
+      .option("pathGlobFilter", "*.avro").load(glob)
       .select("path", "content")
       .as(Encoders.tuple(Encoders.STRING, Encoders.BINARY))
       .mapPartitions { files =>

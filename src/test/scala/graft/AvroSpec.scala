@@ -95,8 +95,20 @@ class AvroSpec extends SparkTestBase {
     java.nio.file.Files.createDirectories(tmpDir)
     java.nio.file.Files.write(tmpDir.resolve("stray"), Array[Byte](1, 2))
     java.nio.file.Files.write(
-      java.nio.file.Paths.get(out, "part-00099.avro.tmp-attempt-42"),
+      java.nio.file.Paths.get(out, ".part-00099.avro.tmp-attempt-42"),
       Array[Byte](3))
+    // also a NON-hidden junk name (old-style temp / foreign artifact):
+    // the reader's pathGlobFilter must fence it even when the writer's
+    // hidden-name discipline didn't apply
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(out, "part-00098.avro_tmp"), Array[Byte](4))
+    // a read BETWEEN the crash and the next overwrite sweep (the ADVICE
+    // window): truncated attempt bytes must never reach DataFileReader —
+    // hidden names are skipped by the file index, non-.avro names by
+    // pathGlobFilter
+    assert(AvroSources.readAvro(spark, out, StructType(Seq(
+      StructField("k", LongType), StructField("s", StringType))))
+      .count() === 3L)
     writeSample() // must not throw
     val names = {
       val l = java.nio.file.Files.list(java.nio.file.Paths.get(out))
