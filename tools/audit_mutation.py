@@ -1,0 +1,347 @@
+#!/usr/bin/env python3
+"""Mutation audit of the oracle gate (SURVEY §8.11, r12 verdict task 1).
+
+The sf0.01 oracle replay proves the 171 twins AGREE with DuckDB on the
+committed code; this audit proves they DISCRIMINATE: for each query
+family, one seeded, plausible semantic mutation is applied to the
+SPARK side only (the oracle SQL / verdict contract is never touched),
+the single affected query is re-run via graft.VerifyOne, and its gate
+— the DuckDB value-compare for oracle-backed entries, the emitted
+verdict booleans for the three contract-permitted no_oracle entries —
+must turn RED. A mutation the gate misses (SURVIVED) fails the audit:
+a gate that can't fail is not a gate.
+
+Mechanics per mutation:
+  1. literal-string substitution in the source (each `old` must occur
+     EXACTLY ONCE — a moved/refactored site fails loudly instead of
+     silently mutating nothing)
+  2. `sbt -batch compile` (a mutation must be PLAUSIBLE, i.e. compile;
+     a compile failure is a tooling error, not a kill)
+  3. `java -cp target/...classes graft.VerifyOne <query> <sf0.01> out`
+  4. gate check:
+       oracle  — tools/check_oracle.py over the single dumped query
+                 (the EXACT tool the driver's gate replicates);
+                 expected outcome: FAIL
+       verdict — every boolean verdict column of the dumped parquet;
+                 expected outcome: at least one false
+     A VerifyOne crash also counts as KILLED (a loud failure is a
+     gate), tallied separately as `killed_crash`.
+  5. source restored byte-identical (sha-checked), final recompile.
+
+Prereqs: clean work tree on the mutated files, compiled classes.
+MUST NOT run concurrently with sbt test (shared Spark temp dirs).
+Exit 0 iff every mutation KILLED and no tool errors.
+
+Usage: tools/audit_mutation.sh [--validate] [mutation-id ...]
+  --validate: only check the substitution spec against the sources
+  (each old-string occurs exactly once); no compile, no runs.
+"""
+import hashlib
+import json
+import os
+import subprocess
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+SF_DIR = "/root/testdata/sf0.01"
+OUT_ROOT = "/tmp/mutation_audit"
+
+AQ = "src/main/scala/graft/queries/AnalyticalQueries.scala"
+
+# Each entry: one plausible wrong-code edit a reviewer could miss.
+# subs = ordered list of (old, new); applied in order, each old must
+# occur exactly once at apply time.
+MUTATIONS = [
+    dict(id="m01_q1a_lag_offset", query="q1a_yoy_growth", gate="oracle",
+         file=AQ,
+         desc="LAG offset 1→2: YoY growth silently compares to two years prior",
+         subs=[('lag($"revenue", 1)', 'lag($"revenue", 2)')]),
+    dict(id="m02_q2a_swapped_labels", query="q2a_grouping_sets", gate="oracle",
+         file=AQ,
+         desc="grouping-flag labels swapped: YEAR TOTAL and MONTH TOTAL rows trade names",
+         subs=[('when(grouping($"o_month") === 1, "YEAR TOTAL")',
+                'when(grouping($"o_month") === 1, "MONTH TOTAL")'),
+               ('when(grouping($"segment") === 1, "MONTH TOTAL")',
+                'when(grouping($"segment") === 1, "YEAR TOTAL")')]),
+    dict(id="m03_q3b_frame_off_by_one", query="q3b_moving_avg_ytd", gate="oracle",
+         file=AQ,
+         desc="moving-average frame off by one: 8 rows in the '7-day' window",
+         subs=[('Window.orderBy($"ship_day").rowsBetween(-6, 0)',
+                'Window.orderBy($"ship_day").rowsBetween(-7, 0)')]),
+    dict(id="m04_q5b_ontime_boundary", query="q5b_monthly_kpis", gate="oracle",
+         file=AQ,
+         desc="on-time boundary <= 30 tightened to < 30: day-30 shipments flip to late",
+         subs=[('.when(delay <= 30, 1.0).otherwise(0.0)',
+                '.when(delay < 30, 1.0).otherwise(0.0)')]),
+    dict(id="m05_q6_good_friday", query="q6_dim_time", gate="oracle",
+         file="src/main/scala/graft/functions/Calendar.scala",
+         desc="Good Friday computed 1 day before Easter instead of 2",
+         subs=[('easterSunday(year).minusDays(2)',
+                'easterSunday(year).minusDays(1)')]),
+    dict(id="m06_q7b_and_or", query="q7b_error_sink", gate="oracle",
+         file="src/main/scala/graft/etl/EtlQueries.scala",
+         desc="validity AND-chain weakened to OR: rows failing only one rule pass",
+         subs=[('val valid = $"l_discount" <= 0.08 && $"l_tax" <= 0.06',
+                'val valid = $"l_discount" <= 0.08 || $"l_tax" <= 0.06')]),
+    # NOTE: the first draft of this mutation (drop `isFirst ||` from the
+    # keep predicate) SURVIVED the gate — and inspection shows it is an
+    # EQUIVALENT mutant, not a gate miss: with the null-safe
+    # `!(c <=> lag(c))` comparison, `changed` is already true on each
+    # key's first snapshot (lag is null), so `isFirst ||` only guards
+    # the all-null-attributes first row. Replaced with a genuinely
+    # divergent sort-direction slip; the equivalent mutant is ledgered
+    # in SURVEY §8.11.
+    dict(id="m07_q8a_version_order", query="q8a_scd2_rebuild", gate="oracle",
+         file="src/main/scala/graft/etl/Scd.scala",
+         desc="SCD2 versions numbered from the NEWEST snapshot (window sorted desc)",
+         subs=[('val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(snapCol))',
+                'val wOrd = Window.partitionBy(keyCols: _*).orderBy(col(snapCol).desc)')]),
+    dict(id="m08_q9j_auc_orientation", query="q9j_churn_model", gate="verdict",
+         file="src/main/scala/graft/analytics/MlQueries.scala",
+         desc="pairwise AUC counts positives BELOW each score (1−AUC) — the r12 near-miss",
+         subs=[('Seq(col("score").desc), col("pos"), "cpos")',
+                'Seq(col("score").asc), col("pos"), "cpos")')]),
+    dict(id="m09_q10a_window_width", query="q10a_rolling_active", gate="oracle",
+         file="src/main/scala/graft/analytics/DaxMeasures.scala",
+         desc="3-month rolling-active window built from 2 offsets",
+         subs=[('val offsets = Seq(0, 1, 2).toDF("off")',
+                'val offsets = Seq(0, 1).toDF("off")')]),
+    dict(id="m10_q11_except_swap", query="q11_set_ops", gate="oracle",
+         file="src/main/scala/graft/analytics/DaxMeasures.scala",
+         desc="EXCEPT operands swapped: customers-lost becomes customers-gained",
+         subs=[('one("except_95_96", a.except(b))',
+                'one("except_95_96", b.except(a))')]),
+    dict(id="m11_q12y_bm25_coeff", query="q12y_bm25_topk", gate="oracle",
+         file="src/main/scala/graft/text/TfIdfQueries.scala",
+         desc="BM25 rationalized numerator mis-derived: 22·tf·TL becomes 21·tf·TL",
+         subs=[('THEN (idf_q6 * 22 * tf * tl)',
+                'THEN (idf_q6 * 21 * tf * tl)'),
+               ('ELSE (cast(idf_q6 as decimal(38,0)) * 22 * tf * tl)',
+                'ELSE (cast(idf_q6 as decimal(38,0)) * 21 * tf * tl)')]),
+    dict(id="m12_q13a_keep_max", query="q13a_exact_dedup", gate="oracle",
+         file="src/main/scala/graft/text/DedupQueries.scala",
+         desc="exact dedup keeps MAX doc_id (last copy) instead of min",
+         subs=[('min($"doc_id").as("keep_doc_id")',
+                'max($"doc_id").as("keep_doc_id")')]),
+    dict(id="m13_q13c_self_pairs", query="q13c_minhash_lsh", gate="oracle",
+         file="src/main/scala/graft/text/DedupQueries.scala",
+         desc="LSH pair explode off by one: each doc pairs with itself",
+         subs=[("""s\"\"\"flatten(transform(ms, (a, i) ->
+               |  transform(slice(ms, i + 2, size(ms)),""",
+                """s\"\"\"flatten(transform(ms, (a, i) ->
+               |  transform(slice(ms, i + 1, size(ms)),""")]),
+    dict(id="m14_q14b_drop_exact_probe", query="q14b_ann_lsh", gate="oracle",
+         file="src/main/scala/graft/text/SimilarityQueries.scala",
+         desc="multiprobe drops the exact-bucket probe (only Hamming-1 neighbors searched)",
+         subs=[('val offsets = spark.range(-1, NumPlanes)',
+                'val offsets = spark.range(0, NumPlanes)')]),
+    dict(id="m15_q26c_log_base", query="q26c_entropy", gate="oracle",
+         file="src/main/scala/graft/analytics/ProfileQueries.scala",
+         desc="entropy computed in bits (log2) while the contract is nats (ln)",
+         subs=[('round(-sum(floor(p * log(p) * 1e12 + 0.5).cast("long"))',
+                'round(-sum(floor(p * log(2.0, p) * 1e12 + 0.5).cast("long"))')]),
+    dict(id="m16_q15a_window_offset", query="q15a_event_kpis_tumbling",
+         gate="oracle",
+         file="src/main/scala/graft/streaming/EventKpis.scala",
+         desc="tumbling windows misaligned by a 15-minute start offset",
+         subs=[('.groupBy(window($"ts", "1 hour"), $"event_type")',
+                '.groupBy(window($"ts", "1 hour", "1 hour", "15 minutes"), $"event_type")')]),
+    dict(id="m17_q16c_copy_paste_dim", query="q16c_resize_plan", gate="oracle",
+         file="src/main/scala/graft/multimodal/Multimodal.scala",
+         desc="resize plan copy-paste: out_h computed from the width",
+         subs=[('fit("w").as("out_w"), fit("h").as("out_h")',
+                'fit("w").as("out_w"), fit("w").as("out_h")')]),
+    dict(id="m18_q9k_stray_regularization", query="q9k_elasticity_lr",
+         gate="verdict",
+         file="src/main/scala/graft/analytics/MlQueries.scala",
+         desc="L2 regularization left on the elasticity fit: slope shrinks off the closed form",
+         subs=[('val model = lr.fit(assembled)',
+                'val model = lr.setRegParam(0.1).fit(assembled)')]),
+    dict(id="m19_q9d_median_as_tertile", query="q9d_segmentation_approx",
+         gate="verdict",
+         file="src/main/scala/graft/analytics/AnalyticsQueries.scala",
+         desc="hi-tertile cut computed at the median (2/3 → 1/2)",
+         subs=[('percentile_approx($"spend", lit(2.0 / 3), lit(10000)).as("spend_hi")',
+                'percentile_approx($"spend", lit(0.5), lit(10000)).as("spend_hi")')]),
+]
+
+OPENS = " ".join(
+    f"--add-opens java.base/{p}=ALL-UNNAMED" for p in
+    ["java.lang", "java.lang.invoke", "java.lang.reflect", "java.io",
+     "java.net", "java.nio", "java.util", "java.util.concurrent",
+     "java.util.concurrent.atomic", "sun.nio.ch", "sun.nio.cs",
+     "sun.security.action", "sun.util.calendar"])
+
+
+def sh(cmd, **kw):
+    return subprocess.run(cmd, shell=True, cwd=REPO,
+                          capture_output=True, text=True, **kw)
+
+
+def read(path):
+    with open(os.path.join(REPO, path), encoding="utf-8") as f:
+        return f.read()
+
+
+def write(path, content):
+    with open(os.path.join(REPO, path), "w", encoding="utf-8") as f:
+        f.write(content)
+
+
+def apply_subs(m):
+    src = read(m["file"])
+    for old, new in m["subs"]:
+        n = src.count(old)
+        if n != 1:
+            raise RuntimeError(
+                f"{m['id']}: old-string occurs {n}× in {m['file']} "
+                f"(need exactly 1): {old[:60]!r}")
+        src = src.replace(old, new)
+    write(m["file"], src)
+
+
+def compile_ok():
+    r = sh("sbt -batch compile")
+    return r.returncode == 0 and "[success]" in r.stdout
+
+
+def run_verify_one(query, out_dir):
+    sh(f"rm -rf {out_dir}")
+    r = sh(f"java {OPENS} -Xmx8g "
+           f"-cp target/scala-2.13/classes:/opt/spark/jars/* "
+           f"graft.VerifyOne {query} {SF_DIR} {out_dir}")
+    return r
+
+
+def oracle_gate_red(query, out_dir):
+    """True iff the DuckDB value-compare FAILS on the dumped result."""
+    sql_path = os.path.join(out_dir, f"{query}.sql")
+    if not os.path.exists(sql_path):
+        raise RuntimeError(f"{query}: VerifyOne dumped no oracle SQL")
+    with open(sql_path, encoding="utf-8") as f:
+        sql = f.read()
+    with open(os.path.join(out_dir, "oracle_sql.json"), "w") as f:
+        json.dump({query: sql}, f)
+    r = sh(f"python3 tools/check_oracle.py {SF_DIR} {out_dir}")
+    if f"PASS {query}" in r.stdout:
+        return False, "oracle PASS (gate green)"
+    for line in r.stdout.splitlines():
+        if line.startswith(f"FAIL {query}"):
+            return True, line[:140]
+    raise RuntimeError(f"{query}: no PASS/FAIL verdict from check_oracle: "
+                       f"{r.stdout[-300:]} {r.stderr[-300:]}")
+
+
+def verdict_gate_red(query, out_dir):
+    """True iff any boolean verdict column of the dump contains false."""
+    import glob
+
+    import pandas as pd
+    files = glob.glob(os.path.join(out_dir, query, "*.parquet"))
+    if not files:
+        raise RuntimeError(f"{query}: no parquet dump")
+    df = pd.concat([pd.read_parquet(f) for f in files])
+    bool_cols = [c for c in df.columns if df[c].dtype == bool]
+    if not bool_cols:
+        raise RuntimeError(f"{query}: no boolean verdict columns in dump")
+    falses = {c: int((~df[c]).sum()) for c in bool_cols if not df[c].all()}
+    if falses:
+        return True, f"verdict false: {falses}"
+    return False, f"all verdicts true across {bool_cols} (gate green)"
+
+
+def main(argv):
+    validate_only = "--validate" in argv
+    ids = [a for a in argv if not a.startswith("--")]
+    todo = [m for m in MUTATIONS if not ids or m["id"] in ids]
+    unknown = set(ids) - {m["id"] for m in MUTATIONS}
+    if unknown:
+        print(f"unknown mutation ids: {sorted(unknown)}")
+        return 2
+
+    files = sorted({m["file"] for m in todo})
+    dirty = sh("git diff --quiet -- " + " ".join(files))
+    if dirty.returncode != 0:
+        print("** mutated files have uncommitted changes; commit or stash first")
+        return 2
+
+    if validate_only:
+        for m in todo:
+            src = read(m["file"])
+            for old, _ in m["subs"]:
+                n = src.count(old)
+                tag = "ok" if n == 1 else f"** {n} occurrences"
+                print(f"{m['id']}: {tag}")
+                if n != 1:
+                    return 1
+        print(f"== spec valid: {len(todo)} mutations, every old-string unique ==")
+        return 0
+
+    pristine = {f: read(f) for f in files}
+    sha = {f: hashlib.sha256(pristine[f].encode()).hexdigest() for f in files}
+    os.makedirs(OUT_ROOT, exist_ok=True)
+    ledger = []
+    rc = 0
+    try:
+        for m in todo:
+            out_dir = os.path.join(OUT_ROOT, m["id"])
+            print(f"== {m['id']} [{m['query']}]: {m['desc']}")
+            entry = dict(id=m["id"], query=m["query"], gate=m["gate"],
+                         desc=m["desc"])
+            try:
+                apply_subs(m)
+                if not compile_ok():
+                    entry["status"] = "TOOL_ERROR"
+                    entry["detail"] = "mutated source failed to compile"
+                    rc = 1
+                else:
+                    r = run_verify_one(m["query"], out_dir)
+                    if r.returncode != 0:
+                        entry["status"] = "KILLED_CRASH"
+                        tail = (r.stderr or r.stdout).strip().splitlines()
+                        entry["detail"] = (tail[-1] if tail else "")[:140]
+                    else:
+                        red, detail = (
+                            oracle_gate_red(m["query"], out_dir)
+                            if m["gate"] == "oracle"
+                            else verdict_gate_red(m["query"], out_dir))
+                        entry["status"] = "KILLED" if red else "SURVIVED"
+                        entry["detail"] = detail
+                        if not red:
+                            rc = 1
+            except Exception as e:  # spec drift, missing dump, …
+                entry["status"] = "TOOL_ERROR"
+                entry["detail"] = f"{type(e).__name__}: {e}"[:200]
+                rc = 1
+            finally:
+                write(m["file"], pristine[m["file"]])
+                got = hashlib.sha256(read(m["file"]).encode()).hexdigest()
+                if got != sha[m["file"]]:
+                    print(f"** {m['file']}: restore mismatch — ABORTING")
+                    return 3
+            print(f"   -> {entry['status']}: {entry['detail']}")
+            ledger.append(entry)
+    finally:
+        for f in files:
+            write(f, pristine[f])
+        print("== final recompile (restored sources) ==")
+        if not compile_ok():
+            print("** final recompile failed")
+            rc = 3
+    with open(os.path.join(OUT_ROOT, "ledger.json"), "w") as f:
+        json.dump(ledger, f, indent=1)
+    killed = sum(1 for e in ledger if e["status"].startswith("KILLED"))
+    crash = sum(1 for e in ledger if e["status"] == "KILLED_CRASH")
+    survived = [e["id"] for e in ledger if e["status"] == "SURVIVED"]
+    errors = [e["id"] for e in ledger if e["status"] == "TOOL_ERROR"]
+    print(f"== mutation audit: {killed}/{len(ledger)} killed "
+          f"({crash} by crash) ==")
+    if survived:
+        print(f"** SURVIVED (gate did not bite): {survived}")
+    if errors:
+        print(f"** TOOL ERRORS: {errors}")
+    return rc
+
+
+if __name__ == "__main__":
+    sys.exit(main(sys.argv[1:]))
