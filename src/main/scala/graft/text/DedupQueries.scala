@@ -199,6 +199,47 @@ object DedupQueries {
   private val NumHashes = 8
   private val NumBands  = 4 // rows per band = 2
 
+  /** Band rows (band_idx, band_val, doc_id, sg) backing q13c's LSH
+    * candidate generation — members of one (band_idx, band_val)
+    * bucket pair off, so candidate mass is Σ C(|bucket|, 2) over the
+    * groups of this frame. Factored out for
+    * [[graft.ScaleDecadeProbe]], which measures that mass directly at
+    * decade-up corpus scale; q13c composes this frame unchanged, so
+    * the probe measures exactly the bucket structure the query runs.
+    */
+  private[graft] def minhashBandRows(
+      spark: org.apache.spark.sql.SparkSession, docs: DataFrame): DataFrame = {
+    import spark.implicits._
+    // The 8 seeded hashes depend only on the shingle, and
+    // cappedPostings has ONE row per distinct shingle — hash
+    // there, then explode the posting list, so md5 runs per
+    // distinct shingle instead of per (doc, shingle) occurrence
+    // (the min over each doc's multiset is unchanged). Partial
+    // min-aggregation still combines map-side before the
+    // per-doc shuffle.
+    val hashed = cappedPostings(spark, docs).select(
+      $"ds" +: (0 until NumHashes)
+        .map(i => md5(concat(lit(s"$i|"), $"sh")).as(s"h$i")): _*)
+    val sig = hashed
+      .select($"ds" +: (0 until NumHashes).map(i => col(s"h$i")): _*)
+      .withColumn("doc_id", explode($"ds")).drop("ds")
+      .groupBy($"doc_id")
+      .agg(min($"h0").as("h0"),
+        (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
+    // Each doc emits its 4 (band_idx, band_val) rows map-side in ONE
+    // explode, carrying the full signature struct for the in-bucket
+    // match-fraction computation.
+    val bandStructs = array((0 until NumBands).map { j =>
+      struct(lit(j).as("band_idx"),
+        md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))
+          .as("band_val"))
+    }: _*)
+    val sigStruct = struct((0 until NumHashes).map(i => col(s"h$i")): _*)
+    sig
+      .select($"doc_id", sigStruct.as("sg"), explode(bandStructs).as("b"))
+      .select($"b.band_idx", $"b.band_val", $"doc_id", $"sg")
+  }
+
   /** q13c — MinHash + LSH banding: 8 min-hashes (lexicographic min of
     * seeded md5 over shingles), 4 bands of 2 → candidate pairs share
     * a band; estimated similarity = matching minhash fraction ≥ 0.5.
@@ -239,26 +280,11 @@ object DedupQueries {
       (spark, dir) =>
         import spark.implicits._
         val docs = Tables(spark, dir).documents
-        // The 8 seeded hashes depend only on the shingle, and
-        // cappedPostings has ONE row per distinct shingle — hash
-        // there, then explode the posting list, so md5 runs per
-        // distinct shingle instead of per (doc, shingle) occurrence
-        // (the min over each doc's multiset is unchanged). Partial
-        // min-aggregation still combines map-side before the
-        // per-doc shuffle.
-        val hashed = cappedPostings(spark, docs).select(
-          $"ds" +: (0 until NumHashes)
-            .map(i => md5(concat(lit(s"$i|"), $"sh")).as(s"h$i")): _*)
-        val sig = hashed
-          .select($"ds" +: (0 until NumHashes).map(i => col(s"h$i")): _*)
-          .withColumn("doc_id", explode($"ds")).drop("ds")
-          .groupBy($"doc_id")
-          .agg(min($"h0").as("h0"),
-            (1 until NumHashes).map(i => min(col(s"h$i")).as(s"h$i")): _*)
         // Candidates via posting lists over band buckets — the SAME
         // bounded pattern as q13b, not a two-sided self-join: each doc
         // emits (band_idx, band_val, doc_id, signature) rows map-side
-        // in ONE explode, each bucket groups its members once, and the
+        // in ONE explode (see [[minhashBandRows]]), each bucket groups
+        // its members once, and the
         // ordered pairs + their match fraction explode map-side from
         // the sorted member list. This replaces the former 4-way band
         // union, two-sided bucket join, candidate distinct, and TWO
@@ -269,15 +295,7 @@ object DedupQueries {
         // pipeline — and a flood of k identical docs is k² candidate
         // pairs under ANY LSH formulation, so the join form would
         // blow up on the same input anyway.
-        val bandStructs = array((0 until NumBands).map { j =>
-          struct(lit(j).as("band_idx"),
-            md5(concat(col(s"h${2 * j}"), col(s"h${2 * j + 1}")))
-              .as("band_val"))
-        }: _*)
-        val sigStruct = struct((0 until NumHashes).map(i => col(s"h$i")): _*)
-        val bandRows = sig
-          .select($"doc_id", sigStruct.as("sg"), explode(bandStructs).as("b"))
-          .select($"b.band_idx", $"b.band_val", $"doc_id", $"sg")
+        val bandRows = minhashBandRows(spark, docs)
         val matchSql = (0 until NumHashes)
           .map(i => s"CASE WHEN a.sg.h$i = b.sg.h$i THEN 1 ELSE 0 END")
           .mkString(" + ")

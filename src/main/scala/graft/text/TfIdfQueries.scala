@@ -189,7 +189,27 @@ object TfIdfQueries {
       |WHERE rn <= 5""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
-    val docs = Tables(spark, dir).documents
+    bm25Scored(spark, Tables(spark, dir).documents)
+      .withColumn("rank", row_number().over(
+        Window.partitionBy($"query_id")
+          .orderBy($"score_q6".desc, $"doc_id".asc)))
+      .filter($"rank" <= 5)
+      .select($"query_id", $"doc_id", $"n_terms_matched", $"score_q6",
+        $"rank")
+  }
+
+  /** BM25 candidate scores (query_id, doc_id, n_terms_matched,
+    * score_q6) BEFORE the per-query top-5 cut — one row per
+    * (query, doc) pair sharing at least one surviving index term.
+    * Factored out of q12y for [[graft.ScaleDecadeProbe]], which
+    * measures this candidate mass directly at decade-up corpus scale;
+    * q12y composes this frame unchanged, so the probe measures
+    * exactly the probe-join mass the query pays.
+    */
+  private[graft] def bm25Scored(
+      spark: org.apache.spark.sql.SparkSession,
+      docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import spark.implicits._
     val tf = docs
       .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"doc_id", $"term")
@@ -229,12 +249,6 @@ object TfIdfQueries {
             |END""".stripMargin))
           .as("score_q6"))
     scored
-      .withColumn("rank", row_number().over(
-        Window.partitionBy($"query_id")
-          .orderBy($"score_q6".desc, $"doc_id".asc)))
-      .filter($"rank" <= 5)
-      .select($"query_id", $"doc_id", $"n_terms_matched", $"score_q6",
-        $"rank")
   }
 
   val all: Seq[GraftQuery] = Seq(q12oTfidfTopk, q12yBm25Topk)
