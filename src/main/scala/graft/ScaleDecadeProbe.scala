@@ -118,9 +118,9 @@ object ScaleDecadeProbe {
 
     case class M(factor: Int, docs: Long,
       mass13c: Long, maxBucket: Long, pairs13c: Long,
-      wall13c: Double, shuffle13c: Long, spill13c: Long,
+      wall13c: Double, shuffle13c: Long, recs13c: Long, spill13c: Long,
       mass12y: Long, queries12y: Long, rows12y: Long,
-      wall12y: Double, shuffle12y: Long, spill12y: Long)
+      wall12y: Double, shuffle12y: Long, recs12y: Long, spill12y: Long)
 
     val results = factors.map { n =>
       val tmp = java.nio.file.Files.createTempDirectory(s"graft-probe-x$n")
@@ -141,6 +141,20 @@ object ScaleDecadeProbe {
 
       val (rows12y, wall12y, acc12y) =
         timed(spark)(graft.text.TfIdfQueries.q12yBm25Topk.fn(spark, dir).count())
+      // SPARK_GRAFT_SCALE_EXPLAIN=1: dump the POST-EXECUTION (AQE
+      // final) plans to stderr — the shuffle-records exponent between
+      // factors is only interpretable next to the join strategies AQE
+      // actually picked at each factor
+      if (sys.env.get("SPARK_GRAFT_SCALE_EXPLAIN").contains("1")) {
+        for ((label, q) <- Seq(
+          "q13c" -> graft.text.DedupQueries.q13cMinhashLsh,
+          "q12y" -> graft.text.TfIdfQueries.q12yBm25Topk)) {
+          val df = q.fn(spark, dir)
+          df.count()
+          System.err.println(s"=== $label factor=$n final plan ===")
+          System.err.println(df.queryExecution.executedPlan.toString)
+        }
+      }
       val scored = graft.text.TfIdfQueries.bm25Scored(spark, docs)
       val s = scored.agg(count(lit(1)).as("mass"),
         expr("count(distinct query_id)").as("nq")).head()
@@ -148,17 +162,21 @@ object ScaleDecadeProbe {
 
       rm(tmp)
       val m = M(n, nDocs, mass13c, maxBucket, pairs13c, wall13c,
-        acc13c.shuffleWrite.get, acc13c.diskSpill.get,
+        acc13c.shuffleWrite.get, acc13c.shuffleRecords.get,
+        acc13c.diskSpill.get,
         mass12y, queries12y, rows12y, wall12y,
-        acc12y.shuffleWrite.get, acc12y.diskSpill.get)
+        acc12y.shuffleWrite.get, acc12y.shuffleRecords.get,
+        acc12y.diskSpill.get)
       println(
         s"""{"probe":"decade","base":"$base","factor":$n,"docs":$nDocs,""" +
           s""""q13c":{"cand_mass":$mass13c,"max_bucket":$maxBucket,""" +
           s""""pairs":$pairs13c,"wall_sec":${r3(wall13c)},""" +
-          s""""shuffle_bytes":${m.shuffle13c},"spill_bytes":${m.spill13c}},""" +
+          s""""shuffle_bytes":${m.shuffle13c},"shuffle_records":${m.recs13c},""" +
+          s""""spill_bytes":${m.spill13c}},""" +
           s""""q12y":{"cand_mass":$mass12y,"queries":$queries12y,""" +
           s""""rows":$rows12y,"wall_sec":${r3(wall12y)},""" +
-          s""""shuffle_bytes":${m.shuffle12y},"spill_bytes":${m.spill12y}}}""")
+          s""""shuffle_bytes":${m.shuffle12y},"shuffle_records":${m.recs12y},""" +
+          s""""spill_bytes":${m.spill12y}}}""")
       m
     }
 
@@ -170,9 +188,11 @@ object ScaleDecadeProbe {
         s"""{"probe":"exponents","from":${a.factor},"to":${c.factor},""" +
           s""""q13c_mass_exp":${ex(a.mass13c.toDouble, c.mass13c.toDouble, a.factor, c.factor)},""" +
           s""""q13c_shuffle_exp":${ex(a.shuffle13c.toDouble, c.shuffle13c.toDouble, a.factor, c.factor)},""" +
+          s""""q13c_records_exp":${ex(a.recs13c.toDouble, c.recs13c.toDouble, a.factor, c.factor)},""" +
           s""""q13c_wall_exp":${ex(a.wall13c, c.wall13c, a.factor, c.factor)},""" +
           s""""q12y_mass_exp":${ex(a.mass12y.toDouble, c.mass12y.toDouble, a.factor, c.factor)},""" +
           s""""q12y_shuffle_exp":${ex(a.shuffle12y.toDouble, c.shuffle12y.toDouble, a.factor, c.factor)},""" +
+          s""""q12y_records_exp":${ex(a.recs12y.toDouble, c.recs12y.toDouble, a.factor, c.factor)},""" +
           s""""q12y_wall_exp":${ex(a.wall12y, c.wall12y, a.factor, c.factor)}}""")
     }
     spark.stop()
