@@ -163,6 +163,100 @@ MUTATIONS = [
          desc="hi-tertile cut computed at the median (2/3 → 1/2)",
          subs=[('percentile_approx($"spend", lit(2.0 / 3), lit(10000)).as("spend_hi")',
                 'percentile_approx($"spend", lit(0.5), lit(10000)).as("spend_hi")')]),
+    # ---- r13 additions: one mutation per family the r12 set left
+    # uncovered (q4 semi-join, q17 lakehouse, q18 warehouse, q19 geo,
+    # q20 gap-fill, q21 top-k heap, q22 incremental, q24 funnel,
+    # q25 basket, q27 smoothing, q28 RFM, q29 BPE) ----
+    # NOTE: the first draft of this mutation (>= 3 distinct orders
+    # tightened to > 3) SURVIVED — not an equivalent mutant but an
+    # UNEXERCISED boundary: at sf0.01 every part that clears the
+    # 0.3 return-rate gate ships in >= 15 distinct orders, so the
+    # popularity cut never binds (DuckDB-checked; min qualifying
+    # n_ord = 15). Replaced with a predicate inversion on the binding
+    # gate; the unexercised boundary is ledgered in SURVEY §8.11.
+    dict(id="m20_q4a_returnflag_inverted", query="q4a_semi_join_chain",
+         gate="oracle", file=AQ,
+         desc="return-rate counts NON-returned lines (predicate inverted)",
+         subs=[('.agg(count(when($"l_returnflag" === "R", 1)).as("n_ret"),',
+                '.agg(count(when($"l_returnflag" =!= "R", 1)).as("n_ret"),')]),
+    dict(id="m21_q18_key_bucketing", query="q18_warehouse_build",
+         gate="oracle", file="src/main/scala/graft/etl/Warehouse.scala",
+         desc="surrogate key space compacted mod 1000: collisions fan the fact join out",
+         subs=[('.withColumn("customer_key", xxhash64($"customer_id", $"version"))',
+                '.withColumn("customer_key", pmod(xxhash64($"customer_id", $"version"), lit(1000)))')]),
+    dict(id="m22_q19b_jitter_multiplier", query="q19b_geo_gridjoin",
+         gate="oracle", file="src/main/scala/graft/plans/GeoQueries.scala",
+         desc="Spark-side lat jitter multiplier 31 -> 37: coordinates drift off the oracle's",
+         subs=[('+ (pmod($"c_custkey" * 31, lit(97)) / 100.0 - 0.485)).as("lat")',
+                '+ (pmod($"c_custkey" * 37, lit(97)) / 100.0 - 0.485)).as("lat")')]),
+    dict(id="m23_q20e_interp_wrong_end", query="q20e_gapfill_interp",
+         gate="oracle",
+         file="src/main/scala/graft/queries/OlapExtras.scala",
+         desc="linear interpolation weighted from the NEXT anchor instead of the previous",
+         subs=[('.otherwise($"pv" + expr("((nv - pv) * (day_i - pd)) div (nd - pd)"))',
+                '.otherwise($"pv" + expr("((nv - pv) * (nd - day_i)) div (nd - pd)"))')]),
+    dict(id="m24_q21_heap_k_off_by_one", query="q21_topk_per_nation",
+         gate="oracle",
+         file="src/main/scala/graft/queries/OlapExtras.scala",
+         desc="top-k heap sized 4 while the contract cut is 3",
+         subs=[('udaf(graft.functions.TopK.TopKAggregator(3),',
+                'udaf(graft.functions.TopK.TopKAggregator(4),')]),
+    dict(id="m25_q22_merge_max", query="q22_incremental_agg",
+         gate="oracle",
+         file="src/main/scala/graft/queries/OlapExtras.scala",
+         desc="state+delta count merge takes MAX instead of SUM",
+         subs=[('.agg(sum($"n_orders").as("n_orders"),',
+                '.agg(max($"n_orders").as("n_orders"),')]),
+    # NOTE: the first draft of this mutation (chain s4 off s2,
+    # skipping the click step) SURVIVED — an UNEXERCISED rewiring, not
+    # a gate miss: the sf0.01 funnel is saturated (all 150 users carry
+    # ~67 events spanning every type, so every chaining variant still
+    # admits all 150 at every stage; DuckDB-checked). Replaced with a
+    # min->max slip on the stage-1 anchor, which the data does
+    # exercise (150/150/150/150 -> 150/79/36/19); ledgered in
+    # SURVEY §8.11.
+    dict(id="m26_q24b_funnel_anchor_max", query="q24b_event_funnel",
+         gate="oracle",
+         file="src/main/scala/graft/analytics/BehaviorQueries.scala",
+         desc="funnel anchored at the LAST signup instead of the first",
+         subs=[('.groupBy($"user_id").agg(min($"ts").as("t"))',
+                '.groupBy($"user_id").agg(max($"ts").as("t"))')]),
+    dict(id="m27_q25_confidence_denominator", query="q25_basket_rules",
+         gate="oracle",
+         file="src/main/scala/graft/analytics/BasketQueries.scala",
+         desc="confidence divided by the consequent count instead of the antecedent",
+         subs=[('round($"n_ab".cast("double") / $"n_a", 6).as("confidence")',
+                'round($"n_ab".cast("double") / $"n_b", 6).as("confidence")')]),
+    dict(id="m28_q27_alpha_swap", query="q27_exp_smoothing",
+         gate="oracle",
+         file="src/main/scala/graft/queries/OlapExtras.scala",
+         desc="EMA weights swapped: alpha applied to the carried state, not the new value",
+         subs=[("'ema', 0.25D * x.rev + 0.75D * element_at(acc, -1).ema",
+                "'ema', 0.75D * x.rev + 0.25D * element_at(acc, -1).ema")]),
+    dict(id="m29_q28_recency_direction", query="q28_rfm_segments",
+         gate="oracle",
+         file="src/main/scala/graft/analytics/RfmQueries.scala",
+         desc="recency quartile ranked descending: 1 = stalest customer",
+         subs=[('Seq($"recency_days".asc, $"o_custkey".asc), 4, "__rr", "r_q")',
+                'Seq($"recency_days".desc, $"o_custkey".asc), 4, "__rr", "r_q")')]),
+    dict(id="m30_q29_bpe_rarest_pair", query="q29_bpe_train",
+         gate="oracle",
+         file="src/main/scala/graft/text/BpeQueries.scala",
+         desc="BPE merge picks the RAREST pair each round (sort direction slip)",
+         subs=[('val best = pairs.orderBy($"c".desc, $"l".asc, $"r".asc).limit(1)',
+                'val best = pairs.orderBy($"c".asc, $"l".asc, $"r".asc).limit(1)')]),
+    dict(id="m32_q23_probe_neighborhood", query="q23_proximity_join",
+         gate="oracle",
+         file="src/main/scala/graft/operators/RangeJoin.scala",
+         desc="band-join probe spread drops the bin-1 neighbor: boundary-crossing pairs missed",
+         subs=[('explode(array(Seq(-1, 0, 1).map(d =>',
+                'explode(array(Seq(0, 1).map(d =>')]),
+    dict(id="m31_q17e_skip_dim_mixup", query="q17e_skipping_audit",
+         gate="oracle",
+         file="src/main/scala/graft/sources/Sources.scala",
+         desc="skip predicate copy-paste: day bands tested against quantity stats",
+         subs=[('when($"dim" === "day", $"dmax" < $"lo" || $"dmin" >= $"hi")',
+                'when($"dim" === "day", $"qmax" < $"lo" || $"qmin" >= $"hi")')]),
 ]
 
 OPENS = " ".join(
