@@ -24,6 +24,11 @@ Mechanics per mutation:
                  expected outcome: FAIL
        verdict — every boolean verdict column of the dumped parquet;
                  expected outcome: at least one false
+       spec    — (boundary mutations the sf0.01 replay cannot see:
+                 the m33/m34 formerly-survived drafts) the named
+                 ScalaTest suite, whose expectations are hand-derived
+                 on a crafted boundary warehouse, must FAIL; steps
+                 2-3 are replaced by Test/compile + testOnly
      A VerifyOne crash also counts as KILLED (a loud failure is a
      gate), tallied separately as `killed_crash`.
   5. source restored byte-identical (sha-checked), final recompile.
@@ -257,6 +262,24 @@ MUTATIONS = [
          desc="skip predicate copy-paste: day bands tested against quantity stats",
          subs=[('when($"dim" === "day", $"dmax" < $"lo" || $"dmin" >= $"hi")',
                 'when($"dim" === "day", $"qmax" < $"lo" || $"qmin" >= $"hi")')]),
+    # The two UNEXERCISED-at-sf0.01 first drafts from the r13 audit
+    # (ledgered beside m07/m20/m26): real behavior changes the driver
+    # replay can't see on its data shapes. gate="spec" replays them
+    # against BoundaryFixtureSpec's hand-crafted boundary warehouse,
+    # whose expectations are derived from the algebra, not an engine.
+    dict(id="m33_q4a_popularity_cut", query="q4a_semi_join_chain",
+         gate="spec", spec="graft.BoundaryFixtureSpec", file=AQ,
+         desc="popularity cut >= 3 tightened to > 3: parts with exactly "
+              "3 distinct orders silently drop",
+         subs=[('.filter($"n_ord" >= 3 && $"ret_rate" > 0.3)',
+                '.filter($"n_ord" > 3 && $"ret_rate" > 0.3)')]),
+    dict(id="m34_q24b_stage_rewiring", query="q24b_event_funnel",
+         gate="spec", spec="graft.BoundaryFixtureSpec",
+         file="src/main/scala/graft/analytics/BehaviorQueries.scala",
+         desc="funnel stage rewiring: click chained off signup instead "
+              "of view — view-skippers count at click/purchase",
+         subs=[('val s3 = nextStage(ev, s2, "click")',
+                'val s3 = nextStage(ev, s1, "click")')]),
 ]
 
 OPENS = " ".join(
@@ -294,9 +317,24 @@ def apply_subs(m):
     write(m["file"], src)
 
 
-def compile_ok():
-    r = sh("sbt -batch compile")
+def compile_ok(task="compile"):
+    r = sh(f"sbt -batch {task}")
     return r.returncode == 0 and "[success]" in r.stdout
+
+
+def spec_gate_red(spec_suite):
+    """True iff the named ScalaTest suite FAILS (sbt exits nonzero).
+    Used for boundary mutations the sf0.01 driver replay cannot see;
+    the suite's expectations are hand-derived, engine-independent.
+    Caller has already verified the mutated tree compiles, so a
+    nonzero exit is a test failure, not a build error."""
+    r = sh(f'sbt -batch "testOnly {spec_suite}"')
+    if r.returncode == 0:
+        return False, f"{spec_suite} green (gate did not bite)"
+    fails = [ln.strip() for ln in r.stdout.splitlines()
+             if "*** FAILED ***" in ln]
+    return True, (fails[0] if fails else f"{spec_suite} exit "
+                  f"{r.returncode}")[:140]
 
 
 def run_verify_one(query, out_dir):
@@ -384,10 +422,17 @@ def main(argv):
                          desc=m["desc"])
             try:
                 apply_subs(m)
-                if not compile_ok():
+                if not compile_ok(
+                        "Test/compile" if m["gate"] == "spec" else "compile"):
                     entry["status"] = "TOOL_ERROR"
                     entry["detail"] = "mutated source failed to compile"
                     rc = 1
+                elif m["gate"] == "spec":
+                    red, detail = spec_gate_red(m["spec"])
+                    entry["status"] = "KILLED" if red else "SURVIVED"
+                    entry["detail"] = detail
+                    if not red:
+                        rc = 1
                 else:
                     r = run_verify_one(m["query"], out_dir)
                     if r.returncode != 0:
