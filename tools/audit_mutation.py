@@ -178,7 +178,8 @@ MUTATIONS = [
     # 0.3 return-rate gate ships in >= 15 distinct orders, so the
     # popularity cut never binds (DuckDB-checked; min qualifying
     # n_ord = 15). Replaced with a predicate inversion on the binding
-    # gate; the unexercised boundary is ledgered in SURVEY §8.11.
+    # gate; the unexercised boundary is ledgered in SURVEY §8.11 and
+    # now spec-gated by m33 over BoundaryFixtureSpec's warehouse.
     dict(id="m20_q4a_returnflag_inverted", query="q4a_semi_join_chain",
          gate="oracle", file=AQ,
          desc="return-rate counts NON-returned lines (predicate inverted)",
@@ -219,7 +220,8 @@ MUTATIONS = [
     # admits all 150 at every stage; DuckDB-checked). Replaced with a
     # min->max slip on the stage-1 anchor, which the data does
     # exercise (150/150/150/150 -> 150/79/36/19); ledgered in
-    # SURVEY §8.11.
+    # SURVEY §8.11. The rewiring itself is now spec-gated by m34
+    # over BoundaryFixtureSpec's non-saturated funnel.
     dict(id="m26_q24b_funnel_anchor_max", query="q24b_event_funnel",
          gate="oracle",
          file="src/main/scala/graft/analytics/BehaviorQueries.scala",
