@@ -36,9 +36,9 @@ object ScaleDecadeProbe {
 
   // same constant as ScaleSpec: divisible by 101 (q12y), 7 (dedup
   // plants) and 12 (q12v moduli); far above base ids + the 1e6 plant
-  private val DocShift = 84840000L
+  private[graft] val DocShift = 84840000L
 
-  private class StageAcc extends SparkListener {
+  private[graft] class StageAcc extends SparkListener {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
     val diskSpill = new java.util.concurrent.atomic.AtomicLong
@@ -53,7 +53,7 @@ object ScaleDecadeProbe {
   }
 
   /** Listener events are async — poll until counters go quiet. */
-  private def quiesce(acc: StageAcc): Unit = {
+  private[graft] def quiesce(acc: StageAcc): Unit = {
     var last = -1L
     var same = 0
     while (same < 3) {
@@ -63,7 +63,7 @@ object ScaleDecadeProbe {
     }
   }
 
-  private def timed[T](spark: SparkSession)(f: => T): (T, Double, StageAcc) = {
+  private[graft] def timed[T](spark: SparkSession)(f: => T): (T, Double, StageAcc) = {
     val acc = new StageAcc
     spark.sparkContext.addSparkListener(acc)
     val t0 = System.nanoTime()
@@ -74,7 +74,7 @@ object ScaleDecadeProbe {
     (r, wall, acc)
   }
 
-  private def buildShards(
+  private[graft] def buildShards(
       spark: SparkSession, base: String, factor: Int, out: String): Unit = {
     import spark.implicits._
     val docs = spark.read.parquet(s"$base/documents.parquet")
@@ -89,7 +89,7 @@ object ScaleDecadeProbe {
       .write.mode("overwrite").parquet(s"$out/documents.parquet")
   }
 
-  private def rm(p: java.nio.file.Path): Unit = {
+  private[graft] def rm(p: java.nio.file.Path): Unit = {
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       java.nio.file.Files.walk(p).iterator().asScala.toSeq.reverse

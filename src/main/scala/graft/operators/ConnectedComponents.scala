@@ -28,7 +28,18 @@ object ConnectedComponents {
     * vertex whose only edges are self-loops has nothing reachable but
     * itself, so it comes back as a singleton component (id, id).
     */
-  def components(edges: DataFrame, maxIter: Int = 25): DataFrame = {
+  def components(edges: DataFrame, maxIter: Int = 25): DataFrame =
+    componentsWithRounds(edges, maxIter)._1
+
+  /** [[components]] plus the number of propagation rounds it took to
+    * converge (the last round is the fixpoint check that observes no
+    * change, so `rounds` = diameter-bound + 1). Exposed for
+    * [[graft.ScaleBreadthProbe]], which pins the rounds-stay-constant
+    * claim of the disjoint-shard corpus model: replicating shards
+    * multiplies components, not diameters.
+    */
+  def componentsWithRounds(
+      edges: DataFrame, maxIter: Int = 25): (DataFrame, Int) = {
     val spark = edges.sparkSession
     import spark.implicits._
     val Seq(srcCol, dstCol) = edges.columns.toSeq.take(2).map(col)
@@ -75,7 +86,7 @@ object ConnectedComponents {
       // an N-round join lineage that an uncached consumer would replay.
       // Checkpoint blocks are released by the ContextCleaner once the
       // caller drops the DataFrame.
-      labels.localCheckpoint(eager = true)
+      (labels.localCheckpoint(eager = true), iter)
     } finally {
       labels.unpersist()
       sym.unpersist()
