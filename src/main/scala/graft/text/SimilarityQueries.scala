@@ -260,13 +260,13 @@ object SimilarityQueries {
     * the k = [[ivfK]](N) vectors ranked first by md5(vec_id) — a
     * data-independent pseudo-random medoid pick both engines reproduce
     * exactly (q14b's hyperplane trick applied to centroid selection).
-    * Every vector joins the broadcast centroid table and keeps its
-    * argmax-cosine cell (ties → smallest cell; `max(struct(cos,
-    * -cell))` is partial-aggregable, so the k-way fan-out collapses
-    * map-side and the shuffle carries ONE row per vector). Nothing is
-    * cached: the corpus is scanned, never pinned (the r5/r6 verdicts'
-    * #1 fix). Input `v` must carry (vec_id, embedding, n2); output
-    * adds `cell`.
+    * Every vector scans the broadcast centroid array once and keeps
+    * its argmax-cosine cell (ties → smallest cell) via a per-row
+    * higher-order fold — a pure map with NO exchange at all (see the
+    * in-body note for why the earlier crossJoin + max(struct) groupBy
+    * was a SortAggregate scale trap). Nothing is cached: the corpus
+    * is scanned, never pinned (the r5/r6 verdicts' #1 fix). Input `v`
+    * must carry (vec_id, embedding, n2); output adds `cell`.
     */
   /** The deterministic md5-medoid centroid table (cell, cemb, cn2) —
     * shared by [[assignCells]] (candidate home cells) and q14f's
@@ -286,17 +286,43 @@ object SimilarityQueries {
 
   private[graft] def assignCells(v: DataFrame, k: Int): DataFrame = {
     import v.sparkSession.implicits._
-    val cent = centroids(v, k)
-    val cs = VectorOps.cosineFrom(VectorOps.dot($"embedding", $"cemb"),
-      $"n2", $"cn2")
-    // argmax cell per vector: broadcast fan-out collapses in the
-    // partial aggregate; first() carries the (per-key constant)
-    // embedding so no join-back is needed
-    v.crossJoin(broadcast(cent))
-      .groupBy($"vec_id")
-      .agg(max(struct(cs.as("cs"), (-$"cell").as("neg"))).as("m"),
-        first($"embedding").as("embedding"), first($"n2").as("n2"))
-      .select($"vec_id", $"embedding", $"n2", (-$"m.neg").as("cell"))
+    // Argmax cell per vector as a PROJECTION, not an aggregation: the
+    // centroid table collapses to ONE row carrying a cell-ascending
+    // array (k-bounded — the same corpus-fraction-sized broadcast
+    // limit as any flat coarse quantizer), the 1-row broadcast BNLJ
+    // attaches it to every vector (PlanAuditSpec's allowlisted scalar
+    // crossJoin shape), and a higher-order fold keeps the best
+    // (cosine, cell) per row. Strict `>` against an ascending array =
+    // highest cosine, ties to the smallest cell — the exact semantics
+    // of the previous max(struct(cs, -cell)) groupBy.
+    //
+    // Why not the crossJoin + groupBy(vec_id) fan-out this replaced:
+    // max over a STRUCT has an immutable aggregation buffer, so Spark
+    // plans SortAggregate — the "map-side collapse" actually
+    // EXTERNAL-SORTS the whole N·k fan-out (with the embedding
+    // ride-along, ~300 B/row) before combining. ScaleBreadthProbe
+    // measured that shape filling 80 GB of spill disk at ×1000
+    // (500k vectors · 3.9k centroids ≈ 2e9 sorted rows). The fold
+    // formulation does the same N·k cosine work as a pure streaming
+    // map: zero shuffle, zero sort, zero per-key state, output stays
+    // in the scan's partitioning.
+    val centArr = centroids(v, k)
+      .agg(sort_array(collect_list(struct($"cell", $"cemb", $"cn2")))
+        .as("cents"))
+    val best = aggregate(
+      $"cents",
+      struct(lit(-2.0).as("bs"), lit(-1).as("cell")),
+      (acc, c) => {
+        val cs = VectorOps.cosineFrom(
+          VectorOps.dot($"embedding", c.getField("cemb")),
+          $"n2", c.getField("cn2"))
+        when(cs > acc.getField("bs"),
+          struct(cs.as("bs"), c.getField("cell").as("cell")))
+          .otherwise(acc)
+      },
+      acc => acc.getField("cell"))
+    v.crossJoin(broadcast(centArr))
+      .select($"vec_id", $"embedding", $"n2", best.as("cell"))
   }
 
   /** q14c — IVF ANN with the DETERMINISTIC coarse quantizer of

@@ -282,6 +282,13 @@ MUTATIONS = [
               "of view — view-skippers count at click/purchase",
          subs=[('val s3 = nextStage(ev, s2, "click")',
                 'val s3 = nextStage(ev, s1, "click")')]),
+    dict(id="m35_q14c_argmin_cell", query="q14c_ann_ivf", gate="oracle",
+         file="src/main/scala/graft/text/SimilarityQueries.scala",
+         desc="IVF assignment fold inverted to argMIN cosine: every "
+              "vector lands in its WORST cell (regression tripwire for "
+              "the r13 SortAggregate-to-fold rewrite of assignCells)",
+         subs=[('when(cs > acc.getField("bs"),',
+                'when(cs < acc.getField("bs"),')]),
 ]
 
 OPENS = " ".join(
