@@ -403,13 +403,19 @@ object AnalyticsQueries {
           .when($"n_orders" > $"ord_lo", 2).otherwise(3))
     seg.groupBy($"value_tertile", $"freq_tertile")
       .agg(count(lit(1)).as("n_customers"),
-        Exact.davg($"spend").as("avg_spend"),
-        first(when($"value_tertile" === 1 && $"freq_tertile" === 1, "reward_vip")
+        Exact.davg($"spend").as("avg_spend"))
+      // the action label is a pure function of the two GROUPING keys,
+      // so it is computed after the aggregate: a first(CASE..string)
+      // inside the agg would force SortAggregate (string buffers are
+      // not hash-mutable) over the customer-grain input — PlanAudit's
+      // sort-over-fan-out axis caught exactly that
+      .withColumn("action",
+        when($"value_tertile" === 1 && $"freq_tertile" === 1, "reward_vip")
           .when($"value_tertile" === 1, "increase_frequency")
           .when($"freq_tertile" === 1, "upsell_value")
           .when($"value_tertile" === 3 && $"freq_tertile" === 3,
             "reactivate_or_drop")
-          .otherwise("nurture")).as("action"))
+          .otherwise("nurture"))
       .crossJoin(broadcast(verdict))
   }
 

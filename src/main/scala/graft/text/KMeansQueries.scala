@@ -31,12 +31,12 @@ import graft.queries.GraftQuery
   * Output is one all-BIGINT row per cell: members before/after and
   * how many stayed.
   *
-  * Scale shape: both assignment passes are broadcast-k fan-outs that
-  * collapse in the partial aggregate (ONE row per vector through
-  * each shuffle — the assignCells shape); the centroid update
-  * explodes to (cell, dim) grain but map-side combine reduces each
-  * partition to ≤ k·64 partial sums before the shuffle. Nothing is
-  * cached; the corpus streams through exactly three passes.
+  * Scale shape: both assignment passes are per-row folds over the
+  * broadcast centroid array (the assignCells shape — a pure map, no
+  * exchange); the centroid update explodes to (cell, dim) grain but
+  * map-side combine reduces each partition to ≤ k·64 partial sums
+  * before the shuffle. Nothing is cached; the corpus streams through
+  * exactly three passes.
   */
 object KMeansQueries {
 
@@ -52,16 +52,31 @@ object KMeansQueries {
     aggregate(zip_with(a, b, (x, y) => (x - y) * (x - y)),
       lit(0L), (acc, v) => acc + v)
 
-  /** argmin-cell assignment: broadcast centroids, integer L2, ties →
-    * smallest cell; the k-way fan-out collapses map-side.
+  /** argmin-cell assignment: the centroid table collapses to ONE
+    * cell-ascending array row, a 1-row broadcast join attaches it,
+    * and a higher-order fold keeps the best (integer L2, cell) per
+    * vector — strict `<` over the ascending array = min distance,
+    * ties → smallest cell. A pure projection: zero shuffle, zero
+    * per-key state. (The earlier crossJoin + groupBy(vec_id)
+    * min(struct) form planned SortAggregate — struct buffers are not
+    * hash-aggregable — and external-sorted the whole N·k fan-out; see
+    * the assignCells note in SimilarityQueries.)
     */
   private def assign(codes: DataFrame, cent: DataFrame): DataFrame = {
     import codes.sparkSession.implicits._
-    codes.crossJoin(broadcast(cent))
-      .groupBy($"vec_id")
-      .agg(min(struct(d2($"cs", $"ccs").as("d2"), $"cell")).as("m"),
-        first($"cs").as("cs"))
-      .select($"vec_id", $"cs", $"m.cell".as("cell"))
+    val centArr = cent
+      .agg(sort_array(collect_list(struct($"cell", $"ccs"))).as("cents"))
+    val best = aggregate(
+      $"cents",
+      struct(lit(Long.MaxValue).as("bd"), lit(-1).as("cell")),
+      (acc, c) => {
+        val d = d2($"cs", c.getField("ccs"))
+        when(d < acc.getField("bd"),
+          struct(d.as("bd"), c.getField("cell").as("cell"))).otherwise(acc)
+      },
+      acc => acc.getField("cell"))
+    codes.crossJoin(broadcast(centArr))
+      .select($"vec_id", $"cs", best.as("cell"))
   }
 
   val q14hKmeansStep: GraftQuery = GraftQuery(

@@ -641,33 +641,37 @@ object SimilarityQueries {
         .filter($"n2" > 0) // zero-norm: no direction → no cosine (q14a)
       val k = ivfK(emb.select($"vec_id").count())
       val assigned = assignCells(v, k)
-      // PQ codebook: the first 16 md5-medoids, code = rank
-      val cb = centroids(v, PqCodes)
-        .select($"cell".as("code"), $"cemb")
+      // PQ codebook: the first 16 md5-medoids, code = rank — collapsed
+      // to ONE code-ascending array row (array index = code) shared by
+      // the encode fold and the reconstruction
+      val cbs = centroids(v, PqCodes).agg(expr(
+        "transform(sort_array(collect_list(struct(cell, cemb))), s -> s.cemb)")
+        .as("cbs"))
       def subv(c: org.apache.spark.sql.Column, m: Int) =
         slice(c, m * PqSubspaces + 1, PqSubspaces)
-      def subDist(m: Int) =
-        (VectorOps.norm2(subv($"embedding", m))
-          - lit(2.0) * VectorOps.dot(subv($"embedding", m), subv($"cemb", m))
-          ) + VectorOps.norm2(subv($"cemb", m))
-      // encode: 16-code fan-out collapses in the partial aggregate —
-      // the shuffle carries ONE row per vector with its 8 argmins
-      val encoded = assigned.crossJoin(broadcast(cb))
-        .groupBy($"vec_id")
-        .agg(min(struct(subDist(0).as("d"), $"code".as("code"))).as("e0"),
-          ((1 until PqSubspaces).map(m =>
-            min(struct(subDist(m).as("d"), $"code".as("code"))).as(s"e$m"))
-            :+ first($"cell").as("cell")): _*)
-        .select($"vec_id", $"cell",
-          array((0 until PqSubspaces).map(m => col(s"e$m.code")): _*)
-            .as("codes"))
-      // reconstruction: one 1-row broadcast of the ordered codebook,
-      // rec = concat of the coded slices (≡ ADC: dot(q, rec) is the
-      // sum of per-subspace lookup dots)
-      val cbs = cb.agg(expr(
-        "transform(sort_array(collect_list(struct(code, cemb))), s -> s.cemb)")
-        .as("cbs"))
-      val recn = encoded.crossJoin(broadcast(cbs))
+      // encode: per-subspace argmin over the broadcast codebook array
+      // as a PROJECTION — array_min over (dist, code) structs, ties →
+      // smallest code, matching the oracle's (dist, code) ORDER BY.
+      // The earlier crossJoin + groupBy(vec_id) min(struct) form was a
+      // SortAggregate over the 16× fan-out (the assignCells trap at
+      // codebook scale — struct buffers are not hash-aggregable); the
+      // fold does the same distance arithmetic with zero shuffle, zero
+      // sort, zero per-key state. Same fold association ((n2a − 2·dot)
+      // + n2b), so argmins stay bitwise-identical to the twin.
+      def codeOf(m: Int) =
+        array_min(transform($"cbs", (c, i) =>
+          struct(
+            ((VectorOps.norm2(subv($"embedding", m))
+              - lit(2.0) * VectorOps.dot(subv($"embedding", m), subv(c, m)))
+              + VectorOps.norm2(subv(c, m))).as("d"),
+            i.as("code"))))
+          .getField("code")
+      // reconstruction off the same broadcast row: rec = concat of the
+      // coded slices (≡ ADC: dot(q, rec) is the sum of per-subspace
+      // lookup dots)
+      val recn = assigned.crossJoin(broadcast(cbs))
+        .withColumn("codes",
+          array((0 until PqSubspaces).map(codeOf): _*))
         .withColumn("rec", expr(
           s"""flatten(transform(codes,
              |  (cd, m) -> slice(element_at(cbs, cd + 1),

@@ -177,4 +177,48 @@ class PlanAuditSpec extends SparkTestBase {
     val withUdf = audits.filter(_.hasUdf).map(_.name)
     assert(withUdf.isEmpty, s"ScalaUDF found in: ${withUdf.mkString(", ")}")
   }
+
+  /** min/max over a STRUCT (any aggregate whose buffer is not
+    * UnsafeRow-mutable) plans SortAggregateExec, which external-sorts
+    * its INPUT per task before combining. Over linear input that is
+    * merely sort-instead-of-hash; over a nested-loop or explode
+    * fan-out it sorts the MULTIPLIED row mass — the assignCells trap
+    * ScaleBreadthProbe caught at ×1000 (a 138 MB corpus × 3.9k
+    * broadcast centroids = 585 GB of sort mass, 80 GB of spill before
+    * the disk died). This test bans SortAggregate whose same-stage
+    * subtree (below the aggregate, above the next exchange) contains
+    * a fan-out node; the fold-over-a-broadcast-array projection
+    * (assignCells / q14g encode / q14h assign) is the sanctioned
+    * replacement shape.
+    */
+  private val sortAggFanoutAllowed: Map[String, String] = Map(
+    "q12d_fingerprint" ->
+      ("min(md5 string) at the query's intrinsic shingle grain — the " +
+        "generate IS the data (one 3-gram per token position), no " +
+        "multiplier stacked on top of it"),
+    "q13c_minhash_lsh" ->
+      ("8 signature string-mins at (doc, shingle) grain — the posting " +
+        "explode is DF-cap-bounded (≤50 docs/shingle) and the shape is " +
+        "measured linear with zero spill to ×1000 (SURVEY §8.11)"))
+
+  test("no SortAggregate over a nested-loop or generate fan-out") {
+    def amplified(p: SparkPlan): Boolean = p match {
+      case _: org.apache.spark.sql.execution.exchange.Exchange => false
+      case _: org.apache.spark.sql.execution.joins.BroadcastNestedLoopJoinExec => true
+      case _: org.apache.spark.sql.execution.GenerateExec => true
+      case other => other.children.exists(amplified)
+    }
+    val flagged = audits.flatMap { a =>
+      Option(a.plan).toSeq.flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+            if amplified(s.child) => a.name
+      })
+    }.distinct.sorted
+    val offenders = flagged.filterNot(sortAggFanoutAllowed.contains)
+    val stale = sortAggFanoutAllowed.keySet -- flagged
+    assert(offenders.isEmpty && stale.isEmpty,
+      s"SortAggregate over a fan-out (sorts the multiplied mass) in: " +
+        offenders.mkString(", ") +
+        (if (stale.nonEmpty) s"\nstale allowlist entries: ${stale.toSeq.sorted.mkString(", ")}" else ""))
+  }
 }

@@ -246,12 +246,14 @@ class PlanSpec extends SparkTestBase {
     val df = graft.text.SimilarityQueries.q14gAnnIvfPq.fn(spark, sfDir)
     df.collect()
     val plan = executedPlan(df).split("== Initial Plan ==").head
-    // cell assign + encode + top-3 window: three keyed shuffles; the
-    // 16-row codebook, 1-row reconstruction table and 50-row query
-    // side all broadcast; the corpus is never cached or cross-joined
+    // ONE keyed shuffle: the top-3 window. Cell assignment and PQ
+    // encoding are per-row folds over 1-row broadcast centroid /
+    // codebook arrays (the r13 SortAggregate-fan-out fix), so neither
+    // shuffles; the corpus is never cached or cross-joined at scale
     val exchanges = "Exchange hashpartitioning".r.findAllIn(plan).length
-    assert(exchanges == 3,
-      s"expected exactly 3 keyed shuffles (assign, encode, top-k), got $exchanges:\n$plan")
+    assert(exchanges == 1,
+      s"expected exactly 1 keyed shuffle (top-k window; assign/encode " +
+        s"are broadcast folds), got $exchanges:\n$plan")
     assert(!plan.contains("CartesianProduct") &&
       !plan.contains("InMemoryTableScan"),
       s"cartesian or cache in IVF-PQ plan:\n$plan")
