@@ -345,13 +345,17 @@ object AnalyticsQueries {
         ntile(3).over(Window.orderBy($"n_orders".desc, $"o_custkey")))
     seg.groupBy($"value_tertile", $"freq_tertile")
       .agg(count(lit(1)).as("n_customers"),
-        Exact.davg($"spend").as("avg_spend"),
-        first(when($"value_tertile" === 1 && $"freq_tertile" === 1, "reward_vip")
+        Exact.davg($"spend").as("avg_spend"))
+      // label after the agg — pure function of the grouping keys; a
+      // first(CASE..string) inside would force SortAggregate (string
+      // buffers are not hash-mutable), same fix as the q9d_approx twin
+      .withColumn("action",
+        when($"value_tertile" === 1 && $"freq_tertile" === 1, "reward_vip")
           .when($"value_tertile" === 1, "increase_frequency")
           .when($"freq_tertile" === 1, "upsell_value")
           .when($"value_tertile" === 3 && $"freq_tertile" === 3,
             "reactivate_or_drop")
-          .otherwise("nurture")).as("action"))
+          .otherwise("nurture"))
   }
 
   /** q9d scale path — segmentation without the global sort: tertile

@@ -516,12 +516,25 @@ object DedupQueries {
     * pipeline runs after q13f's keep-min clustering (min-id keeps an
     * arbitrary member; curation wants the richest one). Per near-dup
     * component: canonical = the member with the longest text,
-    * tie-broken by smallest doc_id. The argmax is ONE groupBy over a
-    * lexicographic struct max — max(struct(len, -doc_id)) — so there
-    * is no per-component window and partial aggregation combines
-    * map-side; component count and sizes are bounded by the q13b pair
-    * graph, and the doc-length join touches only clustered docs
+    * tie-broken by smallest doc_id. The argmax is ONE groupBy, no
+    * per-component window, and partial aggregation combines map-side;
+    * component count and sizes are bounded by the q13b pair graph,
+    * and the doc-length join touches only clustered docs
     * (semi-join-sized, ≪ corpus).
+    *
+    * Argmax shape (r13 census): the order (len DESC, doc_id ASC) is
+    * packed into ONE collision-free DECIMAL(38,0) ordering
+    * `enc = len·10^20 + (2^63−1 − doc_id)` and taken with
+    * `max_by(doc_id, enc)` — doc_id is injective, so enc has no ties
+    * and max_by is deterministic, and `canon_len = max(len)` is the
+    * argmax's len because enc orders by len first. len ≤ 2^31−1 (JVM
+    * string cap) and doc_id > Long.MinValue keep the id slot inside
+    * its 10^20 base, so enc fits 30 digits and the comparison is
+    * exact. Both buffers are fixed-width (16-byte decimal + long) →
+    * UnsafeRow-mutable → HashAggregateExec; the previous
+    * max(struct(len, −doc_id)) form planned SortAggregateExec, an
+    * external sort of the clustered-doc mass per task (the only
+    * linear grouped SortAggregate the census found — SURVEY §8.11).
     */
   val q13iCanonicalDocs: GraftQuery = GraftQuery(
     "q13i_canonical_docs",
@@ -552,13 +565,23 @@ object DedupQueries {
       .select($"doc_id", $"component")
     val lens = Tables(spark, dir).documents
       .select($"doc_id", length($"text").cast(LongType).as("len"))
-    comp.join(lens, "doc_id")
-      .groupBy($"component")
+    canonicalFrom(comp.join(lens, "doc_id"))
+  }
+
+  /** The q13i argmax over a (component, doc_id, len) member frame,
+    * factored so CanonicalArgmaxSpec can pin the tie-break on a
+    * crafted fixture (len ties don't occur in the sf0.01 replay —
+    * the m33/m34 unexercised-boundary lesson applied here).
+    */
+  private[graft] def canonicalFrom(members: DataFrame): DataFrame = {
+    import members.sparkSession.implicits._
+    val idSlotBase = lit(new java.math.BigDecimal("100000000000000000000"))
+    val maxLong    = lit(new java.math.BigDecimal("9223372036854775807"))
+    val enc = $"len" * idSlotBase + (maxLong - $"doc_id")
+    members.groupBy($"component")
       .agg(count(lit(1)).as("n_members"),
-        max(struct($"len", (-$"doc_id").as("neg_id"))).as("m"))
-      .select($"component", $"n_members",
-        (-$"m.neg_id").as("canonical_doc_id"),
-        $"m.len".as("canon_len"))
+        max_by($"doc_id", enc).as("canonical_doc_id"),
+        max($"len").as("canon_len"))
   }
 
   /** q13j — typo-tolerant vocabulary reconciliation: all distinct

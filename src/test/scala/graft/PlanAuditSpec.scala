@@ -221,4 +221,42 @@ class PlanAuditSpec extends SparkTestBase {
         offenders.mkString(", ") +
         (if (stale.nonEmpty) s"\nstale allowlist entries: ${stale.toSeq.sorted.mkString(", ")}" else ""))
   }
+
+  /** Registry-wide grouped-SortAggregate census (r13 session 4),
+    * generalizing the fan-out axis above: a SortAggregateExec with
+    * non-empty grouping keys external-sorts its input per task even
+    * over LINEAR input — at 100 TB that is a spill-prone sort where a
+    * hash aggregate streams. The census found exactly three linear
+    * sites; two were avoidable and are now hash shapes (q13i's
+    * max(struct) argmax → max_by over a collision-free decimal
+    * ordering; q9d_segmentation's first(CASE..string) label → post-agg
+    * projection, mirroring its approx twin), leaving only the two
+    * intrinsic amplified shapes below. GROUPING-KEY-FREE
+    * SortAggregates (q26a's global sketch+string-minmax agg) are
+    * exempt by construction: requiredChildOrdering is empty, so no
+    * sort is inserted and the node degenerates to a streaming fold.
+    * Exact-stale allowlist, same contract as every other axis here.
+    */
+  private val groupedSortAggAllowed: Map[String, String] = Map(
+    "q12d_fingerprint" ->
+      ("min(md5 string) at (doc, position) shingle grain — string " +
+        "buffers are not hash-mutable and the min IS the query"),
+    "q13c_minhash_lsh" ->
+      ("8 signature string-mins at (doc, shingle) grain — DF-cap " +
+        "bounded, measured linear with zero spill to ×1000"))
+
+  test("grouped SortAggregate only on the exact census allowlist") {
+    val flagged = audits.flatMap { a =>
+      Option(a.plan).toSeq.flatMap(_.collect {
+        case s: org.apache.spark.sql.execution.aggregate.SortAggregateExec
+            if s.groupingExpressions.nonEmpty => a.name
+      })
+    }.distinct.sorted
+    val offenders = flagged.filterNot(groupedSortAggAllowed.contains)
+    val stale = groupedSortAggAllowed.keySet -- flagged
+    assert(offenders.isEmpty && stale.isEmpty,
+      s"grouped SortAggregate (external sort per task; use a " +
+        s"hash-mutable buffer shape) in: ${offenders.mkString(", ")}" +
+        (if (stale.nonEmpty) s"\nstale allowlist entries: ${stale.toSeq.sorted.mkString(", ")}" else ""))
+  }
 }

@@ -289,6 +289,28 @@ MUTATIONS = [
               "the r13 SortAggregate-to-fold rewrite of assignCells)",
          subs=[('when(cs > acc.getField("bs"),',
                 'when(cs < acc.getField("bs"),')]),
+    # Tripwires for the r13 session-4 census rewrite of q13i's argmax
+    # (max(struct) SortAggregate -> max_by over a packed decimal
+    # ordering). m36 inverts the argmax orientation — kills on the
+    # oracle hash (every >=2-member component flips canonical to the
+    # shortest member). m37 flips the tie-break SLOT direction, which
+    # the sf0.01 replay cannot see (measured zero len-tied components
+    # there) — gated by CanonicalArgmaxSpec's crafted tie fixture,
+    # the m33/m34 pattern.
+    dict(id="m36_q13i_argmin_canonical", query="q13i_canonical_docs",
+         gate="oracle",
+         file="src/main/scala/graft/text/DedupQueries.scala",
+         desc="canonical argmax inverted to min_by: every component "
+              "keeps its SHORTEST member",
+         subs=[('max_by($"doc_id", enc).as("canonical_doc_id")',
+                'min_by($"doc_id", enc).as("canonical_doc_id")')]),
+    dict(id="m37_q13i_tiebreak_slot", query="q13i_canonical_docs",
+         gate="spec", spec="graft.CanonicalArgmaxSpec",
+         file="src/main/scala/graft/text/DedupQueries.scala",
+         desc="decimal id-slot direction flipped (2^63-1 - doc_id -> "
+              "+ doc_id): len ties break to the LARGEST doc_id",
+         subs=[('val enc = $"len" * idSlotBase + (maxLong - $"doc_id")',
+                'val enc = $"len" * idSlotBase + (maxLong + $"doc_id")')]),
 ]
 
 OPENS = " ".join(
