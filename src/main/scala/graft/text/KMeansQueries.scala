@@ -62,15 +62,28 @@ object KMeansQueries {
     * hash-aggregable — and external-sorted the whole N·k fan-out; see
     * the assignCells note in SimilarityQueries.)
     */
-  private def assign(codes: DataFrame, cent: DataFrame): DataFrame = {
+  private[graft] def assign(codes: DataFrame, cent: DataFrame): DataFrame = {
     import codes.sparkSession.implicits._
     val centArr = cent
       .agg(sort_array(collect_list(struct($"cell", $"ccs"))).as("cents"))
+    // Null handling must match the twin's row_number(ORDER BY dist,
+    // cell): a NULL code vector or NULL centroid makes the integer
+    // distance NULL, which orders LAST (loses to every real distance)
+    // with the cell tie-break — so a null distance coalesces to
+    // Long.MaxValue, and the fold seeds at cents[0].cell (the
+    // smallest cell), NOT a -1 sentinel: an all-null vector must land
+    // in the smallest cell like the twin, not vanish. The sentinel
+    // leak was caught by the r13 degenerate-audit re-run on the
+    // all-NULL-embedding fixture (SURVEY §8.11); the max(struct) form
+    // this fold replaced had matched via nulls-first struct ordering.
+    // private[graft] so KMeansSpec can pin the null contract directly.
     val best = aggregate(
       $"cents",
-      struct(lit(Long.MaxValue).as("bd"), lit(-1).as("cell")),
+      struct(lit(Long.MaxValue).as("bd"),
+        coalesce(get($"cents", lit(0)).getField("cell"), lit(-1))
+          .as("cell")),
       (acc, c) => {
-        val d = d2($"cs", c.getField("ccs"))
+        val d = coalesce(d2($"cs", c.getField("ccs")), lit(Long.MaxValue))
         when(d < acc.getField("bd"),
           struct(d.as("bd"), c.getField("cell").as("cell"))).otherwise(acc)
       },
@@ -164,9 +177,15 @@ object KMeansQueries {
       .select($"cell", $"cs".as("ccs"))
     val a0 = assign(codes, cent0)
     // rounded integer mean per (cell, dim); map-side combine bounds
-    // the explode fan-out at k·64 partials per partition
+    // the explode fan-out at k·64 partials per partition. A NULL code
+    // vector explodes as 64 NULL elements (not zero rows): the twin's
+    // UNNEST(range) counts every member in the mean's denominator
+    // while SUM skips the NULLs — dropping the rows instead would
+    // shift the rounded mean of any cell with mixed null/valid
+    // members (same dirty-feed contract as the assign fold above)
     val mu = a0
-      .select($"cell", posexplode($"cs").as(Seq("d", "v")))
+      .select($"cell", posexplode(coalesce($"cs",
+        array_repeat(lit(null).cast("long"), Dim))).as(Seq("d", "v")))
       .groupBy($"cell", $"d")
       .agg(sum($"v").as("sd"), count(lit(1)).as("n"))
       .withColumn("m",

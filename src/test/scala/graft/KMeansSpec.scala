@@ -65,6 +65,32 @@ class KMeansSpec extends SparkTestBase {
     }
   }
 
+  /** Dirty-feed contract of the assign fold, matching the twin's
+    * row_number(ORDER BY dist NULLS LAST, cell): a NULL code vector
+    * (or NULL centroid) has NULL integer distance, which loses to
+    * every real distance; an all-null vector lands in the SMALLEST
+    * cell, never a -1 sentinel. The r13 degenerate-audit re-run
+    * caught the sentinel leaking on the all-NULL-embedding fixture
+    * after the SortAggregate-to-fold rewrite (SURVEY §8.11).
+    */
+  test("assign: null codes land in the smallest cell; null centroids lose") {
+    import spark.implicits._
+    val codes = Seq(
+      (1L, Some(Seq(0L, 0L))),    // nearest to centroid 1
+      (2L, Some(Seq(9L, 9L))),    // nearest to centroid 2
+      (3L, None)                  // null vector -> smallest cell = 0
+    ).toDF("vec_id", "cs")
+    val cent = Seq(
+      (0, None),                  // null centroid: must never win a
+                                  // valid vector, only the null one
+      (1, Some(Seq(1L, 1L))),
+      (2, Some(Seq(8L, 8L)))
+    ).toDF("cell", "ccs")
+    val got = KMeansQueries.assign(codes, cent)
+      .collect().map(r => r.getLong(0) -> r.getInt(2)).toMap
+    assert(got == Map(1L -> 1, 2L -> 2, 3L -> 0), s"got=$got")
+  }
+
   test("plan: no cartesian, no cache, codes staged once") {
     val df = KMeansQueries.q14hKmeansStep.fn(spark, sfDir)
     df.collect()

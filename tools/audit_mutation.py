@@ -311,6 +311,19 @@ MUTATIONS = [
               "+ doc_id): len ties break to the LARGEST doc_id",
          subs=[('val enc = $"len" * idSlotBase + (maxLong - $"doc_id")',
                 'val enc = $"len" * idSlotBase + (maxLong + $"doc_id")')]),
+    # The exact regression the r13 session-4 degenerate-audit re-run
+    # caught live: the k-means assign fold seeded with a -1 sentinel
+    # instead of the smallest cell, so all-null vectors vanished from
+    # the per-cell counts (clean sf0.01 data can't see it — null
+    # embeddings only exist in the dirty fixtures).
+    dict(id="m38_q14h_null_sentinel", query="q14h_kmeans_step",
+         gate="spec", spec="graft.KMeansSpec",
+         file="src/main/scala/graft/text/KMeansQueries.scala",
+         desc="assign fold seed reverted to the -1 sentinel: null-code "
+              "vectors drop out of every cell count",
+         subs=[('coalesce(get($"cents", lit(0)).getField("cell"), lit(-1))\n'
+                '          .as("cell")',
+                'lit(-1).as("cell")')]),
 ]
 
 OPENS = " ".join(
