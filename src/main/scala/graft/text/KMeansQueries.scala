@@ -92,6 +92,30 @@ object KMeansQueries {
       .select($"vec_id", $"cs", best.as("cell"))
   }
 
+  /** Rounded integer mean per (cell, dim) over a (cell, cs) member
+    * frame; map-side combine bounds the explode fan-out at k·64
+    * partials per partition. A NULL code vector explodes as 64 NULL
+    * elements (not zero rows): the twin's UNNEST(range) counts every
+    * member in the mean's denominator while SUM skips the NULLs —
+    * dropping the rows instead would shift the rounded mean of any
+    * cell with mixed null/valid members (same dirty-feed contract as
+    * the assign fold; no committed fixture exercises the MIXED shape,
+    * so KMeansSpec pins it directly — the m33/m34 lesson again).
+    */
+  private[graft] def roundedMeans(a0: DataFrame): DataFrame = {
+    import a0.sparkSession.implicits._
+    a0
+      .select($"cell", posexplode(coalesce($"cs",
+        array_repeat(lit(null).cast("long"), Dim))).as(Seq("d", "v")))
+      .groupBy($"cell", $"d")
+      .agg(sum($"v").as("sd"), count(lit(1)).as("n"))
+      .withColumn("m",
+        floor(($"sd" * 2 + $"n").cast("double") / ($"n" * 2)).cast("long"))
+      .groupBy($"cell")
+      .agg(transform(sort_array(collect_list(struct($"d", $"m"))),
+        s => s.getField("m")).as("mcs"))
+  }
+
   val q14hKmeansStep: GraftQuery = GraftQuery(
     "q14h_kmeans_step",
     s"""WITH sc AS (
@@ -176,23 +200,7 @@ object KMeansQueries {
           .cast("int"))
       .select($"cell", $"cs".as("ccs"))
     val a0 = assign(codes, cent0)
-    // rounded integer mean per (cell, dim); map-side combine bounds
-    // the explode fan-out at k·64 partials per partition. A NULL code
-    // vector explodes as 64 NULL elements (not zero rows): the twin's
-    // UNNEST(range) counts every member in the mean's denominator
-    // while SUM skips the NULLs — dropping the rows instead would
-    // shift the rounded mean of any cell with mixed null/valid
-    // members (same dirty-feed contract as the assign fold above)
-    val mu = a0
-      .select($"cell", posexplode(coalesce($"cs",
-        array_repeat(lit(null).cast("long"), Dim))).as(Seq("d", "v")))
-      .groupBy($"cell", $"d")
-      .agg(sum($"v").as("sd"), count(lit(1)).as("n"))
-      .withColumn("m",
-        floor(($"sd" * 2 + $"n").cast("double") / ($"n" * 2)).cast("long"))
-      .groupBy($"cell")
-      .agg(transform(sort_array(collect_list(struct($"d", $"m"))),
-        s => s.getField("m")).as("mcs"))
+    val mu = roundedMeans(a0)
     val cent1 = cent0.join(mu, Seq("cell"), "left")
       .select($"cell", coalesce($"mcs", $"ccs").as("ccs"))
     val a1 = assign(a0.select($"vec_id", $"cs", $"cell".as("cell0")), cent1)

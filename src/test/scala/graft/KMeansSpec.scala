@@ -91,6 +91,27 @@ class KMeansSpec extends SparkTestBase {
     assert(got == Map(1L -> 1, 2L -> 2, 3L -> 0), s"got=$got")
   }
 
+  /** Twin-fidelity of the centroid mean's DENOMINATOR on a mixed
+    * null/valid cell — the shape no committed fixture exercises (the
+    * nulls dir is ALL-null, which is accidentally symmetric here):
+    * the twin's UNNEST counts every member (n=3) while SUM skips the
+    * null codes, so [2..]+[4..]+NULL must average to
+    * floor((2·6+3)/6)=2, not the null-dropped floor((2·6+2)/4)=3.
+    */
+  test("roundedMeans counts null-code members in the denominator") {
+    import spark.implicits._
+    val a0 = Seq(
+      (0, Some(Seq.fill(64)(2L))),
+      (0, Some(Seq.fill(64)(4L))),
+      (0, Option.empty[Seq[Long]]),
+      (1, Option.empty[Seq[Long]])   // all-null cell -> all-null mean
+    ).toDF("cell", "cs")
+    val got = KMeansQueries.roundedMeans(a0)
+      .collect().map(r => r.getInt(0) -> r.getSeq[Any](1)).toMap
+    assert(got(0) == Seq.fill(64)(2L), s"mixed cell: ${got(0).take(3)}")
+    assert(got(1).forall(_ == null), s"all-null cell: ${got(1).take(3)}")
+  }
+
   test("plan: no cartesian, no cache, codes staged once") {
     val df = KMeansQueries.q14hKmeansStep.fn(spark, sfDir)
     df.collect()

@@ -324,6 +324,15 @@ MUTATIONS = [
          subs=[('coalesce(get($"cents", lit(0)).getField("cell"), lit(-1))\n'
                 '          .as("cell")',
                 'lit(-1).as("cell")')]),
+    dict(id="m39_q14h_mean_denominator", query="q14h_kmeans_step",
+         gate="spec", spec="graft.KMeansSpec",
+         file="src/main/scala/graft/text/KMeansQueries.scala",
+         desc="centroid-mean explode drops null codes: the mean's "
+              "denominator excludes null members, shifting every "
+              "mixed null/valid cell (the twin's UNNEST counts them)",
+         subs=[('posexplode(coalesce($"cs",\n'
+                '        array_repeat(lit(null).cast("long"), Dim)))',
+                'posexplode($"cs")')]),
 ]
 
 OPENS = " ".join(
