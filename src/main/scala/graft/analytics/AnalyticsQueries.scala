@@ -1036,8 +1036,9 @@ object AnalyticsQueries {
     """WITH RECURSIVE cust AS (
       |  SELECT o_custkey, MIN(CAST(o_orderdate AS DATE)) AS f,
       |         MAX(CAST(o_orderdate AS DATE)) AS l
-      |  FROM orders GROUP BY 1),
-      |fin AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dend FROM orders),
+      |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |fin AS (SELECT MAX(CAST(o_orderdate AS DATE)) AS dend FROM orders
+      |        WHERE o_orderdate IS NOT NULL),
       |durs AS (
       |  SELECT CASE WHEN dend - l > 90 THEN l - f ELSE dend - f END AS dur,
       |         (dend - l > 90) AS churned
@@ -1069,8 +1070,15 @@ object AnalyticsQueries {
       |SELECT dur AS t_days, n_risk, d AS n_events, s AS survival_q9
       |FROM km""".stripMargin) { (spark, dir) =>
     import spark.implicits._
+    // an undateable order has no place on a lifetime axis — excluded
+    // on BOTH engines (the q15/q24c convention): unfiltered, a
+    // never-datable customer's NULL duration bucket sits NULLS-FIRST
+    // in Spark's risk-set cumulative window and NULLS-LAST in
+    // DuckDB's, shifting every n_risk (r13 mixed-null fixture,
+    // SURVEY §8.11)
     val o = Tables(spark, dir).orders
       .select($"o_custkey", to_date($"o_orderdate").as("d"))
+      .filter($"d".isNotNull)
     val cust = o.groupBy($"o_custkey")
       .agg(min($"d").as("f"), max($"d").as("l"))
     val fin = o.agg(max($"d").as("dend"))

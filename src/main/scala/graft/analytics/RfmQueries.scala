@@ -32,15 +32,24 @@ object RfmQueries {
 
   /** Customer-grain RFM metrics from an orders frame: integer recency
     * days vs the corpus max date, order count, exact cents.
+    *
+    * Dirty-feed contract (r13 mixed-null fixture, SURVEY §8.11): an
+    * undateable order (NULL o_orderdate) is excluded on BOTH engines —
+    * unfiltered, a never-datable customer's NULL recency ranks
+    * NULLS-FIRST in Spark's ascending sort and NULLS-LAST in DuckDB's,
+    * shifting every quartile (the q15/q24c convention). Unpriced
+    * orders stay (frequency counts them) with 0 cents, so monetary is
+    * total and the quartile order never sees a NULL.
     */
   def rfmMetrics(orders: DataFrame): DataFrame = {
     import orders.sparkSession.implicits._
-    val maxd = orders.agg(max($"o_orderdate").as("md"))
-    orders.groupBy($"o_custkey")
+    val dated = orders.filter($"o_orderdate".isNotNull)
+    val maxd = dated.agg(max($"o_orderdate").as("md"))
+    dated.groupBy($"o_custkey")
       .agg(max($"o_orderdate").as("last_order"),
         count(lit(1)).as("frequency"),
-        sum(floor($"o_totalprice" * 100 + 0.5).cast(LongType))
-          .as("monetary_cents"))
+        coalesce(sum(floor($"o_totalprice" * 100 + 0.5).cast(LongType)),
+          lit(0L)).as("monetary_cents"))
       .crossJoin(broadcast(maxd))
       .withColumn("recency_days",
         datediff($"md".cast(DateType), $"last_order".cast(DateType))
@@ -72,10 +81,11 @@ object RfmQueries {
       |  SELECT o_custkey,
       |         MAX(o_orderdate) AS last_order,
       |         COUNT(*) AS frequency,
-      |         CAST(SUM(CAST(floor(o_totalprice*100 + 0.5) AS BIGINT))
-      |              AS BIGINT) AS monetary_cents
-      |  FROM orders GROUP BY 1),
-      |mx AS (SELECT MAX(o_orderdate) AS md FROM orders),
+      |         CAST(COALESCE(SUM(CAST(floor(o_totalprice*100 + 0.5)
+      |              AS BIGINT)), 0) AS BIGINT) AS monetary_cents
+      |  FROM orders WHERE o_orderdate IS NOT NULL GROUP BY 1),
+      |mx AS (SELECT MAX(o_orderdate) AS md FROM orders
+      |       WHERE o_orderdate IS NOT NULL),
       |s AS (
       |  SELECT o_custkey, frequency, monetary_cents,
       |         date_diff('day', CAST(c.last_order AS DATE),

@@ -292,7 +292,7 @@ object AnalyticalQueries {
     s"""WITH daily AS (
        |  SELECT CAST(l_shipdate AS DATE) AS ship_day,
        |         SUM($revSql) AS rev
-       |  FROM lineitem GROUP BY 1)
+       |  FROM lineitem WHERE l_shipdate IS NOT NULL GROUP BY 1)
        |SELECT CAST(ship_day AS VARCHAR) AS ship_day,
        |       CAST(CAST(rev AS VARCHAR) AS DOUBLE) AS revenue,
        |       CAST(CAST(SUM(rev) OVER (ORDER BY ship_day
@@ -307,7 +307,13 @@ object AnalyticalQueries {
     val t = Tables(spark, dir)
     // ship_day is a DATE on both sides — date→timestamp would re-introduce
     // a session-timezone dependency (ADVICE r1) for zero semantic gain.
+    // An undateable shipment has no position on the day spine, so both
+    // engines exclude it (the q15/q24c convention): unfiltered, the NULL
+    // day rides the window frames NULLS-FIRST in Spark and NULLS-LAST in
+    // DuckDB — different moving averages for the same mixed feed
+    // (flushed by the r13 mixed-null fixture, SURVEY §8.11).
     val daily = t.lineitem
+      .filter($"l_shipdate".isNotNull)
       .groupBy(to_date($"l_shipdate").as("ship_day"))
       .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev"))
     val wMa  = Window.orderBy($"ship_day").rowsBetween(-6, 0)

@@ -45,6 +45,8 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailOutlier: Map[String, String] = Map.empty
 
+  private val mayFailMixed: Map[String, String] = Map.empty
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -85,6 +87,10 @@ class DegenerateInputSpec extends SparkTestBase {
 
   test("every registered query survives a plausible-outlier warehouse") {
     sweep(DegenerateData.outlierDir(spark), mayFailOutlier)
+  }
+
+  test("every registered query survives a mixed null/valid warehouse") {
+    sweep(DegenerateData.mixedDir(spark), mayFailMixed)
   }
 
   /** The engine's NaN position, pinned: non-finite measures are
@@ -161,6 +167,36 @@ object DegenerateData {
       val cols = df.schema.fields.map { f =>
         if (f.name.endsWith("key") || keep(f.name)) col(f.name)
         else lit(null).cast(f.dataType).as(f.name)
+      }
+      df.select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** Mixed null/valid warehouse: 3 rows per table, the MIDDLE row's
+    * non-key columns NULL, rows 1 and 3 untouched — the shape the
+    * all-NULL dir is accidentally symmetric on: per-group sequences
+    * MIXING null and valid order keys flush engine null-ordering
+    * defaults (Spark windows sort NULLS FIRST ascending, DuckDB
+    * NULLS LAST). Flushed three live twin divergences on first run —
+    * q3b's moving average over a NULL ship day, q28's recency
+    * quartiles over a NULL last order, q9r's risk sets over a NULL
+    * duration — each fixed by the q15/q24c convention: an undateable
+    * row is excluded from ordered sequences on BOTH engines
+    * (SURVEY §8.11).
+    */
+  def mixedDir(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions.{col, lit, row_number, when}
+    import org.apache.spark.sql.expressions.Window
+    val keep = Set("l_linenumber", "event_id", "user_id", "doc_id", "vec_id")
+    buildDir(spark, "mixed") { (_, raw) =>
+      val base = raw.limit(3)
+      val keyCol = base.schema.fieldNames.head
+      val df = base.withColumn("__rn",
+        row_number().over(Window.orderBy(col(keyCol))))
+      val cols = base.schema.fields.map { f =>
+        if (f.name.endsWith("key") || keep(f.name)) col(f.name)
+        else when(col("__rn") === 2, lit(null).cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
       }
       df.select(cols.toIndexedSeq: _*)
     }
