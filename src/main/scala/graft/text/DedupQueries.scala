@@ -524,7 +524,7 @@ object DedupQueries {
     *
     * Argmax shape (r13 census): the order (len DESC, doc_id ASC) is
     * packed into ONE collision-free DECIMAL(38,0) ordering
-    * `enc = len·10^20 + (2^63−1 − doc_id)` and taken with
+    * `enc = coalesce(len,−1)·10^20 + (2^63−1 − doc_id)` and taken with
     * `max_by(doc_id, enc)` — doc_id is injective, so enc has no ties
     * and max_by is deterministic, and `canon_len = max(len)` is the
     * argmax's len because enc orders by len first. len ≤ 2^31−1 (JVM
@@ -577,7 +577,19 @@ object DedupQueries {
     import members.sparkSession.implicits._
     val idSlotBase = lit(new java.math.BigDecimal("100000000000000000000"))
     val maxLong    = lit(new java.math.BigDecimal("9223372036854775807"))
-    val enc = $"len" * idSlotBase + (maxLong - $"doc_id")
+    // A NULL len (null-text doc) coalesces to -1 — below every real
+    // len ≥ 0, exactly where DuckDB's `ORDER BY len DESC` puts NULLs
+    // (nulls-last). Without it max_by SKIPS null-ordering rows, so a
+    // hypothetical component whose every member has NULL len would
+    // emit NULL canonical_doc_id while the twin's ROW_NUMBER still
+    // elects the smallest doc_id. Unreachable from q13i today (null
+    // text → no shingles → never enters the pair graph), but the
+    // frame is private[graft] API and the contract should not be
+    // implicit. canon_len = max(len) stays null-skipping on both
+    // engines (all-null component → NULL canon_len, matching the
+    // twin's MAX(CASE...)).
+    val enc =
+      coalesce($"len", lit(-1L)) * idSlotBase + (maxLong - $"doc_id")
     members.groupBy($"component")
       .agg(count(lit(1)).as("n_members"),
         max_by($"doc_id", enc).as("canonical_doc_id"),

@@ -88,8 +88,18 @@ object KMeansQueries {
           struct(d.as("bd"), c.getField("cell").as("cell"))).otherwise(acc)
       },
       acc => acc.getField("cell"))
+    // cell = -1 occurs IFF the centroid frame is empty (the seed's
+    // coalesce fires only on an empty cents array; with a nonempty
+    // array an all-null-distance vector keeps the SEED cents[0].cell,
+    // a real cell, because strict `<` never beats the Long.MaxValue
+    // seed). The twin's CROSS JOIN against zero centroids emits no
+    // rows, so drop the sentinel rows to keep the empty-centroid
+    // semantics identical instead of leaving the invariant implicit
+    // (unreachable from q14h, where cent0 is nonempty whenever codes
+    // is — KMeansSpec pins the empty-frame contract directly).
     codes.crossJoin(broadcast(centArr))
       .select($"vec_id", $"cs", best.as("cell"))
+      .filter($"cell" =!= -1)
   }
 
   /** Rounded integer mean per (cell, dim) over a (cell, cs) member

@@ -48,6 +48,28 @@ class CanonicalArgmaxSpec extends SparkTestBase {
     assert(out(2L) == ((2L, 0L, 5L)))
   }
 
+  test("NULL len orders below every real len (DuckDB nulls-last DESC)") {
+    // The enc coalesces NULL len to -1, so an ALL-null-len component
+    // still elects the smallest doc_id (like the twin's ROW_NUMBER,
+    // where DESC puts NULLs last) instead of max_by skipping every
+    // row and emitting NULL canonical_doc_id; a MIXED component's
+    // null-len member must lose to any real len ≥ 0. canon_len stays
+    // null-skipping on both engines.
+    val out = DedupQueries.canonicalFrom(
+        Seq(
+          // all-null-len component → smallest doc_id, NULL canon_len
+          (1L, 9L, Option.empty[Long]), (1L, 4L, Option.empty[Long]),
+          // mixed: len 0 beats NULL even on a smaller doc_id
+          (2L, 3L, Option.empty[Long]), (2L, 8L, Some(0L)))
+          .toDF("component", "doc_id", "len").repartition(4))
+      .collect()
+      .map(r => r.getLong(0) ->
+        ((r.getLong(1), r.getLong(2), Option(r.get(3)))))
+      .toMap
+    assert(out(1L) == ((2L, 4L, None)), s"all-null: ${out(1L)}")
+    assert(out(2L) == ((2L, 8L, Some(0L))), s"mixed: ${out(2L)}")
+  }
+
   test("the argmax hash-aggregates (no SortAggregate, no window)") {
     val plan = DedupQueries.canonicalFrom(
       Seq((1L, 2L, 3L)).toDF("component", "doc_id", "len"))

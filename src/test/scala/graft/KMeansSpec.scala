@@ -91,6 +91,20 @@ class KMeansSpec extends SparkTestBase {
     assert(got == Map(1L -> 1, 2L -> 2, 3L -> 0), s"got=$got")
   }
 
+  /** Empty-centroid contract: the twin's CROSS JOIN against zero
+    * centroids emits no rows, so assign must too — the fold's -1
+    * sentinel (reachable ONLY on an empty cents array) is filtered,
+    * never emitted. Unreachable from q14h (cent0 nonempty whenever
+    * codes is), but the invariant must not be implicit.
+    */
+  test("assign: empty centroid frame assigns nothing (twin's empty join)") {
+    import spark.implicits._
+    val codes = Seq((1L, Some(Seq(0L, 0L))), (2L, Option.empty[Seq[Long]]))
+      .toDF("vec_id", "cs")
+    val cent = Seq.empty[(Int, Option[Seq[Long]])].toDF("cell", "ccs")
+    assert(KMeansQueries.assign(codes, cent).count() == 0L)
+  }
+
   /** Twin-fidelity of the centroid mean's DENOMINATOR on a mixed
     * null/valid cell — the shape no committed fixture exercises (the
     * nulls dir is ALL-null, which is accidentally symmetric here):
