@@ -388,6 +388,18 @@ object OlapExtras {
     * doubled cumulative weight reaches the total (the lower weighted
     * median, an integer rule both engines apply identically; no
     * interpolation, no floats).
+    *
+    * Null contract (q15/q24c convention): a NULL-quantity row cannot
+    * participate in a quantity median, so it is excluded from the
+    * value-grain cells on BOTH engines — otherwise its weight rides
+    * the cumulative window FIRST under Spark's nulls-first ascending
+    * but LAST under DuckDB's nulls-last, shifting every real cell's
+    * `cw` by the null cell's weight and with it the 2·cw ≥ tw pick
+    * (exhibited by the r14 `heavy` fixture: a 10000¢ null cell over
+    * three 1000¢ real cells made Spark pick qty=1 while no real cell
+    * reached the twin's threshold → NULL median). Exclusion also
+    * removes the null weight from total_weight_cents and the null
+    * cell from n_cells, consistently on both engines.
     */
   val q9qWeightedMedian: GraftQuery = GraftQuery(
     "q9q_weighted_median",
@@ -396,7 +408,7 @@ object OlapExtras {
       |         CAST(l_quantity AS BIGINT) AS qty,
       |         CAST(SUM(CAST(floor(l_extendedprice*(1-l_discount)*100 + 0.5)
       |                       AS BIGINT)) AS BIGINT) AS w
-      |  FROM lineitem GROUP BY 1, 2, 3),
+      |  FROM lineitem WHERE l_quantity IS NOT NULL GROUP BY 1, 2, 3),
       |cum AS (
       |  SELECT l_returnflag, l_linestatus, qty, w,
       |         CAST(SUM(w) OVER (PARTITION BY l_returnflag, l_linestatus
@@ -414,6 +426,7 @@ object OlapExtras {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val cells = Tables(spark, dir).lineitem
+      .filter($"l_quantity".isNotNull)
       .groupBy($"l_returnflag", $"l_linestatus",
         $"l_quantity".cast("long").as("qty"))
       .agg(sum(floor($"l_extendedprice" * (lit(1) - $"l_discount") * 100

@@ -47,6 +47,8 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailMixed: Map[String, String] = Map.empty
 
+  private val mayFailHeavy: Map[String, String] = Map.empty
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -91,6 +93,10 @@ class DegenerateInputSpec extends SparkTestBase {
 
   test("every registered query survives a mixed null/valid warehouse") {
     sweep(DegenerateData.mixedDir(spark), mayFailMixed)
+  }
+
+  test("every registered query survives a heavy-null-cell warehouse") {
+    sweep(DegenerateData.heavyDir(spark), mayFailHeavy)
   }
 
   /** The engine's NaN position, pinned: non-finite measures are
@@ -277,6 +283,46 @@ object DegenerateData {
           case _ => df
         }
         out.drop("__rn")
+    }
+  }
+
+  /** Heavy-null-cell warehouse: the residual blind spot the r13
+    * patchwork/single-column probes could not reach at 3-row scale
+    * (every probe row landed in its OWN group, so a NULL ordering
+    * value never coexisted with ≥2 real cells in one partition).
+    * lineitem collapses to FOUR rows in ONE (l_returnflag,
+    * l_linestatus) group: real quantity cells 1/2/3 at 1000¢ weight
+    * each, and a NULL-quantity row carrying a 10000¢ weight — LARGE
+    * relative to the partition. Any window that cumulates a weight
+    * ordered by a nullable value now sees the null cell shift EVERY
+    * real cell's cumulative sum under Spark's nulls-first ascending
+    * vs only the tail under DuckDB's nulls-last (pre-fix q9q: Spark
+    * picked qty=1 at 2·11000 ≥ 13000 while the twin's no real cell
+    * reached 2·cw ≥ tw → NULL median). Other tables stay tiny-normal;
+    * keys are intact so joins resolve.
+    */
+  def heavyDir(spark: SparkSession): String = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    buildDir(spark, "heavy") { (t, raw) =>
+      if (t != "lineitem") raw.limit(3)
+      else {
+        val rn = row_number().over(Window.orderBy(col("l_orderkey"),
+          col("l_linenumber")))
+        val df = raw.limit(4).withColumn("__rn", rn)
+        def byRow(c1: Column, c2: Column, c3: Column, c4: Column): Column =
+          when(col("__rn") === 1, c1).when(col("__rn") === 2, c2)
+            .when(col("__rn") === 3, c3).otherwise(c4)
+        df.withColumn("l_returnflag", lit("A"))
+          .withColumn("l_linestatus", lit("F"))
+          .withColumn("l_quantity", byRow(
+            lit(1.0), lit(null).cast("double"), lit(2.0), lit(3.0)))
+          .withColumn("l_extendedprice", byRow(
+            lit(10.0), lit(100.0), lit(10.0), lit(10.0)))
+          .withColumn("l_discount", lit(0.0))
+          .drop("__rn")
+      }
     }
   }
 

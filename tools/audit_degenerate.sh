@@ -15,12 +15,16 @@
 # roundtrip queries (q17b/c/d/l) write to fixed temp dirs and the
 # audit would race the specs on them.
 #
-# Default shapes: empty tiny flat nulls outlier mixed. `mixed` (3 rows,
-# middle row's non-key columns NULL) is the shape the all-NULL dir is
-# accidentally symmetric on — per-group sequences mixing null and valid
-# order keys flush engine null-ordering defaults; it caught three live
-# twin divergences on first run (q3b/q28/q9r, SURVEY §8.11).
-# `const` is CRASH-SWEEP
+# Default shapes: empty tiny flat nulls outlier mixed heavy. `mixed`
+# (3 rows, middle row's non-key columns NULL) is the shape the all-NULL
+# dir is accidentally symmetric on — per-group sequences mixing null
+# and valid order keys flush engine null-ordering defaults; it caught
+# three live twin divergences on first run (q3b/q28/q9r, SURVEY §8.11).
+# `heavy` (one lineitem group of four rows where a NULL-quantity cell
+# carries a weight LARGE relative to the partition) is the shape mixed
+# is accidentally symmetric on — mixed nulls whole rows, so a null
+# ORDERING value never carries valid weight; it caught q9q's weighted
+# median live on first run (r14). `const` is CRASH-SWEEP
 # ONLY (DegenerateInputSpec): it replicates primary keys ×8, and the
 # twins' key-joins legitimately assume unique warehouse keys — `flat`
 # is the key-unique zero-variance shape the audit uses instead.
@@ -56,7 +60,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 shapes=("$@")
-[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed)
+[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy)
 rc=0
 for shape in "${shapes[@]}"; do
   dir="target/degenerate/$shape"
