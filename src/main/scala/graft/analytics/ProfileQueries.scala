@@ -67,6 +67,18 @@ object ProfileQueries {
     // (counts, distincts, numeric/temporal min-max → whole-stage
     // codegen) and the string min-max rides the already-non-codegen
     // sketch pass. Still exactly 1 Expand + 2 scans (ProfileSpec pin).
+    //
+    // Task-binary budget (the one >1 MiB `Broadcasting large task
+    // binary` bench-tail line was chased HERE, r14, by bisecting the
+    // ext set with SPARK_GRAFT_BENCH_ONLY): the exact pass's
+    // serialized stage — the Expand over #cols distinct groups ×
+    // ~4 buffers per column plus its codegen — is ~1.4 MiB for the
+    // 9-column orders profile. That is PLAN size, constant in data
+    // size and broadcast once per STAGE (not per task): at 1000
+    // executors a one-shot ~1.4 MiB control-plane transfer, not a
+    // per-row cost. Shrinking it would mean per-column queries (more
+    // scans) or dropping the exact/sketch verdict design —
+    // documented, not rewritten.
     def isStringy(dt: DataType): Boolean = dt == StringType
     val exactAggs = fields.flatMap { f =>
       val c = col(f.name)
