@@ -309,8 +309,12 @@ MUTATIONS = [
          file="src/main/scala/graft/text/DedupQueries.scala",
          desc="decimal id-slot direction flipped (2^63-1 - doc_id -> "
               "+ doc_id): len ties break to the LARGEST doc_id",
-         subs=[('val enc = $"len" * idSlotBase + (maxLong - $"doc_id")',
-                'val enc = $"len" * idSlotBase + (maxLong + $"doc_id")')]),
+         subs=[('val enc =\n'
+                '      coalesce($"len", lit(-1L)) * idSlotBase'
+                ' + (maxLong - $"doc_id")',
+                'val enc =\n'
+                '      coalesce($"len", lit(-1L)) * idSlotBase'
+                ' + (maxLong + $"doc_id")')]),
     # The exact regression the r13 session-4 degenerate-audit re-run
     # caught live: the k-means assign fold seeded with a -1 sentinel
     # instead of the smallest cell, so all-null vectors vanished from
@@ -333,6 +337,22 @@ MUTATIONS = [
          subs=[('posexplode(coalesce($"cs",\n'
                 '        array_repeat(lit(null).cast("long"), Dim)))',
                 'posexplode($"cs")')]),
+    # The exact pre-fix state the r14 `heavy` fixture exhibited live
+    # (SURVEY §8.12): without the null-quantity exclusion, the null
+    # cell's weight rides the cumulative window nulls-FIRST under
+    # Spark but nulls-LAST under DuckDB, shifting every real cell's
+    # 2*cw >= tw pick. Clean sf0.01 data has no null quantities, so
+    # the driver replay cannot see it — gated by WeightedMedianSpec's
+    # hand-derived expectation on the heavy warehouse (median 2,
+    # tw 3000, 3 cells; the mutant reads median 1, tw 13000, 4 cells).
+    dict(id="m40_q9q_null_cell_rides", query="q9q_weighted_median",
+         gate="spec", spec="graft.WeightedMedianSpec",
+         file="src/main/scala/graft/queries/OlapExtras.scala",
+         desc="q9q null-quantity exclusion dropped: the heavy null "
+              "cell's weight shifts the cumulative 2*cw >= tw pick",
+         subs=[('      .filter($"l_quantity".isNotNull)\n'
+                '      .groupBy($"l_returnflag", $"l_linestatus",',
+                '      .groupBy($"l_returnflag", $"l_linestatus",')]),
 ]
 
 OPENS = " ".join(
