@@ -326,6 +326,18 @@ object DegenerateData {
     }
   }
 
+  // PROBE RESULT (r14, NEGATIVE — shape not committed, see SURVEY
+  // §8.12): the heavy idea on the TIME axis — an UNDATEABLE row
+  // carrying a LARGE valid measure inside one entity's sequence
+  // (events: 4 rows of ONE user, row 2 ts NULL with value 1e6;
+  // orders: 4 rows of ONE customer, row 2 o_orderdate NULL with
+  // o_totalprice 1e6) — replayed the full registry against the twins:
+  // 171/0. The q15/q24c exclusion convention already covers every
+  // ordered-cumulation site on the time axis, so the class is
+  // engine-symmetric registry-wide; the quantity axis (q9q) was the
+  // one uncovered site and is now the committed `heavy` shape above.
+  // Ledgered so future rounds don't re-probe blind.
+
   /** Lineitem with one NaN-discount and one NaN-tax row (keys intact,
     * other tables tiny-normal) — the fixture for the NaN-routing pin
     * above. Deliberately NOT a full sweep dir: analytical paths
