@@ -286,6 +286,17 @@ object SimilarityQueries {
 
   private[graft] def assignCells(v: DataFrame, k: Int): DataFrame = {
     import v.sparkSession.implicits._
+    // Input contract (every caller applies it; the twin's
+    // `v AS (... WHERE n2 > 0)`): v carries (vec_id, embedding, n2)
+    // with n2 > 0, which excludes NULL and zero-norm embeddings. Under
+    // that contract the fold's -1 seed is unreachable — a nonempty
+    // cents array's first real cosine (≥ -1) beats the -2.0 seed, and
+    // an empty v produces no rows at all. A row that VIOLATES it (a
+    // NULL embedding makes every cosine NULL, so the seed survives)
+    // would surface cell -1 and match no twin row — so, like the
+    // k-means assign sibling (r14 ADVICE), sentinel rows are dropped
+    // to keep the helper's semantics identical to the twin's WHERE
+    // even off-contract. TextDedupSpec pins both directions.
     // Argmax cell per vector as a PROJECTION, not an aggregation: the
     // centroid table collapses to ONE row carrying a cell-ascending
     // array (k-bounded — the same corpus-fraction-sized broadcast
@@ -323,6 +334,7 @@ object SimilarityQueries {
       acc => acc.getField("cell"))
     v.crossJoin(broadcast(centArr))
       .select($"vec_id", $"embedding", $"n2", best.as("cell"))
+      .filter($"cell" =!= -1)
   }
 
   /** q14c — IVF ANN with the DETERMINISTIC coarse quantizer of

@@ -612,4 +612,33 @@ class TextDedupSpec extends SparkTestBase {
     assert(got == expected,
       s"CDC dedup differs from replay: ${got.size} vs ${expected.size} spans")
   }
+
+  /** assignCells' input contract pinned from both directions (the
+    * r14 k-means-assign sibling finding): ON contract (n2 > 0) every
+    * vector gets a real cell — the fold's -1 seed never escapes; OFF
+    * contract (a NULL embedding, every cosine NULL) the sentinel row
+    * is DROPPED, matching the twin's `WHERE n2 > 0` exclusion rather
+    * than emitting a cell no twin row has.
+    */
+  test("assignCells: -1 seed never escapes on contract; off-contract rows drop") {
+    import spark.implicits._
+    import graft.functions.VectorOps
+    val v = Tables(spark, sfDir).embeddings
+      .select($"vec_id", $"embedding", VectorOps.norm2($"embedding").as("n2"))
+      .filter($"n2" > 0)
+    val k = SimilarityQueries.ivfK(v.count())
+    val assigned = SimilarityQueries.assignCells(v, k)
+    assert(assigned.count() == v.count(),
+      "on-contract rows must all keep a cell")
+    assert(assigned.filter($"cell" < 0).count() == 0L)
+    // off-contract: one null-embedding row among valid ones
+    val dirty = Seq(
+      (1L, Some(Seq(1.0f, 0.0f)), Some(1.0)),
+      (2L, Option.empty[Seq[Float]], Option.empty[Double]),
+      (3L, Some(Seq(0.0f, 2.0f)), Some(4.0))
+    ).toDF("vec_id", "embedding", "n2")
+    val got = SimilarityQueries.assignCells(dirty, 2)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(got == Set(1L, 3L), s"null-embedding row must drop, got $got")
+  }
 }
