@@ -42,12 +42,16 @@ object ScaleDecadeProbe {
     val shuffleWrite = new java.util.concurrent.atomic.AtomicLong
     val shuffleRecords = new java.util.concurrent.atomic.AtomicLong
     val diskSpill = new java.util.concurrent.atomic.AtomicLong
+    val memSpill = new java.util.concurrent.atomic.AtomicLong
+    val shuffleRead = new java.util.concurrent.atomic.AtomicLong
     override def onStageCompleted(s: SparkListenerStageCompleted): Unit = {
       val m = s.stageInfo.taskMetrics
       if (m != null) {
         shuffleWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
         shuffleRecords.addAndGet(m.shuffleWriteMetrics.recordsWritten)
         diskSpill.addAndGet(m.diskBytesSpilled)
+        memSpill.addAndGet(m.memoryBytesSpilled)
+        shuffleRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
       }
     }
   }
@@ -57,7 +61,8 @@ object ScaleDecadeProbe {
     var last = -1L
     var same = 0
     while (same < 3) {
-      val now = acc.shuffleWrite.get + acc.diskSpill.get + acc.shuffleRecords.get
+      val now = acc.shuffleWrite.get + acc.diskSpill.get +
+        acc.shuffleRecords.get + acc.memSpill.get + acc.shuffleRead.get
       if (now == last) same += 1 else { same = 0; last = now }
       Thread.sleep(100)
     }

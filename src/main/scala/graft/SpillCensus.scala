@@ -1,8 +1,5 @@
 package graft
 
-import java.util.concurrent.atomic.AtomicLong
-
-import org.apache.spark.scheduler.{SparkListener, SparkListenerStageCompleted}
 import org.apache.spark.sql.SparkSession
 
 /** Registry-wide spill census (SURVEY §8.11 cadence, committed r14 so
@@ -17,10 +14,12 @@ import org.apache.spark.sql.SparkSession
   * readStream execution is driven by StreamingSpec, and the twin
   * bodies re-run identical batch plans already timed elsewhere.
   *
-  * Attribution caveat: listener events post asynchronously, so
-  * per-query deltas drain on a short post-query sleep — totals are
-  * exact, attribution is best-effort (ties break toward the LATER
-  * query). Not part of the driver contract.
+  * Metrics ride [[ScaleDecadeProbe.StageAcc]] and per-query
+  * attribution drains the async listener bus with
+  * [[ScaleDecadeProbe.quiesce]] (poll-until-quiet, not a fixed
+  * sleep); `wall_s` sums the per-query execution walls only, so the
+  * drain time never inflates round-over-round comparisons. Not part
+  * of the driver contract.
   *
   * Usage: SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32
   *        java -cp target/scala-2.13/classes:/opt/spark/jars/\*
@@ -38,47 +37,37 @@ object SpillCensus {
     spark.sparkContext.setLogLevel("ERROR")
     GraftConf.tune(spark)
 
-    val memSpill = new AtomicLong
-    val diskSpill = new AtomicLong
-    val shufRead = new AtomicLong
-    val shufWrite = new AtomicLong
-    spark.sparkContext.addSparkListener(new SparkListener {
-      override def onStageCompleted(sc: SparkListenerStageCompleted): Unit = {
-        val m = sc.stageInfo.taskMetrics
-        memSpill.addAndGet(m.memoryBytesSpilled)
-        diskSpill.addAndGet(m.diskBytesSpilled)
-        shufRead.addAndGet(m.shuffleReadMetrics.totalBytesRead)
-        shufWrite.addAndGet(m.shuffleWriteMetrics.bytesWritten)
-      }
-    })
+    import ScaleDecadeProbe.{StageAcc, quiesce}
+    val acc = new StageAcc
+    spark.sparkContext.addSparkListener(acc)
 
     val names = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q15"))
-    val t0 = System.nanoTime()
     var failed = List.empty[String]
+    var wall = 0.0
     val spilled = names.flatMap { n =>
-      val m0 = memSpill.get; val d0 = diskSpill.get
+      val m0 = acc.memSpill.get; val d0 = acc.diskSpill.get
+      val t0 = System.nanoTime()
       try SparkEntry.queries(n)(spark, sfDir).count()
       catch { case t: Throwable =>
         failed ::= n
         System.err.println(s"CENSUS FAILURE $n: ${t.getMessage}")
       }
-      Thread.sleep(100) // drain the async listener bus (attribution only)
-      val dm = memSpill.get - m0; val dd = diskSpill.get - d0
+      wall += (System.nanoTime() - t0) / 1e9
+      quiesce(acc) // drain the async listener bus (attribution only)
+      val dm = acc.memSpill.get - m0; val dd = acc.diskSpill.get - d0
       if (dm > 0 || dd > 0)
         Some(s""""$n":{"mem_spill":$dm,"disk_spill":$dd}""")
       else None
     }
-    Thread.sleep(500)
-    val wall = (System.nanoTime() - t0) / 1e9
     println(
       s"""{"metric":"spill_census","n_queries":${names.size},""" +
         s""""failed":[${failed.reverse.map("\"" + _ + "\"").mkString(",")}],""" +
-        s""""wall_s":$wall,""" +
-        s""""shuffle_read_bytes":${shufRead.get},""" +
-        s""""shuffle_write_bytes":${shufWrite.get},""" +
-        s""""mem_spill_bytes":${memSpill.get},""" +
-        s""""disk_spill_bytes":${diskSpill.get},""" +
+        s""""wall_s":${math.rint(wall * 1000) / 1000},""" +
+        s""""shuffle_read_bytes":${acc.shuffleRead.get},""" +
+        s""""shuffle_write_bytes":${acc.shuffleWrite.get},""" +
+        s""""mem_spill_bytes":${acc.memSpill.get},""" +
+        s""""disk_spill_bytes":${acc.diskSpill.get},""" +
         s""""spilled_queries":{${spilled.mkString(",")}},""" +
         s""""sf":"$sfDir"}""")
     spark.stop()

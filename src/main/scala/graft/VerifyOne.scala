@@ -1,6 +1,10 @@
 package graft
-import org.apache.spark.sql.SparkSession
 import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+import scala.util.Using
+
+import org.apache.spark.sql.SparkSession
 
 /** Single-query variant of [[Verify]] for local iteration: dump ONE
   * named query's result + its oracle SQL so a DuckDB compare can gate
@@ -26,34 +30,29 @@ object VerifyOne {
       Files.writeString(Paths.get(s"$outDir/$name.sql"), sql))
     // Also maintain outDir/oracle_sql.json so tools/check_oracle.py
     // can gate the dump directly — without it, single-query iteration
-    // needs a hand-assembled oracle map (an r14 footgun). Rebuilt
-    // from the per-query .sql files in the dir (the dumps this main
-    // itself writes), so repeated VerifyOne calls into one dir merge
-    // without parsing JSON back.
-    val sqls = java.nio.file.Files.list(Paths.get(outDir)).iterator()
+    // needs a hand-assembled oracle map (an r14 footgun). MERGE into
+    // any existing map (a full Verify writes a 171-entry json but no
+    // per-query .sql files; a rebuild from .sql alone would clobber
+    // it and a later check_oracle over the dir would read vacuously
+    // green), with this dir's own .sql dumps taking precedence.
+    // Jackson ships with Spark — no hand-rolled JSON on either side.
+    val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+    val jsonPath = Paths.get(s"$outDir/oracle_sql.json")
     val merged = scala.collection.mutable.SortedMap.empty[String, String]
-    while (sqls.hasNext) {
-      val p = sqls.next()
-      val fn = p.getFileName.toString
-      if (fn.endsWith(".sql"))
-        merged(fn.stripSuffix(".sql")) = Files.readString(p)
+    if (Files.exists(jsonPath)) {
+      val node = mapper.readTree(Files.readString(jsonPath))
+      node.fieldNames().asScala.foreach(k => merged(k) = node.get(k).asText())
     }
-    Files.writeString(Paths.get(s"$outDir/oracle_sql.json"),
-      merged.toSeq
-        .map { case (k, v) => s""""${escape(k)}":"${escape(v)}"""" }
-        .mkString("{", ",", "}"))
+    Using.resource(Files.list(Paths.get(outDir))) { listing =>
+      listing.iterator().asScala.foreach { p =>
+        val fn = p.getFileName.toString
+        if (fn.endsWith(".sql"))
+          merged(fn.stripSuffix(".sql")) = Files.readString(p)
+      }
+    }
+    val out = mapper.createObjectNode()
+    merged.foreach { case (k, v) => out.put(k, v) }
+    Files.writeString(jsonPath, mapper.writeValueAsString(out))
     spark.stop()
   }
-
-  private def escape(s: String): String =
-    s.flatMap {
-      case '"'  => "\\\""
-      case '\\' => "\\\\"
-      case '\n' => "\\n"
-      case '\r' => "\\r"
-      case '\t' => "\\t"
-      case c if c < ' ' => f"\\u${c.toInt}%04x"
-      case c => c.toString
-    }
-
 }

@@ -425,6 +425,10 @@ def oracle_gate_red(query, out_dir):
         raise RuntimeError(f"{query}: VerifyOne dumped no oracle SQL")
     with open(sql_path, encoding="utf-8") as f:
         sql = f.read()
+    # Deliberately OVERWRITE the oracle map VerifyOne also maintains:
+    # the gate must compare exactly one query against exactly the .sql
+    # this run dumped (out_dir is rm -rf'd per mutation, so there is
+    # nothing else to preserve and no drift window).
     with open(os.path.join(out_dir, "oracle_sql.json"), "w") as f:
         json.dump({query: sql}, f)
     r = sh(f"python3 tools/check_oracle.py {SF_DIR} {out_dir}")
