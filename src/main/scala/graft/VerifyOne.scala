@@ -2,7 +2,6 @@ package graft
 import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
-import scala.util.Using
 
 import org.apache.spark.sql.SparkSession
 
@@ -34,7 +33,12 @@ object VerifyOne {
     // any existing map (a full Verify writes a 171-entry json but no
     // per-query .sql files; a rebuild from .sql alone would clobber
     // it and a later check_oracle over the dir would read vacuously
-    // green), with this dir's own .sql dumps taking precedence.
+    // green). The REGISTRY is the source of truth for every merged
+    // name: the r14 form rescanned the dir's .sql dumps, so in a
+    // reused dir a stale dump from BEFORE an oracle-SQL edit outvoted
+    // the fresher json entry (r15 ADVICE) — now any name present in
+    // SparkEntry.oracleSql is refreshed from it, and .sql files stay
+    // purely human-readable side output.
     // Jackson ships with Spark — no hand-rolled JSON on either side.
     val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
     val jsonPath = Paths.get(s"$outDir/oracle_sql.json")
@@ -43,13 +47,9 @@ object VerifyOne {
       val node = mapper.readTree(Files.readString(jsonPath))
       node.fieldNames().asScala.foreach(k => merged(k) = node.get(k).asText())
     }
-    Using.resource(Files.list(Paths.get(outDir))) { listing =>
-      listing.iterator().asScala.foreach { p =>
-        val fn = p.getFileName.toString
-        if (fn.endsWith(".sql"))
-          merged(fn.stripSuffix(".sql")) = Files.readString(p)
-      }
-    }
+    merged.keys.toSeq.foreach(k =>
+      SparkEntry.oracleSql.get(k).foreach(sql => merged(k) = sql))
+    SparkEntry.oracleSql.get(name).foreach(sql => merged(name) = sql)
     val out = mapper.createObjectNode()
     merged.foreach { case (k, v) => out.put(k, v) }
     Files.writeString(jsonPath, mapper.writeValueAsString(out))

@@ -455,6 +455,18 @@ object OlapExtras {
     * |x − med| > 3·1.4826·MAD. Deterministic positives are PLANTED
     * (every o_orderkey%97 order re-entered at 10× its total) so the
     * audit can never pass vacuously.
+    *
+    * Null contract (the q15/q24c convention, monetary axis — r15
+    * `heavyprice` fixture exhibited the divergence live): a
+    * price-less order has no place in a price median, so it is
+    * excluded from the value cells on BOTH engines (engine
+    * `.filter`, twin `WHERE o_totalprice IS NOT NULL`). Without the
+    * exclusion the NULL cell rides Spark's nulls-first ascending
+    * cumulation and shifts every real cell's 2·cn ≥ tn pick, while
+    * DuckDB's nulls-last shifts none (heavyprice: spark median 2 vs
+    * duck 3 pre-fix). Exclusion also removes the null rows from
+    * n_rows, consistently on both engines. Pinned by MadOutliersSpec
+    * (hand-derived heavyprice expectation) and mutation m41.
     */
   val q9uMadOutliers: GraftQuery = GraftQuery(
     "q9u_mad_outliers",
@@ -462,11 +474,12 @@ object OlapExtras {
       |  SELECT c_mktsegment AS seg,
       |         CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) // 10000 AS v
       |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_totalprice IS NOT NULL
       |  UNION ALL
       |  SELECT c_mktsegment,
       |         (CAST(FLOOR(o_totalprice * 100 + 0.5) AS BIGINT) * 10) // 10000
       |  FROM orders JOIN customer ON o_custkey = c_custkey
-      |  WHERE o_orderkey % 97 = 0),
+      |  WHERE o_orderkey % 97 = 0 AND o_totalprice IS NOT NULL),
       |cells AS (
       |  SELECT seg, v, CAST(COUNT(*) AS BIGINT) AS n FROM src GROUP BY 1, 2),
       |med AS (
@@ -504,6 +517,7 @@ object OlapExtras {
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
     val joined = t.orders
+      .filter($"o_totalprice".isNotNull)
       .join(t.customer, $"o_custkey" === $"c_custkey")
       .select($"c_mktsegment".as("seg"), $"o_orderkey",
         floor($"o_totalprice" * 100 + 0.5).cast("long").as("cents"))

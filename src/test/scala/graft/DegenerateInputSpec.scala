@@ -49,6 +49,8 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailHeavy: Map[String, String] = Map.empty
 
+  private val mayFailHeavyPrice: Map[String, String] = Map.empty
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -99,6 +101,10 @@ class DegenerateInputSpec extends SparkTestBase {
     sweep(DegenerateData.heavyDir(spark), mayFailHeavy)
   }
 
+  test("every registered query survives a heavy-null-price warehouse") {
+    sweep(DegenerateData.heavypriceDir(spark), mayFailHeavyPrice)
+  }
+
   /** The engine's NaN position, pinned: non-finite measures are
     * OUT-OF-CONTRACT for the analytical paths (an ANSI cast fails
     * loudly rather than emitting silent garbage), and the ingest
@@ -135,20 +141,32 @@ object DegenerateData {
     * of the raw sf0.001 read, single-file write, `_BUILT` marker for
     * once-per-JVM idempotence. A new degenerate shape is just its
     * transform.
+    *
+    * The marker CONTENT is a version token (r15 ADVICE): editing a
+    * fixture's hand-tuned transform (e.g. heavyDir's weights, which
+    * WeightedMedianSpec's hand-derived expectation and mutation m40
+    * depend on) MUST bump that fixture's `version` argument — a stale
+    * cached dir then rebuilds instead of silently serving the old
+    * shape until target/degenerate is cleaned. The marker KEEPS the
+    * `_BUILT` name because tools/audit_degenerate.sh checks for it by
+    * name before replaying a shape.
     */
-  private def buildDir(spark: SparkSession, label: String)(
+  private def buildDir(spark: SparkSession, label: String, version: Int = 1)(
       transform: (String, org.apache.spark.sql.DataFrame)
         => org.apache.spark.sql.DataFrame): String = synchronized {
     val root = s"target/degenerate/$label"
     val done = java.nio.file.Paths.get(root, "_BUILT")
-    if (!java.nio.file.Files.exists(done)) {
+    val token = s"v$version"
+    val fresh = java.nio.file.Files.exists(done) &&
+      java.nio.file.Files.readString(done).trim == token
+    if (!fresh) {
       tables.foreach { t =>
         transform(t,
           spark.read.parquet(s"/root/testdata/sf0.001/$t.parquet"))
           .coalesce(1)
           .write.mode("overwrite").parquet(s"$root/$t.parquet")
       }
-      java.nio.file.Files.createFile(done)
+      java.nio.file.Files.writeString(done, token)
     }
     root
   }
@@ -321,6 +339,49 @@ object DegenerateData {
           .withColumn("l_extendedprice", byRow(
             lit(10.0), lit(100.0), lit(10.0), lit(10.0)))
           .withColumn("l_discount", lit(0.0))
+          .drop("__rn")
+      }
+    }
+  }
+
+  /** Heavy-null-price warehouse (r15, COMMITTED — the probe was
+    * POSITIVE): the heavy idea on the MONETARY axis — a price-less
+    * row inside one segment's value-ordered cumulation (the third
+    * axis after quantity=q9q/`heavy` and time=`heavytime`, NEGATIVE).
+    * First twin replay caught q9u's lower-median walk live (spark
+    * median_v=2 vs duck 3: no null exclusion, so the NULL cell rode
+    * Spark's nulls-first cumulation), fixed by the q15/q24c
+    * convention and pinned by MadOutliersSpec + mutation m41.
+    * orders collapses to FOUR rows of ONE real customer
+    * (one c_mktsegment group; the join resolves by construction —
+    * mixed/outlier never reached this because their 3-row
+    * orders.o_custkey values don't intersect customer.limit(3)):
+    * o_totalprice 100 / NULL / 200 / 300 → value cells v=1,2,3 plus
+    * a NULL cell in ONE segment. Any lower-median walk ordered by the
+    * nullable value sees the NULL cell shift every real cell's
+    * cumulative count under Spark's nulls-first ascending vs none
+    * under DuckDB's nulls-last. Other tables tiny-normal, keys
+    * intact.
+    */
+  def heavypriceDir(spark: SparkSession): String = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val hostCustkey = spark.read
+      .parquet("/root/testdata/sf0.001/customer.parquet")
+      .limit(3).agg(org.apache.spark.sql.functions.min(col("c_custkey")))
+      .head.getLong(0)
+    buildDir(spark, "heavyprice") { (t, raw) =>
+      if (t != "orders") raw.limit(3)
+      else {
+        val rn = row_number().over(Window.orderBy(col("o_orderkey")))
+        val df = raw.limit(4).withColumn("__rn", rn)
+        def byRow(c1: Column, c2: Column, c3: Column, c4: Column): Column =
+          when(col("__rn") === 1, c1).when(col("__rn") === 2, c2)
+            .when(col("__rn") === 3, c3).otherwise(c4)
+        df.withColumn("o_custkey", lit(hostCustkey))
+          .withColumn("o_totalprice", byRow(
+            lit(100.0), lit(null).cast("double"), lit(200.0), lit(300.0)))
           .drop("__rn")
       }
     }

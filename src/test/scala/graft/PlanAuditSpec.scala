@@ -178,6 +178,28 @@ class PlanAuditSpec extends SparkTestBase {
     assert(withUdf.isEmpty, s"ScalaUDF found in: ${withUdf.mkString(", ")}")
   }
 
+  /** The bench main silences WindowExec's unpartitioned-window WARN
+    * (documented bounded windows drowned the tail), which is safe
+    * ONLY while this spec provably audits everything the bench times
+    * (r15 ADVICE). Membership is shared via [[BenchSets]]; every
+    * benched name must be a registered query, and every non-q15 name
+    * lands in `audits` (the whole registry minus the streaming
+    * entries, whose stateful plans are pinned in StreamingSpec /
+    * StreamingScaleSpec instead — batch plan-auditing a sink
+    * read-back would say nothing about their join shape).
+    */
+  test("every benched query is registered and plan-audited") {
+    val benched = (BenchSets.headline ++ BenchSets.ext).distinct
+    val unregistered = benched.filterNot(SparkEntry.queries.contains)
+    assert(unregistered.isEmpty,
+      s"benched but not registered: ${unregistered.mkString(", ")}")
+    val auditedNames = audits.map(_.name).toSet
+    val uncovered = benched
+      .filterNot(n => n.startsWith("q15") || auditedNames(n))
+    assert(uncovered.isEmpty,
+      s"benched but not plan-audited: ${uncovered.mkString(", ")}")
+  }
+
   /** min/max over a STRUCT (any aggregate whose buffer is not
     * UnsafeRow-mutable) plans SortAggregateExec, which external-sorts
     * its INPUT per task before combining. Over linear input that is

@@ -15,7 +15,8 @@
 # roundtrip queries (q17b/c/d/l) write to fixed temp dirs and the
 # audit would race the specs on them.
 #
-# Default shapes: empty tiny flat nulls outlier mixed heavy. `mixed`
+# Default shapes: empty tiny flat nulls outlier mixed heavy
+# heavyprice. `mixed`
 # (3 rows, middle row's non-key columns NULL) is the shape the all-NULL
 # dir is accidentally symmetric on — per-group sequences mixing null
 # and valid order keys flush engine null-ordering defaults; it caught
@@ -24,7 +25,10 @@
 # carries a weight LARGE relative to the partition) is the shape mixed
 # is accidentally symmetric on — mixed nulls whole rows, so a null
 # ORDERING value never carries valid weight; it caught q9q's weighted
-# median live on first run (r14). `const` is CRASH-SWEEP
+# median live on first run (r14). `heavyprice` is the same idea on the
+# MONETARY axis (four orders of one customer, one NULL o_totalprice
+# inside a multi-cell segment); it caught q9u's lower-median walk live
+# on first run (r15). `const` is CRASH-SWEEP
 # ONLY (DegenerateInputSpec): it replicates primary keys ×8, and the
 # twins' key-joins legitimately assume unique warehouse keys — `flat`
 # is the key-unique zero-variance shape the audit uses instead.
@@ -60,7 +64,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 shapes=("$@")
-[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy)
+[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy heavyprice)
 rc=0
 for shape in "${shapes[@]}"; do
   dir="target/degenerate/$shape"

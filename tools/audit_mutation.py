@@ -353,6 +353,23 @@ MUTATIONS = [
          subs=[('      .filter($"l_quantity".isNotNull)\n'
                 '      .groupBy($"l_returnflag", $"l_linestatus",',
                 '      .groupBy($"l_returnflag", $"l_linestatus",')]),
+    # The exact pre-fix state the r15 `heavyprice` fixture exhibited
+    # live (monetary axis of the q9q class): without the null-price
+    # exclusion the NULL value cell rides q9u's lower-median walks
+    # nulls-FIRST under Spark vs nulls-LAST under DuckDB. Clean
+    # sf0.01 data has no null o_totalprice, so the driver replay
+    # cannot see it — gated by MadOutliersSpec's hand-derived
+    # heavyprice expectation (n_rows 4; the mutant counts the null
+    # row and reads 5).
+    dict(id="m41_q9u_null_price_cell", query="q9u_mad_outliers",
+         gate="spec", spec="graft.MadOutliersSpec",
+         file="src/main/scala/graft/queries/OlapExtras.scala",
+         desc="q9u null-price exclusion dropped: the NULL value cell "
+              "shifts every lower-median cumulative pick engine-"
+              "asymmetrically and rides n_rows",
+         subs=[('      .filter($"o_totalprice".isNotNull)\n'
+                '      .join(t.customer, $"o_custkey" === $"c_custkey")',
+                '      .join(t.customer, $"o_custkey" === $"c_custkey")')]),
 ]
 
 OPENS = " ".join(
