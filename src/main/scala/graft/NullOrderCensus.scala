@@ -1,0 +1,54 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, SortOrder}
+import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort, Window}
+
+/** TEMPORARY r15 census (not part of the driver contract): enumerate
+  * every ASCENDING ordering over a NULLABLE expression in the
+  * registry's analyzed plans — the exact engine-asymmetry class the
+  * heavy/heavyprice fixtures exhibit (Spark default asc = NULLS
+  * FIRST, DuckDB default = NULLS LAST; descending is nulls-last on
+  * both, hence symmetric). Window orderings drive cumulations and
+  * picks (the dangerous sites); bare Sort orderings are listed too
+  * but only matter when a downstream limit/fold is value-sensitive.
+  */
+object NullOrderCensus {
+  def main(args: Array[String]): Unit = {
+    val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
+    val spark = SparkSession.builder()
+      .master("local[8]")
+      .config("spark.sql.shuffle.partitions", "8")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.ui.enabled", "false")
+      .getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+    GraftConf.tune(spark)
+
+    def ascNullable(orders: Seq[SortOrder]): Seq[String] =
+      orders.collect {
+        case so if so.direction == Ascending && so.child.nullable &&
+          so.nullOrdering == NullsFirst =>
+          so.child.sql.take(90)
+      }
+
+    SparkEntry.queries.keys.toSeq.sorted
+      .filterNot(_.startsWith("q15")).foreach { name =>
+        try {
+          val plan: LogicalPlan =
+            SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
+          val hits = plan.collect {
+            case w: Window =>
+              ascNullable(w.orderSpec).map(e => s"WINDOW $e")
+            case s: Sort =>
+              ascNullable(s.order).map(e => s"SORT $e")
+          }.flatten
+          hits.distinct.foreach(h => println(s"$name\t$h"))
+        } catch {
+          case t: Throwable =>
+            println(s"$name\tERROR ${t.getMessage.take(80)}")
+        }
+      }
+    spark.stop()
+  }
+}

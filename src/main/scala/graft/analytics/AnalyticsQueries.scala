@@ -541,7 +541,15 @@ object AnalyticsQueries {
           sum($"revenue".cast(DecimalType(38, 6)))
             .over(Window.partitionBy())) * 100)
       .withColumn("revenue_rank",
-        rank().over(Window.orderBy($"revenue".desc, $"n_name")))
+        // Nullable-TIEBREAK convention (r15 heavytie fixture): a
+        // revenue tie between a NULL-name and a named nation ranks
+        // engine-asymmetrically under Spark's asc=NULLS FIRST default
+        // vs DuckDB's NULLS LAST — pin NULLS LAST explicitly so the
+        // nameless group sorts last on both engines; row membership
+        // is unchanged (unlike the q15/q24c measure-exclusion
+        // convention, a tiebreak never drops rows). Pinned by
+        // HeavyTieSpec and mutation m42.
+        rank().over(Window.orderBy($"revenue".desc, $"n_name".asc_nulls_last)))
   }
 
   // coordinates + haversine shared via graft.functions.Geo (ref
@@ -867,7 +875,16 @@ object AnalyticsQueries {
       percentile($"spend", lit(0.75)).as("p75"),
       percentile_approx($"spend", array(lit(0.25), lit(0.5), lit(0.75)),
         lit(10000)).as("pa"))
-    val checked = cust.join(broadcast(stats), Seq("n_name"))
+    // NULL-SAFE group-key rejoin (r15 heavytie fixture caught the
+    // plain equi-join live): groupBy keeps a NULL n_name as a real
+    // group on BOTH engines, but `=` can't join that group's rows
+    // back to its own stats row — Spark silently dropped the whole
+    // group while the twin (direct quantile_cont, no rejoin) kept it.
+    // <=> (EqualNullSafe) is still a hash-join key, so the broadcast
+    // plan shape is unchanged. Pinned by HeavyTieSpec + mutation m43.
+    val checked = cust.join(broadcast(stats.withColumnRenamed("n_name", "__sn")),
+        $"n_name" <=> $"__sn")
+      .drop("__sn")
       .groupBy($"n_name")
       .agg(first($"n").as("n"), first($"p25").as("p25"),
         first($"p50").as("p50"), first($"p75").as("p75"),

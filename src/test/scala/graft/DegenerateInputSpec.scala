@@ -51,6 +51,8 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailHeavyPrice: Map[String, String] = Map.empty
 
+  private val mayFailHeavyTie: Map[String, String] = Map.empty
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -103,6 +105,10 @@ class DegenerateInputSpec extends SparkTestBase {
 
   test("every registered query survives a heavy-null-price warehouse") {
     sweep(DegenerateData.heavypriceDir(spark), mayFailHeavyPrice)
+  }
+
+  test("every registered query survives a linked dirty star (heavytie)") {
+    sweep(DegenerateData.heavytieDir(spark), mayFailHeavyTie)
   }
 
   /** The engine's NaN position, pinned: non-finite measures are
@@ -384,6 +390,54 @@ object DegenerateData {
             lit(100.0), lit(null).cast("double"), lit(200.0), lit(300.0)))
           .drop("__rn")
       }
+    }
+  }
+
+  /** `heavytie` (r15, COMMITTED — the probe caught TWO live
+    * divergences on first replay): a REFERENTIALLY-LINKED dirty star.
+    * The other dirty shapes never resolve the fact joins
+    * (mixed/nulls/outlier: lineitem.l_orderkey 201/594/810 vs
+    * orders.o_orderkey 0/1/2 — every join-grain twin replay was
+    * vacuously green), so a NULL dim attribute inside a RESOLVED
+    * join group was unexercised. This shape wires every FK to rn-1
+    * (all limit(3) dim keys are 0,1,2), gives all three lineitems
+    * IDENTICAL revenue (1000, discount 0 → an EXACT 3-way nation
+    * revenue tie), and NULLs nation row 2's n_name. First replay:
+    * q9f's rank tiebreak ranked the NULL-name nation first under
+    * Spark's asc=nulls-first (duck: last) — fixed by pinning
+    * asc_nulls_last; q9o DROPPED the NULL-name group entirely (its
+    * rank-check device re-joins cust→stats on the group key, and a
+    * plain equi-join can't match NULL to NULL while the twin's direct
+    * GROUP BY keeps the group) — fixed with a null-safe join.
+    * Both pinned by HeavyTieSpec + mutations m42/m43.
+    */
+  def heavytieDir(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    buildDir(spark, "heavytie") { (t, raw) =>
+      val base = raw.limit(3)
+      val keyCol = base.schema.fieldNames.head
+      val withRn = base.withColumn("__fk",
+        row_number().over(Window.orderBy(col(keyCol))) - 1)
+      val out = t match {
+        case "customer" => withRn.withColumn("c_nationkey", col("__fk"))
+        case "supplier" => withRn.withColumn("s_nationkey", col("__fk"))
+        case "nation" => withRn
+          .withColumn("n_regionkey", col("__fk"))
+          .withColumn("n_name",
+            when(col("__fk") === 1, lit(null).cast("string"))
+              .otherwise(col("n_name")))
+        case "orders" => withRn.withColumn("o_custkey", col("__fk").cast("long"))
+        case "lineitem" => withRn
+          .withColumn("l_orderkey", col("__fk").cast("long"))
+          .withColumn("l_partkey", col("__fk").cast("long"))
+          .withColumn("l_suppkey", col("__fk").cast("long"))
+          .withColumn("l_extendedprice", lit(1000.0))
+          .withColumn("l_discount", lit(0.0))
+          .withColumn("l_tax", lit(0.0))
+        case _ => withRn
+      }
+      out.drop("__fk")
     }
   }
 

@@ -16,7 +16,7 @@
 # audit would race the specs on them.
 #
 # Default shapes: empty tiny flat nulls outlier mixed heavy
-# heavyprice. `mixed`
+# heavyprice heavytie. `mixed`
 # (3 rows, middle row's non-key columns NULL) is the shape the all-NULL
 # dir is accidentally symmetric on — per-group sequences mixing null
 # and valid order keys flush engine null-ordering defaults; it caught
@@ -28,7 +28,12 @@
 # median live on first run (r14). `heavyprice` is the same idea on the
 # MONETARY axis (four orders of one customer, one NULL o_totalprice
 # inside a multi-cell segment); it caught q9u's lower-median walk live
-# on first run (r15). `const` is CRASH-SWEEP
+# on first run (r15). `heavytie` is the first REFERENTIALLY-LINKED
+# dirty star (every FK wired to rn-1, an exact 3-way revenue tie, one
+# NULL n_name) — the other shapes never resolve the fact joins, so
+# dirty dim attributes inside resolved join groups were unexercised;
+# it caught q9f's rank tiebreak AND q9o's null-group-dropping rejoin
+# live on first run (r15). `const` is CRASH-SWEEP
 # ONLY (DegenerateInputSpec): it replicates primary keys ×8, and the
 # twins' key-joins legitimately assume unique warehouse keys — `flat`
 # is the key-unique zero-variance shape the audit uses instead.
@@ -64,7 +69,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 shapes=("$@")
-[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy heavyprice)
+[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy heavyprice heavytie)
 rc=0
 for shape in "${shapes[@]}"; do
   dir="target/degenerate/$shape"

@@ -370,6 +370,36 @@ MUTATIONS = [
          subs=[('      .filter($"o_totalprice".isNotNull)\n'
                 '      .join(t.customer, $"o_custkey" === $"c_custkey")',
                 '      .join(t.customer, $"o_custkey" === $"c_custkey")')]),
+    # The exact pre-fix state the r15 `heavytie` linked star exhibited
+    # live: with the Spark asc default (nulls FIRST) a revenue tie
+    # between a NULL-name and a named nation ranks the nameless group
+    # first, while the DuckDB twin's nulls-last default ranks it last.
+    # Clean sf0.01 has no null names — gated by HeavyTieSpec's
+    # hand-derived tie ranks.
+    dict(id="m42_q9f_tiebreak_nulls_first", query="q9f_revenue_share",
+         gate="spec", spec="graft.HeavyTieSpec",
+         file="src/main/scala/graft/analytics/AnalyticsQueries.scala",
+         desc="q9f tiebreak NULLS LAST pin dropped: a tied NULL-name "
+              "nation ranks first under Spark, last under DuckDB",
+         subs=[('rank().over(Window.orderBy($"revenue".desc, $"n_name".asc_nulls_last))',
+                'rank().over(Window.orderBy($"revenue".desc, $"n_name"))')]),
+    # The exact pre-fix state of q9o's rank-check rejoin: a plain
+    # equi-join on the group key cannot match a NULL n_name group back
+    # to its own stats row, so Spark silently drops the whole group
+    # while the twin's direct GROUP BY keeps it. Clean sf0.01 has no
+    # null names — gated by HeavyTieSpec (the mutant emits 2 rows
+    # instead of 3).
+    dict(id="m43_q9o_nullsafe_rejoin", query="q9o_grouped_quantiles",
+         gate="spec", spec="graft.HeavyTieSpec",
+         file="src/main/scala/graft/analytics/AnalyticsQueries.scala",
+         desc="q9o group-key rejoin made null-UNSAFE: the NULL-name "
+              "group's quantile row vanishes on the Spark side only",
+         subs=[('    val checked = cust.join(broadcast(stats.withColumnRenamed("n_name", "__sn")),\n'
+                '        $"n_name" <=> $"__sn")\n'
+                '      .drop("__sn")\n'
+                '      .groupBy($"n_name")',
+                '    val checked = cust.join(broadcast(stats), Seq("n_name"))\n'
+                '      .groupBy($"n_name")')]),
 ]
 
 OPENS = " ".join(
