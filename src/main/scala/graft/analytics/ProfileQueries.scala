@@ -211,6 +211,13 @@ object ProfileQueries {
     * p·ln p and p² snap to ⌊·1e12+½⌋ BIGINT before summing (q12s
     * device: order-free addition; a 1-ulp cross-engine `ln` wobble
     * moves a term by 10⁻¹², which ROUND(,6) cannot see).
+    *
+    * Null-group contract (r15 `linkedmixed` fixture exhibited it
+    * live): a NULL segment is a REAL group — the engine's window
+    * total keeps it by construction, so the twin's cells⋈tot rejoin
+    * must be null-safe (`IS NOT DISTINCT FROM`) or DuckDB alone
+    * drops the group. Same class as q9o's engine-side fix, opposite
+    * side. Pinned by LinkedMixedSpec + mutation m45.
     */
   val q26cEntropy: GraftQuery = GraftQuery(
     "q26c_entropy",
@@ -226,7 +233,7 @@ object ProfileQueries {
       |  ROUND(1.0 - CAST(SUM(CAST(FLOOR((CAST(cnt AS DOUBLE) / t.tot)
       |    * (CAST(cnt AS DOUBLE) / t.tot) * 1e12 + 0.5) AS BIGINT))
       |    AS DOUBLE) / 1e12, 6) AS gini
-      |FROM cells c JOIN tot t ON c.seg = t.seg
+      |FROM cells c JOIN tot t ON c.seg IS NOT DISTINCT FROM t.seg
       |GROUP BY 1, 3""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
@@ -267,6 +274,10 @@ object ProfileQueries {
     * at the first (seg, cat) hash agg with map-side combine; the
     * per-seg totals ride a window AT CELL GRAIN (≤ segments×priorities
     * rows), never a corpus window.
+    *
+    * Null-group contract: same as q26c — the twin's pairs⋈tots
+    * rejoin is null-safe so a NULL segment stays a real group on
+    * both engines (r15 linkedmixed; LinkedMixedSpec + mutation m46).
     */
   val q26dPsi: GraftQuery = GraftQuery(
     "q26d_psi_drift",
@@ -290,7 +301,7 @@ object ProfileQueries {
       |    (CAST(c0 AS DOUBLE) / t.t0 - CAST(c1 AS DOUBLE) / t.t1)
       |    * LN((CAST(c0 AS DOUBLE) / t.t0) / (CAST(c1 AS DOUBLE) / t.t1))
       |    * 1e12 + 0.5) AS BIGINT)) AS DOUBLE) / 1e12, 6) AS psi
-      |FROM pairs p JOIN tots t ON p.seg = t.seg
+      |FROM pairs p JOIN tots t ON p.seg IS NOT DISTINCT FROM t.seg
       |GROUP BY 1, 2, 3, 4""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)

@@ -172,10 +172,18 @@ object OlapExtras {
        |  SELECT n_name, c_custkey, revenue,
        |         CAST(ROW_NUMBER() OVER (PARTITION BY n_name
        |           ORDER BY revenue DESC, c_custkey) AS INTEGER) AS rk
-       |  FROM rev)
+       |  FROM rev WHERE revenue IS NOT NULL)
        |WHERE rk <= 3""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
+    // Null contract (q15/q24c convention, r15 `linkedmixed` fixture
+    // exhibited it live): a revenue-less customer group has no place
+    // in a revenue top-k, so it is excluded on BOTH engines BEFORE
+    // the pick — without the exclusion the TopKAggregator's
+    // (Double, Long) product encoder silently coerces the NULL
+    // revenue to 0.0 (conflating "no revenue data" with "zero
+    // revenue") while the twin's window form carries NULL. Pinned by
+    // LinkedMixedSpec + mutation m44.
     val rev = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .join(t.customer, $"o_custkey" === $"c_custkey")
@@ -183,6 +191,7 @@ object OlapExtras {
       .groupBy($"n_name", $"c_custkey")
       .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
         .as("revenue"))
+      .filter($"revenue".isNotNull)
     val top3 = udaf(graft.functions.TopK.TopKAggregator(3),
       org.apache.spark.sql.Encoders.product[(Double, Long)])
     rev

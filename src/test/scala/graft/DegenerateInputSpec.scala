@@ -53,6 +53,8 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailHeavyTie: Map[String, String] = Map.empty
 
+  private val mayFailLinkedMixed: Map[String, String] = Map.empty
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -109,6 +111,10 @@ class DegenerateInputSpec extends SparkTestBase {
 
   test("every registered query survives a linked dirty star (heavytie)") {
     sweep(DegenerateData.heavytieDir(spark), mayFailHeavyTie)
+  }
+
+  test("every registered query survives a linked mixed-null warehouse") {
+    sweep(DegenerateData.linkedmixedDir(spark), mayFailLinkedMixed)
   }
 
   /** The engine's NaN position, pinned: non-finite measures are
@@ -438,6 +444,48 @@ object DegenerateData {
         case _ => withRn
       }
       out.drop("__fk")
+    }
+  }
+
+  /** `linkedmixed` (r15, COMMITTED — the probe caught THREE live
+    * divergences on first replay): the mixed shape (middle row's
+    * non-key columns NULL) ON TOP OF heavytie's referential wiring,
+    * so every join-grain query sees dirty VALUES flow through
+    * RESOLVED joins for the first time (plain mixed never resolves
+    * the fact joins). No tie flattening — revenues keep their raw
+    * per-row values. First replay: q21's TopKAggregator coerced a
+    * NULL-revenue group to 0.0 (fixed by the q15/q24c exclusion on
+    * both engines); q26c/q26d's TWINS dropped the NULL-segment group
+    * through a plain `seg = seg` rejoin while the engine's window
+    * totals kept it (fixed with IS NOT DISTINCT FROM — the mirror
+    * image of q9o). Pinned by LinkedMixedSpec + mutations m44–m46.
+    */
+  def linkedmixedDir(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    val keep = Set("l_linenumber", "event_id", "user_id", "doc_id", "vec_id")
+    buildDir(spark, "linkedmixed") { (t, raw) =>
+      val base = raw.limit(3)
+      val keyCol = base.schema.fieldNames.head
+      val withRn = base.withColumn("__fk",
+        row_number().over(Window.orderBy(col(keyCol))) - 1)
+      val wired = t match {
+        case "customer" => withRn.withColumn("c_nationkey", col("__fk"))
+        case "supplier" => withRn.withColumn("s_nationkey", col("__fk"))
+        case "nation" => withRn.withColumn("n_regionkey", col("__fk"))
+        case "orders" => withRn.withColumn("o_custkey", col("__fk").cast("long"))
+        case "lineitem" => withRn
+          .withColumn("l_orderkey", col("__fk").cast("long"))
+          .withColumn("l_partkey", col("__fk").cast("long"))
+          .withColumn("l_suppkey", col("__fk").cast("long"))
+        case _ => withRn
+      }
+      val cols = base.schema.fields.map { f =>
+        if (f.name.endsWith("key") || keep(f.name)) col(f.name)
+        else when(col("__fk") === 1, lit(null).cast(f.dataType))
+          .otherwise(col(f.name)).as(f.name)
+      }
+      wired.select(cols.toIndexedSeq: _*)
     }
   }
 

@@ -16,7 +16,7 @@
 # audit would race the specs on them.
 #
 # Default shapes: empty tiny flat nulls outlier mixed heavy
-# heavyprice heavytie. `mixed`
+# heavyprice heavytie linkedmixed. `mixed`
 # (3 rows, middle row's non-key columns NULL) is the shape the all-NULL
 # dir is accidentally symmetric on — per-group sequences mixing null
 # and valid order keys flush engine null-ordering defaults; it caught
@@ -33,7 +33,11 @@
 # NULL n_name) — the other shapes never resolve the fact joins, so
 # dirty dim attributes inside resolved join groups were unexercised;
 # it caught q9f's rank tiebreak AND q9o's null-group-dropping rejoin
-# live on first run (r15). `const` is CRASH-SWEEP
+# live on first run (r15). `linkedmixed` layers the mixed middle-row
+# nulls over that wiring (dirty VALUES through resolved joins); it
+# caught q21's NULL-revenue→0.0 heap coercion and the q26c/q26d twins
+# dropping the NULL-segment group live on first run (r15). `const` is
+# CRASH-SWEEP
 # ONLY (DegenerateInputSpec): it replicates primary keys ×8, and the
 # twins' key-joins legitimately assume unique warehouse keys — `flat`
 # is the key-unique zero-variance shape the audit uses instead.
@@ -69,7 +73,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 shapes=("$@")
-[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy heavyprice heavytie)
+[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy heavyprice heavytie linkedmixed)
 rc=0
 for shape in "${shapes[@]}"; do
   dir="target/degenerate/$shape"

@@ -400,6 +400,41 @@ MUTATIONS = [
                 '      .groupBy($"n_name")',
                 '    val checked = cust.join(broadcast(stats), Seq("n_name"))\n'
                 '      .groupBy($"n_name")')]),
+    # The exact pre-fix state the r15 `linkedmixed` linked star
+    # exhibited live: without the null-revenue exclusion, the
+    # TopKAggregator's (Double, Long) product encoder coerces a NULL
+    # revenue group to 0.0 before the heap while the twin's window
+    # form carries NULL — "no revenue data" must never read as "zero
+    # revenue". Clean sf0.01 has no null prices — gated by
+    # LinkedMixedSpec (the mutant emits a third, 0.0-revenue row).
+    dict(id="m44_q21_null_revenue_heap", query="q21_topk_per_nation",
+         gate="spec", spec="graft.LinkedMixedSpec",
+         file="src/main/scala/graft/queries/OlapExtras.scala",
+         desc="q21 null-revenue exclusion dropped: the heap encoder "
+              "coerces the NULL group to revenue 0.0, the twin keeps NULL",
+         subs=[('        .as("revenue"))\n'
+                '      .filter($"revenue".isNotNull)',
+                '        .as("revenue"))')]),
+    # Engine-side sibling of the q26c twin fix (the twin's null-safe
+    # rejoin is ratcheted by the linkedmixed replay in the degenerate
+    # audit): a plausible "clean up null segments" filter drops the
+    # NULL-segment group the profile must keep.
+    dict(id="m45_q26c_drop_null_seg", query="q26c_entropy",
+         gate="spec", spec="graft.LinkedMixedSpec",
+         file="src/main/scala/graft/analytics/ProfileQueries.scala",
+         desc="q26c drops the NULL-segment group before the entropy "
+              "profile: 2 rows instead of 3",
+         subs=[('      .groupBy($"c_mktsegment".as("seg"), $"o_orderpriority".as("cat"))',
+                '      .filter($"c_mktsegment".isNotNull)\n'
+                '      .groupBy($"c_mktsegment".as("seg"), $"o_orderpriority".as("cat"))')]),
+    dict(id="m46_q26d_drop_null_seg", query="q26d_psi_drift",
+         gate="spec", spec="graft.LinkedMixedSpec",
+         file="src/main/scala/graft/analytics/ProfileQueries.scala",
+         desc="q26d drops the NULL-segment group before the PSI "
+              "profile: 2 rows instead of 3",
+         subs=[('      .groupBy($"seg", $"cat")',
+                '      .filter($"seg".isNotNull)\n'
+                '      .groupBy($"seg", $"cat")')]),
 ]
 
 OPENS = " ".join(
