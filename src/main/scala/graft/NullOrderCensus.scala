@@ -4,14 +4,24 @@ import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort, Window}
 
-/** TEMPORARY r15 census (not part of the driver contract): enumerate
-  * every ASCENDING ordering over a NULLABLE expression in the
-  * registry's analyzed plans — the exact engine-asymmetry class the
-  * heavy/heavyprice fixtures exhibit (Spark default asc = NULLS
-  * FIRST, DuckDB default = NULLS LAST; descending is nulls-last on
-  * both, hence symmetric). Window orderings drive cumulations and
-  * picks (the dangerous sites); bare Sort orderings are listed too
-  * but only matter when a downstream limit/fold is value-sensitive.
+/** Registry-wide null-ordering census (r15, repeatable — not part of
+  * the driver contract): enumerate every ASCENDING ordering over a
+  * NULLABLE expression in the registry's analyzed plans — the exact
+  * engine-asymmetry class the heavy/heavyprice/heavytie fixtures
+  * exhibit (Spark default asc = NULLS FIRST, DuckDB default = NULLS
+  * LAST; descending is nulls-last on both, hence symmetric). Window
+  * orderings drive cumulations and picks (the dangerous sites); bare
+  * Sort orderings are listed too but only matter when a downstream
+  * limit/fold is value-sensitive. The r15 run (56 hits) triaged to:
+  * key-grain orderings (contract non-null), convention-filtered
+  * measures (q9q/q9r/q9u/q24d...), structurally-coupled nulls (q1a's
+  * o_year nulls exactly when its o_month partition does), literal
+  * frames (q12c), and ONE live site — q9f's name tiebreak, exhibited
+  * by heavytie and pinned asc_nulls_last. Re-run after adding any
+  * query with a new ordered cumulation.
+  *
+  * Usage: java -cp target/scala-2.13/classes:/opt/spark/jars/\*
+  *        graft.NullOrderCensus [sfDir]
   */
 object NullOrderCensus {
   def main(args: Array[String]): Unit = {
