@@ -5,25 +5,55 @@ import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, SortOrd
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort, Window}
 
 /** Registry-wide null-ordering census (r15, repeatable — not part of
-  * the driver contract): enumerate every ASCENDING ordering over a
+  * the driver contract): enumerate every NULLS-FIRST ordering over a
   * NULLABLE expression in the registry's analyzed plans — the exact
   * engine-asymmetry class the heavy/heavyprice/heavytie fixtures
-  * exhibit (Spark default asc = NULLS FIRST, DuckDB default = NULLS
-  * LAST; descending is nulls-last on both, hence symmetric). Window
-  * orderings drive cumulations and picks (the dangerous sites); bare
-  * Sort orderings are listed too but only matter when a downstream
+  * exhibit. Spark's defaults are asc = NULLS FIRST, desc = NULLS
+  * LAST; DuckDB's default is NULLS LAST in BOTH directions — so the
+  * asymmetric sites are ascending orderings (Spark's default) and any
+  * explicit `desc_nulls_first` pin (r16 ADVICE widened the collector
+  * to the descending form; zero hits today, but a future pin or a
+  * session-default change must not be invisible). Window orderings
+  * drive cumulations and picks (the dangerous sites); bare Sort
+  * orderings are listed too but only matter when a downstream
   * limit/fold is value-sensitive. The r15 run (56 hits) triaged to:
   * key-grain orderings (contract non-null), convention-filtered
   * measures (q9q/q9r/q9u/q24d...), structurally-coupled nulls (q1a's
   * o_year nulls exactly when its o_month partition does), literal
   * frames (q12c), and ONE live site — q9f's name tiebreak, exhibited
-  * by heavytie and pinned asc_nulls_last. Re-run after adding any
-  * query with a new ordered cumulation.
+  * by heavytie and pinned asc_nulls_last.
+  *
+  * Since r16 the census is a RATCHET, not a hand tool:
+  * [[graft.NullOrderCensusSpec]] replays [[asymmetricHits]] over the
+  * registry each build and demands an exact match with a
+  * triage-annotated allowlist — a new query with an untriaged
+  * nullable ordering site FAILS the suite until it is either pinned
+  * (`asc_nulls_last`), convention-filtered, or triaged onto the list.
   *
   * Usage: java -cp target/scala-2.13/classes:/opt/spark/jars/\*
   *        graft.NullOrderCensus [sfDir]
   */
 object NullOrderCensus {
+
+  /** Every engine-asymmetric ordering site in one analyzed plan, as
+    * stable census lines: `WINDOW|SORT ASC|DESC_NULLS_FIRST <expr
+    * sql, 90 chars>`. Attribute sql carries no expr-ids, so lines are
+    * stable across runs and usable as allowlist keys.
+    */
+  def asymmetricHits(plan: LogicalPlan): Seq[String] = {
+    def collect(site: String, orders: Seq[SortOrder]): Seq[String] =
+      orders.collect {
+        case so if so.nullOrdering == NullsFirst && so.child.nullable =>
+          val dir =
+            if (so.direction == Ascending) "ASC" else "DESC_NULLS_FIRST"
+          s"$site $dir ${so.child.sql.take(90)}"
+      }
+    plan.collect {
+      case w: Window => collect("WINDOW", w.orderSpec)
+      case s: Sort => collect("SORT", s.order)
+    }.flatten.distinct
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -35,25 +65,12 @@ object NullOrderCensus {
     spark.sparkContext.setLogLevel("ERROR")
     GraftConf.tune(spark)
 
-    def ascNullable(orders: Seq[SortOrder]): Seq[String] =
-      orders.collect {
-        case so if so.direction == Ascending && so.child.nullable &&
-          so.nullOrdering == NullsFirst =>
-          so.child.sql.take(90)
-      }
-
     SparkEntry.queries.keys.toSeq.sorted
       .filterNot(_.startsWith("q15")).foreach { name =>
         try {
           val plan: LogicalPlan =
             SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
-          val hits = plan.collect {
-            case w: Window =>
-              ascNullable(w.orderSpec).map(e => s"WINDOW $e")
-            case s: Sort =>
-              ascNullable(s.order).map(e => s"SORT $e")
-          }.flatten
-          hits.distinct.foreach(h => println(s"$name\t$h"))
+          asymmetricHits(plan).foreach(h => println(s"$name\t$h"))
         } catch {
           case t: Throwable =>
             println(s"$name\tERROR ${t.getMessage.take(80)}")

@@ -47,8 +47,18 @@ object VerifyOne {
       val node = mapper.readTree(Files.readString(jsonPath))
       node.fieldNames().asScala.foreach(k => merged(k) = node.get(k).asText())
     }
-    merged.keys.toSeq.foreach(k =>
-      SparkEntry.oracleSql.get(k).foreach(sql => merged(k) = sql))
+    merged.keys.toSeq.foreach { k =>
+      SparkEntry.oracleSql.get(k) match {
+        case Some(sql) => merged(k) = sql
+        // A key no longer in the registry's oracle map is a RENAMED or
+        // REMOVED query (r16 ADVICE): keeping it would make a later
+        // check_oracle over the reused dir fail loudly on a missing
+        // dump for a query that no longer exists. Drop it, visibly.
+        case None =>
+          System.err.println(s"[verifyone] dropping stale oracle entry: $k")
+          merged.remove(k)
+      }
+    }
     SparkEntry.oracleSql.get(name).foreach(sql => merged(name) = sql)
     val out = mapper.createObjectNode()
     merged.foreach { case (k, v) => out.put(k, v) }

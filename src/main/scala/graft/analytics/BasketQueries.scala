@@ -195,7 +195,7 @@ object BasketQueries {
       |  SELECT o_custkey, o_orderkey,
       |         ROW_NUMBER() OVER (PARTITION BY o_custkey
       |           ORDER BY o_orderdate, o_orderkey) AS rn
-      |  FROM orders),
+      |  FROM orders WHERE o_orderdate IS NOT NULL),
       |pairs AS (
       |  SELECT a.o_orderkey AS k_from, b.o_orderkey AS k_to
       |  FROM seq a JOIN seq b
@@ -214,9 +214,19 @@ object BasketQueries {
     import spark.implicits._
     import org.apache.spark.sql.expressions.Window
     val t = Tables(spark, dir)
-    val seq = t.orders.select($"o_custkey", $"o_orderkey",
-      row_number().over(Window.partitionBy($"o_custkey")
-        .orderBy($"o_orderdate", $"o_orderkey")).as("rn"))
+    // Null contract (q15/q24c measure-exclusion convention, the r16
+    // `linkedseq` fixture exhibited it live): an UNDATEABLE order has
+    // no position in a temporal sequence, so it is excluded from the
+    // per-customer ordering on BOTH engines — without the exclusion
+    // the null date rides Spark's nulls-FIRST ascending rank vs
+    // DuckDB's nulls-LAST, shifting every transition pair in that
+    // customer's chain. Pinned by LinkedSeqSpec + mutation m48; see
+    // NULL_CONTRACT.md.
+    val seq = t.orders
+      .filter($"o_orderdate".isNotNull)
+      .select($"o_custkey", $"o_orderkey",
+        row_number().over(Window.partitionBy($"o_custkey")
+          .orderBy($"o_orderdate", $"o_orderkey")).as("rn"))
     val nxt = seq.select($"o_custkey", $"o_orderkey".as("k_to"),
       ($"rn" - 1).as("rn"))
     val pairs = seq.join(nxt, Seq("o_custkey", "rn"))

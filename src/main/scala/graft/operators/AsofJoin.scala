@@ -29,6 +29,20 @@ import graft.queries.GraftQuery
   * (as q15h does: `MIN(event_id) GROUP BY user_id, ts`) or call
   * [[dedupRight]]. The ScalaCheck property generator upholds the same
   * contract.
+  *
+  * NULL-ts CONTRACT (r16, the `linkedseq` fixture exhibited the gap
+  * live — see graft.NULL_CONTRACT.md convention A): a NULL timestamp
+  * can never satisfy an as-of inequality, so this operator reproduces
+  * DuckDB's native semantics exactly — (1) RIGHT rows with NULL ts
+  * are DROPPED before the interleave (`c.ts <= p.ts` is never true
+  * for them; without the drop they ride Spark's nulls-FIRST window
+  * order to the partition head and become every early left row's
+  * "latest preceding" carry — q24d read a null-ts click as
+  * 'click_older' while DuckDB said 'organic'); (2) LEFT rows with
+  * NULL ts keep their row (LEFT join) but carry NULL payloads (under
+  * nulls-first they'd otherwise grab the first FOLLOWING right row in
+  * the forward/nearest frames). Pinned by AsofJoinSpec + LinkedSeqSpec
+  * and mutation m47.
   */
 object AsofJoin {
 
@@ -52,7 +66,9 @@ object AsofJoin {
       df.withColumn(s"__carry_$c", lit(null).cast(carryTypes(c)))
     }
     val rightTagged = {
-      val base = right.select(
+      // NULL-ts right rows can never match (object scaladoc, contract
+      // point 1) — drop them here so every join direction inherits it
+      val base = right.filter(col(tsCol).isNotNull).select(
         (keys.map(col) :+ col(tsCol)) ++
           carryCols.map(c => col(c).as(s"__carry_$c")): _*)
         .withColumn("__side", lit(0))
@@ -65,10 +81,18 @@ object AsofJoin {
     leftTagged.unionByName(rightTagged)
   }
 
-  private def keepLeft(df: DataFrame, carryCols: Seq[String]): DataFrame =
-    df.filter(col("__side") === 1)
+  private def keepLeft(df: DataFrame, carryCols: Seq[String],
+                       tsCol: String, asofCols: Seq[String]): DataFrame = {
+    val kept = df.filter(col("__side") === 1)
       .drop("__side")
       .drop(carryCols.map(c => s"__carry_$c"): _*)
+    // NULL-ts LEFT rows keep their row but carry NULL payloads
+    // (object scaladoc, contract point 2): with right nulls dropped
+    // the backward frame already carries nothing for them, but the
+    // forward/nearest frames would grab the first FOLLOWING right row
+    asofCols.foldLeft(kept)((d, c) =>
+      d.withColumn(c, when(col(tsCol).isNotNull, col(c))))
+  }
 
   private def ordering(keys: Seq[String], tsCol: String) =
     Window.partitionBy(keys.map(col): _*)
@@ -104,7 +128,7 @@ object AsofJoin {
       df.withColumn(s"asof_$c",
         last(col(s"__carry_$c"), ignoreNulls = true).over(w))
     }
-    keepLeft(carried, carryCols)
+    keepLeft(carried, carryCols, tsCol, carryCols.map(c => s"asof_$c"))
   }
 
   /** Forward as-of join: for each left row, the EARLIEST right
@@ -123,7 +147,7 @@ object AsofJoin {
       df.withColumn(s"asof_$c",
         first(col(s"__carry_$c"), ignoreNulls = true).over(w))
     }
-    keepLeft(carried, carryCols)
+    keepLeft(carried, carryCols, tsCol, carryCols.map(c => s"asof_$c"))
   }
 
   /** Bidirectional as-of: appends BOTH the latest-preceding
@@ -148,7 +172,8 @@ object AsofJoin {
         .withColumn(s"asof_fwd_$c",
           first(col(s"__carry_$c"), ignoreNulls = true).over(wFwd))
     }
-    keepLeft(carried, carryCols)
+    keepLeft(carried, carryCols, tsCol,
+      carryCols.flatMap(c => Seq(s"asof_back_$c", s"asof_fwd_$c")))
   }
 
   /** q15f — each error event matched to the user's most recent

@@ -266,6 +266,7 @@ object OlapExtras {
       |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
       |           AS DOUBLE) AS rev
       |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderdate IS NOT NULL
       |  GROUP BY 1, 2),
       |idx AS (
       |  SELECT c_mktsegment, mon, rev,
@@ -281,7 +282,17 @@ object OlapExtras {
     (spark, dir) =>
       import spark.implicits._
       val t = Tables(spark, dir)
+      // Null contract (q15/q24c measure-exclusion convention, the r16
+      // `linkedseq` fixture exhibited it live): an UNDATEABLE order
+      // has no month, so it is excluded from the monthly series on
+      // BOTH engines — without the exclusion the NULL-mon bucket
+      // sorts FIRST inside array_sort's struct ordering (an
+      // EXPRESSION-level sort the NullOrderCensus cannot even see —
+      // no Sort/Window node) and SEEDS the EMA recurrence, while
+      // DuckDB's ROW_NUMBER ranks it last. Pinned by LinkedSeqSpec +
+      // mutation m49; see NULL_CONTRACT.md.
       val monthly = t.orders
+        .filter($"o_orderdate".isNotNull)
         .join(t.customer, $"o_custkey" === $"c_custkey")
         .groupBy($"c_mktsegment",
           date_format($"o_orderdate", "yyyy-MM").as("mon"))
@@ -583,6 +594,7 @@ object OlapExtras {
       |         CAST(CAST(SUM(CAST(o_totalprice AS DECIMAL(38,6))) AS VARCHAR)
       |           AS DOUBLE) AS rev
       |  FROM orders JOIN customer ON o_custkey = c_custkey
+      |  WHERE o_orderdate IS NOT NULL
       |  GROUP BY 1, 2),
       |idx AS (
       |  SELECT c_mktsegment, mon, rev,
@@ -605,7 +617,11 @@ object OlapExtras {
       |FROM holt""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
+    // Same null contract as q27 (measure-exclusion, r16 `linkedseq`):
+    // an undateable order is excluded from the monthly series on both
+    // engines before the Holt recurrence. See NULL_CONTRACT.md.
     val monthly = t.orders
+      .filter($"o_orderdate".isNotNull)
       .join(t.customer, $"o_custkey" === $"c_custkey")
       .groupBy($"c_mktsegment",
         date_format($"o_orderdate", "yyyy-MM").as("mon"))

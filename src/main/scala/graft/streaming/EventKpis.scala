@@ -142,17 +142,26 @@ object EventKpis {
   /** q15d — session_window() (the built-in merging session operator,
     * batch+streaming): 30-min-gap sessions per user with micros-exact
     * bounds. Oracle replicates the merge with gaps-and-islands:
-    * start = min(ts), end = max(ts) + gap. The boundary test is >=
-    * (not >): session_window merges on [start, start+gap) OVERLAP, so
-    * an event exactly `gap` after the previous one opens a NEW
-    * session — unlike q15c's strict-gap islands definition.
+    * start = min(ts), end = max(ts) + gap. The boundary test is
+    * STRICT `>`: session_window merges an event landing exactly AT
+    * the previous session's end (touch-inclusive merge — verified
+    * empirically on the r16 `linkedseq` fixture's exact-30-min pair:
+    * 12:00 and 12:30 land in ONE session ending 13:00), so a new
+    * island opens only when the gap strictly exceeds 30 min. The
+    * original `>=` twin encoded the opposite claim and was invisible
+    * to sf0.01's micros-grain timestamps (an exact-gap pair never
+    * occurs there) — the same islands definition as q15c, which was
+    * strict all along. NULL-ts events are dropped by session_window
+    * natively; the twin's WHERE mirrors it (NULL_CONTRACT.md).
+    * Boundary pinned by LinkedSeqSpec + mutation m50 (engine-side
+    * sibling on q15c's strict gap).
     */
   val q15dSessionWindow: GraftQuery = GraftQuery(
     "q15d_session_window",
     """WITH marked AS (
       |  SELECT user_id, ts, event_id,
       |         CASE WHEN lag(ts) OVER w IS NULL
-      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) >= 1800000000
+      |               OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
       |              THEN 1 ELSE 0 END AS new_session
       |  FROM events
       |  WHERE ts IS NOT NULL

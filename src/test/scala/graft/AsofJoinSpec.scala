@@ -57,6 +57,48 @@ class AsofJoinSpec extends SparkTestBase {
     assert(out("e3").isEmpty, "match after the last right row must be null")
   }
 
+  /** The NULL-ts contract (r16, object scaladoc): DuckDB's native
+    * ASOF can never satisfy its inequality on a NULL timestamp, so
+    * (1) NULL-ts RIGHT rows are dropped — without the drop they ride
+    * Spark's nulls-first window order to the partition head and
+    * become every early left row's backward carry (the q24d live
+    * divergence, pinned cross-engine in LinkedSeqSpec / mutation
+    * m47); (2) NULL-ts LEFT rows keep their row but carry NULL in
+    * EVERY direction — the forward/nearest frames would otherwise
+    * grab the first real right row that sorts after them.
+    */
+  test("null-ts rows: right dropped, left carries null in all directions") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, ts("2024-01-01 10:00:00"), "e1"), // only null-ts click before → null
+      (1L, null.asInstanceOf[Timestamp], "e2") // null-ts left → null both ways
+    ).toDF("user_id", "ts", "tag")
+    val right = Seq(
+      (1L, null.asInstanceOf[Timestamp], 666L), // must never match
+      (1L, ts("2024-01-01 12:00:00"), 200L)
+    ).toDF("user_id", "ts", "rid")
+
+    val back = AsofJoin.asofBackward(left, right,
+      keys = Seq("user_id"), tsCol = "ts", carryCols = Seq("rid"))
+      .select($"tag", $"asof_rid").collect()
+      .map(r => r.getString(0) ->
+        (if (r.isNullAt(1)) None else Some(r.getLong(1)))).toMap
+    assert(back("e1").isEmpty, "a null-ts right row must never be a backward carry")
+    assert(back("e2").isEmpty, "a null-ts left row carries nothing backward")
+
+    val near = AsofJoin.asofNearest(left, right,
+      keys = Seq("user_id"), tsCol = "ts", carryCols = Seq("rid"))
+      .select($"tag", $"asof_back_rid", $"asof_fwd_rid").collect()
+      .map(r => r.getString(0) ->
+        ((if (r.isNullAt(1)) None else Some(r.getLong(1))),
+          (if (r.isNullAt(2)) None else Some(r.getLong(2))))).toMap
+    assert(near("e1") == (None, Some(200L)),
+      "real-ts left: forward still sees the real right row")
+    assert(near("e2") == (None, None),
+      "a null-ts left row must carry null in BOTH directions " +
+        "(nulls-first would otherwise hand it the first real forward row)")
+  }
+
   test("dedupRight restores the distinct-(keys, ts) precondition") {
     import spark.implicits._
     // two right rows on the same (user, ts): the raw join's carry is

@@ -55,6 +55,8 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailLinkedMixed: Map[String, String] = Map.empty
 
+  private val mayFailLinkedSeq: Map[String, String] = Map.empty
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -115,6 +117,10 @@ class DegenerateInputSpec extends SparkTestBase {
 
   test("every registered query survives a linked mixed-null warehouse") {
     sweep(DegenerateData.linkedmixedDir(spark), mayFailLinkedMixed)
+  }
+
+  test("every registered query survives a linked null-sequence warehouse") {
+    sweep(DegenerateData.linkedseqDir(spark), mayFailLinkedSeq)
   }
 
   /** The engine's NaN position, pinned: non-finite measures are
@@ -379,12 +385,22 @@ object DegenerateData {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
+    // Host key = GLOBAL min c_custkey, and the customer fixture below
+    // is orderBy(c_custkey).limit(3) — so the host is contained in the
+    // written slice BY CONSTRUCTION, independent of parquet scan order
+    // (r16 ADVICE: the r15 form took min over a bare limit(3), which
+    // is not contractually deterministic; MadOutliersSpec's
+    // hand-derived FURNITURE expectation silently rode scan order).
+    // On sf0.001 the file is key-ordered, so the selected rows — and
+    // the host's FURNITURE segment — are unchanged; version bumped to
+    // force the rebuild anyway.
     val hostCustkey = spark.read
       .parquet("/root/testdata/sf0.001/customer.parquet")
-      .limit(3).agg(org.apache.spark.sql.functions.min(col("c_custkey")))
+      .agg(org.apache.spark.sql.functions.min(col("c_custkey")))
       .head.getLong(0)
-    buildDir(spark, "heavyprice") { (t, raw) =>
-      if (t != "orders") raw.limit(3)
+    buildDir(spark, "heavyprice", version = 2) { (t, raw) =>
+      if (t == "customer") raw.orderBy(col("c_custkey")).limit(3)
+      else if (t != "orders") raw.limit(3)
       else {
         val rn = row_number().over(Window.orderBy(col("o_orderkey")))
         val df = raw.limit(4).withColumn("__rn", rn)
@@ -486,6 +502,82 @@ object DegenerateData {
           .otherwise(col(f.name)).as(f.name)
       }
       wired.select(cols.toIndexedSeq: _*)
+    }
+  }
+
+  /** `linkedseq` (r16, COMMITTED — the probe caught SIX live
+    * divergence sites on first replay, five FAIL rows): the SEQUENCE
+    * axis over heavytie's referential wiring — the two blind spots
+    * left after r15's linked shapes:
+    *  1. a NULL o_orderdate inside a MULTI-order customer's sequence
+    *     (linkedmixed wires one order per customer, so its null date
+    *     rides a 1-row partition): caught q25c's next-item rank
+    *     (nulls-first vs nulls-last rn → every transition pair
+    *     shifted) and q27/q27b's EMA/Holt seed (the NULL month sorts
+    *     FIRST inside array_sort's struct ordering — an
+    *     EXPRESSION-level sort the NullOrderCensus cannot see — vs
+    *     DuckDB's ROW_NUMBER ranking it last);
+    *  2. a NULL-ts CLICK preceding a purchase with no real prior
+    *     click (linkedmixed nulls event_type together with ts, so a
+    *     null-ts row never enters the click branch): caught q24d's
+    *     asof carry reading 'click_older' where DuckDB's native ASOF
+    *     says 'organic' — fixed at the OPERATOR (AsofJoin's NULL-ts
+    *     contract), so q15f/q15h inherit it.
+    * The crafted EXACT-30-min event gap (12:00 → 12:30) additionally
+    * caught q15d's twin boundary: Spark's session_window merges an
+    * event landing exactly at the previous session's end, the twin's
+    * `>=` islands test opened a new one — a BOUNDARY-semantics class,
+    * not null ordering, invisible to sf0.01's micros-grain stamps.
+    * All pinned by LinkedSeqSpec + mutations m47–m50.
+    */
+  def linkedseqDir(spark: SparkSession): String = {
+    import org.apache.spark.sql.Column
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.expressions.Window
+    buildDir(spark, "linkedseq") { (t, raw) =>
+      val base = raw.limit(if (t == "orders" || t == "lineitem" || t == "events") 4 else 3)
+      val keyCol = base.schema.fieldNames.head
+      val withRn = base.withColumn("__fk",
+        row_number().over(Window.orderBy(col(keyCol))) - 1)
+      def byRow(c1: Column, c2: Column, c3: Column, c4: Column): Column =
+        when(col("__fk") === 0, c1).when(col("__fk") === 1, c2)
+          .when(col("__fk") === 2, c3).otherwise(c4)
+      val out = t match {
+        case "customer" => withRn.withColumn("c_nationkey", col("__fk"))
+        case "supplier" => withRn.withColumn("s_nationkey", col("__fk"))
+        case "nation" => withRn.withColumn("n_regionkey", col("__fk"))
+        case "orders" => withRn
+          .withColumn("o_orderkey", col("__fk").cast("long"))
+          .withColumn("o_custkey", lit(0L))
+          .withColumn("o_orderdate", byRow(
+            lit("1996-01-01 00:00:00").cast("timestamp"),
+            lit(null).cast("timestamp"),
+            lit("1996-03-01 00:00:00").cast("timestamp"),
+            lit("1996-05-01 00:00:00").cast("timestamp")))
+          // powers of two so the ¼/¾/½ EMA and Holt chains in
+          // LinkedSeqSpec's hand derivations stay exact and short
+          .withColumn("o_totalprice", byRow(
+            lit(100.0), lit(200.0), lit(400.0), lit(800.0)))
+        case "lineitem" => withRn
+          .withColumn("l_orderkey", col("__fk").cast("long"))
+          .withColumn("l_partkey", col("__fk").cast("long"))
+          .withColumn("l_suppkey", (col("__fk") % 3).cast("long"))
+          .withColumn("l_linenumber", lit(1))
+        case "events" => withRn
+          .withColumn("event_id", col("__fk").cast("long") + 1)
+          .withColumn("user_id", lit(7L))
+          .withColumn("event_type", byRow(
+            lit("click"), lit("purchase"), lit("click"), lit("purchase")))
+          .withColumn("ts", byRow(
+            lit(null).cast("timestamp"),
+            lit("1996-02-01 10:00:00").cast("timestamp"),
+            lit("1996-02-01 12:00:00").cast("timestamp"),
+            lit("1996-02-01 12:30:00").cast("timestamp")))
+          .withColumn("value", (col("__fk") + 1).cast("double") * 10)
+          .withColumn("props", lit("{}"))
+        case _ => withRn
+      }
+      out.drop("__fk")
     }
   }
 

@@ -180,24 +180,26 @@ class PlanAuditSpec extends SparkTestBase {
 
   /** The bench main silences WindowExec's unpartitioned-window WARN
     * (documented bounded windows drowned the tail), which is safe
-    * ONLY while this spec provably audits everything the bench times
-    * (r15 ADVICE). Membership is shared via [[BenchSets]]; every
-    * benched name must be a registered query, and every non-q15 name
-    * lands in `audits` (the whole registry minus the streaming
-    * entries, whose stateful plans are pinned in StreamingSpec /
-    * StreamingScaleSpec instead — batch plan-auditing a sink
-    * read-back would say nothing about their join shape).
+    * ONLY while this spec provably audits everything the bench CAN
+    * time (r15+r16 ADVICE). Bench can time any REGISTERED name — the
+    * membership lists plus arbitrary SPARK_GRAFT_BENCH_ONLY /
+    * BENCH_FULL one-offs — so coverage is asserted over the WHOLE
+    * registry minus the streaming entries (whose stateful plans are
+    * pinned in StreamingSpec / StreamingScaleSpec instead — batch
+    * plan-auditing a sink read-back would say nothing about their
+    * join shape), not just over BenchSets membership.
     */
-  test("every benched query is registered and plan-audited") {
+  test("every timeable query (whole registry minus q15) is registered and plan-audited") {
     val benched = (BenchSets.headline ++ BenchSets.ext).distinct
     val unregistered = benched.filterNot(SparkEntry.queries.contains)
     assert(unregistered.isEmpty,
       s"benched but not registered: ${unregistered.mkString(", ")}")
     val auditedNames = audits.map(_.name).toSet
-    val uncovered = benched
+    val uncovered = SparkEntry.queries.keys.toSeq.sorted
       .filterNot(n => n.startsWith("q15") || auditedNames(n))
     assert(uncovered.isEmpty,
-      s"benched but not plan-audited: ${uncovered.mkString(", ")}")
+      s"registered but not plan-audited (BENCH_ONLY could time these " +
+        s"behind the silenced WindowExec logger): ${uncovered.mkString(", ")}")
   }
 
   /** min/max over a STRUCT (any aggregate whose buffer is not

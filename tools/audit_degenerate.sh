@@ -36,8 +36,14 @@
 # live on first run (r15). `linkedmixed` layers the mixed middle-row
 # nulls over that wiring (dirty VALUES through resolved joins); it
 # caught q21's NULL-revenue→0.0 heap coercion and the q26c/q26d twins
-# dropping the NULL-segment group live on first run (r15). `const` is
-# CRASH-SWEEP
+# dropping the NULL-segment group live on first run (r15). `linkedseq`
+# is the SEQUENCE axis over the same wiring (a NULL order date inside
+# ONE customer's multi-order chain, a NULL-ts click before a purchase,
+# and an EXACT-30-min event gap); it caught five live divergences on
+# first run (r16): q25c's next-item rank, q27/q27b's EMA/Holt seed,
+# q24d's asof carry (fixed at the AsofJoin operator), and q15d's
+# session boundary (Spark merges on touch; the twin's >= was wrong).
+# `const` is CRASH-SWEEP
 # ONLY (DegenerateInputSpec): it replicates primary keys ×8, and the
 # twins' key-joins legitimately assume unique warehouse keys — `flat`
 # is the key-unique zero-variance shape the audit uses instead.
@@ -73,7 +79,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 shapes=("$@")
-[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy heavyprice heavytie linkedmixed)
+[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy heavyprice heavytie linkedmixed linkedseq)
 rc=0
 for shape in "${shapes[@]}"; do
   dir="target/degenerate/$shape"

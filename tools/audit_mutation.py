@@ -435,6 +435,66 @@ MUTATIONS = [
          subs=[('      .groupBy($"seg", $"cat")',
                 '      .filter($"seg".isNotNull)\n'
                 '      .groupBy($"seg", $"cat")')]),
+    # The exact pre-fix state the r16 `linkedseq` fixture exhibited
+    # live: without the right-side NULL-ts drop, the null-ts click
+    # rides Spark's nulls-first window order to the partition head and
+    # becomes the 10:00 purchase's "latest preceding" carry
+    # ('click_older') while DuckDB's native ASOF can never match a
+    # NULL ts ('organic'). Operator-level fix, so q15f/q15h inherit.
+    # Clean sf0.01 has no null event timestamps — gated by
+    # LinkedSeqSpec (and AsofJoinSpec's unit pin).
+    dict(id="m47_asof_null_ts_carry", query="q24d_attribution",
+         gate="spec", spec="graft.LinkedSeqSpec",
+         file="src/main/scala/graft/operators/AsofJoin.scala",
+         desc="AsofJoin right-side NULL-ts drop removed: a null-ts "
+              "click becomes every early purchase's backward carry",
+         subs=[('      val base = right.filter(col(tsCol).isNotNull).select(',
+                '      val base = right.select(')]),
+    # The exact pre-fix state of q25c on linkedseq: the undateable
+    # order ranks FIRST in Spark's per-customer sequence (asc =
+    # nulls-first) and LAST in DuckDB's, shifting every transition
+    # pair in that customer's chain. Clean sf0.01 has no null order
+    # dates — gated by LinkedSeqSpec's hand-derived transitions.
+    dict(id="m48_q25c_null_date_seq", query="q25c_next_item",
+         gate="spec", spec="graft.LinkedSeqSpec",
+         file="src/main/scala/graft/analytics/BasketQueries.scala",
+         desc="q25c null-date exclusion dropped: the undateable order "
+              "re-enters the next-item sequence engine-asymmetrically",
+         subs=[('    val seq = t.orders\n'
+                '      .filter($"o_orderdate".isNotNull)\n'
+                '      .select($"o_custkey", $"o_orderkey",',
+                '    val seq = t.orders\n'
+                '      .select($"o_custkey", $"o_orderkey",')]),
+    # The exact pre-fix state of q27 on linkedseq: the NULL-month
+    # bucket sorts FIRST inside array_sort's struct ordering (an
+    # EXPRESSION-level sort the NullOrderCensus cannot see) and SEEDS
+    # the EMA recurrence, while DuckDB's ROW_NUMBER ranks it last.
+    # q27b shares the convention via its own filter (same class, one
+    # engine-side pin suffices — the shape replay ratchets both).
+    dict(id="m49_q27_null_month_seed", query="q27_exp_smoothing",
+         gate="spec", spec="graft.LinkedSeqSpec",
+         file="src/main/scala/graft/queries/OlapExtras.scala",
+         desc="q27 null-month exclusion dropped: the NULL-mon bucket "
+              "seeds the EMA chain on the Spark side only",
+         subs=[('      val monthly = t.orders\n'
+                '        .filter($"o_orderdate".isNotNull)\n'
+                '        .join(t.customer, $"o_custkey" === $"c_custkey")',
+                '      val monthly = t.orders\n'
+                '        .join(t.customer, $"o_custkey" === $"c_custkey")')]),
+    # Engine-side sibling of the q15d TWIN boundary fix (>= → >, the
+    # r16 linkedseq exact-gap catch; twin edits can't be mutated —
+    # this pins the same boundary class on q15c's engine side, where
+    # both engines use strict >): flipping the island test to >= splits
+    # the exact-30-min pair into two sessions on the Spark side only.
+    # Clean sf0.01 micros-grain timestamps never produce an exact-gap
+    # pair — gated by LinkedSeqSpec's hand-derived session counts.
+    dict(id="m50_q15c_gap_boundary", query="q15c_sessionization",
+         gate="spec", spec="graft.LinkedSeqSpec",
+         file="src/main/scala/graft/streaming/EventKpis.scala",
+         desc="q15c island boundary widened to >=: an exact-gap event "
+              "opens a new session on the Spark side only",
+         subs=[('usec($"ts") - usec(lag($"ts", 1).over(w)) > 1800000000L',
+                'usec($"ts") - usec(lag($"ts", 1).over(w)) >= 1800000000L')]),
 ]
 
 OPENS = " ".join(
