@@ -157,8 +157,7 @@ object BasketQueries {
         ($"n_ab".cast("double") /
           sqrt(($"n_a" * $"n_b").cast("double"))).as("cosv"))
       .localCheckpoint() // consumers: TopK skeleton + audit join-back
-    val top3 = udaf(graft.functions.TopK.TopKAggregator(3),
-      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val top3 = graft.functions.TopK.topk(3)
     val skeleton = cosd
       // quantized keys are < 2^31 ≪ 2^53, so the Double score the
       // aggregator heaps on represents the BIGINT key exactly

@@ -179,11 +179,16 @@ object OlapExtras {
     // Null contract (q15/q24c convention, r15 `linkedmixed` fixture
     // exhibited it live): a revenue-less customer group has no place
     // in a revenue top-k, so it is excluded on BOTH engines BEFORE
-    // the pick — without the exclusion the TopKAggregator's
-    // (Double, Long) product encoder silently coerces the NULL
-    // revenue to 0.0 (conflating "no revenue data" with "zero
-    // revenue") while the twin's window form carries NULL. Pinned by
-    // LinkedMixedSpec + mutation m44.
+    // the pick. Since r16 the TopKAggregator itself also IGNORES
+    // null scores (TopK.topk bakes in a boxed-input encoder; the old
+    // primitive encoder coerced NULL to 0.0, conflating "no revenue
+    // data" with "zero revenue"); the filter stays as the
+    // convention's explicit statement AND the cheaper plan (null
+    // groups drop before the second shuffle). Pinned by
+    // LinkedMixedSpec's q21 expectation and mutation m44 (retooled
+    // r16 onto the operator branch, TopKSpec-gated — dropping ONLY
+    // this filter is now an equivalent mutant by design: that is
+    // what defense-in-depth means); see NULL_CONTRACT.md.
     val rev = t.lineitem
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .join(t.customer, $"o_custkey" === $"c_custkey")
@@ -192,8 +197,7 @@ object OlapExtras {
       .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
         .as("revenue"))
       .filter($"revenue".isNotNull)
-    val top3 = udaf(graft.functions.TopK.TopKAggregator(3),
-      org.apache.spark.sql.Encoders.product[(Double, Long)])
+    val top3 = graft.functions.TopK.topk(3)
     rev
       .groupBy($"n_name")
       .agg(top3($"revenue", $"c_custkey").as("top"))

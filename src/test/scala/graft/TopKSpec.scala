@@ -19,7 +19,9 @@ class TopKSpec extends SparkTestBase {
     val viaHeap = pairs
       .as[(Long, Double, Long)]
       .groupByKey(_._1)
-      .mapValues { case (_, s, id) => (s, id) }
+      .mapValues { case (_, s, id) =>
+        (java.lang.Double.valueOf(s), id): TopK.In
+      }
       .agg(agg.name("topk"))
       .flatMap { case (grp, entries) =>
         entries.zipWithIndex.map { case ((s, id), i) =>
@@ -38,5 +40,32 @@ class TopKSpec extends SparkTestBase {
       viaSort.exceptAll(viaHeap).count() == 0,
       "heap top-k differs from sort+limit")
     assert(viaHeap.count() > 0)
+  }
+
+  /** The operator-level NULL contract (r16, hardening the r15 q21
+    * root cause): a NULL score is IGNORED — never coerced to 0.0 by
+    * the encoder boundary — and an all-null group finishes EMPTY.
+    * Mutation m51 restores the coercion and must turn this red.
+    */
+  test("NULL scores never enter the heap; an all-null group is empty") {
+    import spark.implicits._
+    val df = Seq(
+      (1L, Option(5.0), 10L),
+      (1L, Option.empty[Double], 11L), // ignored, NOT ranked as 0.0
+      (1L, Option(3.0), 12L),
+      (1L, Option(-1.0), 13L), // a REAL negative must still rank
+      (2L, Option.empty[Double], 20L) // all-null group → no output
+    ).toDF("grp", "score", "id")
+    val top = TopK.topk(2)
+    val out = df.groupBy($"grp")
+      .agg(top($"score", $"id").as("top"))
+      .select($"grp", posexplode($"top").as(Seq("pos", "e")))
+      .select($"grp", $"e._1".as("score"), $"e._2".as("id"))
+      .collect()
+      .map(r => (r.getLong(0), r.getDouble(1), r.getLong(2)))
+      .toSeq.sorted
+    assert(out == Seq((1L, 3.0, 12L), (1L, 5.0, 10L)),
+      s"got $out — a NULL score leaked into the heap (or a real " +
+        "negative was dropped): 'no data' must never rank as 0.0")
   }
 }

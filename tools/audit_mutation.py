@@ -400,21 +400,25 @@ MUTATIONS = [
                 '      .groupBy($"n_name")',
                 '    val checked = cust.join(broadcast(stats), Seq("n_name"))\n'
                 '      .groupBy($"n_name")')]),
-    # The exact pre-fix state the r15 `linkedmixed` linked star
-    # exhibited live: without the null-revenue exclusion, the
-    # TopKAggregator's (Double, Long) product encoder coerces a NULL
-    # revenue group to 0.0 before the heap while the twin's window
-    # form carries NULL — "no revenue data" must never read as "zero
-    # revenue". Clean sf0.01 has no null prices — gated by
-    # LinkedMixedSpec (the mutant emits a third, 0.0-revenue row).
+    # The r15 linkedmixed catch, RETOOLED in r16: the original sub
+    # (drop q21's null-revenue filter) became an EQUIVALENT mutant
+    # when the TopKAggregator itself was hardened to ignore null
+    # scores (boxed-input encoder) — with either defense alone the
+    # output is identical, which is exactly what defense-in-depth
+    # means. The pin therefore moved to the OPERATOR branch: restore
+    # the pre-fix NULL→0.0 coercion semantics inside reduce. q21's
+    # call-site filter stays (convention statement + cheaper plan),
+    # so the query-level gate is the linkedmixed shape replay; the
+    # operator gate is TopKSpec's null-input case (an all-null group
+    # must finish EMPTY, and the mutant emits a 0.0 row for it).
     dict(id="m44_q21_null_revenue_heap", query="q21_topk_per_nation",
-         gate="spec", spec="graft.LinkedMixedSpec",
-         file="src/main/scala/graft/queries/OlapExtras.scala",
-         desc="q21 null-revenue exclusion dropped: the heap encoder "
-              "coerces the NULL group to revenue 0.0, the twin keeps NULL",
-         subs=[('        .as("revenue"))\n'
-                '      .filter($"revenue".isNotNull)',
-                '        .as("revenue"))')]),
+         gate="spec", spec="graft.TopKSpec",
+         file="src/main/scala/graft/functions/TopK.scala",
+         desc="TopKAggregator null-ignore branch dropped: a NULL "
+              "score re-enters the heap as 0.0 ('no data' ranks as "
+              "'zero')",
+         subs=[('      if (e._1 == null) b else push(b, (e._1.doubleValue, e._2))',
+                '      push(b, (if (e._1 == null) 0.0 else e._1.doubleValue, e._2))')]),
     # Engine-side sibling of the q26c twin fix (the twin's null-safe
     # rejoin is ratcheted by the linkedmixed replay in the degenerate
     # audit): a plausible "clean up null segments" filter drops the
