@@ -205,8 +205,10 @@ MUTATIONS = [
          gate="oracle",
          file="src/main/scala/graft/queries/OlapExtras.scala",
          desc="top-k heap sized 4 while the contract cut is 3",
-         subs=[('udaf(graft.functions.TopK.TopKAggregator(3),',
-                'udaf(graft.functions.TopK.TopKAggregator(4),')]),
+         subs=[('    val top3 = graft.functions.TopK.topk(3)\n'
+                '    rev',
+                '    val top3 = graft.functions.TopK.topk(4)\n'
+                '    rev')]),
     dict(id="m25_q22_merge_max", query="q22_incremental_agg",
          gate="oracle",
          file="src/main/scala/graft/queries/OlapExtras.scala",
