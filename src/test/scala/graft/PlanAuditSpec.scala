@@ -84,6 +84,7 @@ class PlanAuditSpec extends SparkTestBase {
     * below read the same captured plans.
     */
   private case class Audit(name: String, plan: SparkPlan, hasUdf: Boolean,
+                           nullOrderHits: Seq[String],
                            failure: Option[String])
 
   private lazy val audits: Seq[Audit] =
@@ -93,9 +94,10 @@ class PlanAuditSpec extends SparkTestBase {
         val hasUdf = qe.analyzed.collect {
           case p => p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
         }.flatten.nonEmpty
-        Audit(name, qe.sparkPlan, hasUdf, None)
+        Audit(name, qe.sparkPlan, hasUdf,
+          NullOrderCensus.asymmetricHits(qe.analyzed), None)
       } catch { case e: Throwable =>
-        Audit(name, null, hasUdf = false, Some(e.getMessage))
+        Audit(name, null, hasUdf = false, Seq.empty, Some(e.getMessage))
       }
     }
 
@@ -268,6 +270,104 @@ class PlanAuditSpec extends SparkTestBase {
     "q13c_minhash_lsh" ->
       ("8 signature string-mins at (doc, shingle) grain — DF-cap " +
         "bounded, measured linear with zero spill to ×1000"))
+
+  /** Null-order census RATCHET (r16 verdict task 1, mechanizing the
+    * r15 hand triage that caught q9f live): every NULLS-FIRST
+    * ordering over a NULLABLE expression in the registry's analyzed
+    * plans — the one direction where Spark's defaults diverge from
+    * DuckDB's (Spark asc = nulls FIRST; DuckDB = nulls LAST both
+    * ways) — must carry a triage annotation below. A NEW query with
+    * an untriaged site FAILS until it is pinned (`asc_nulls_last`),
+    * convention-filtered, or triaged here; a fixed/removed site goes
+    * STALE and fails too, the same exact-match contract as every
+    * other axis in this spec. Collector shared with the
+    * [[NullOrderCensus]] main (mutation m51 blinds it → both
+    * directions of this test trip).
+    *
+    * Triage classes (SURVEY §8.14 / NULL_CONTRACT.md):
+    *  - key-grain: warehouse key/id columns, non-null by the ingest
+    *    dedup + TPC-H key contract;
+    *  - derived-non-null: expression non-null by construction (md5
+    *    of a key, the _w0 hash-ordering projections, q12q's race key
+    *    behind its n_chars+1>0 filter);
+    *  - convention-filtered: an isNotNull measure-exclusion upstream
+    *    of the ordering (NULL_CONTRACT.md convention A);
+    *  - coupled: nulls exactly when the partition key is null, so
+    *    the dirty row is isolated in its own partition (q1a o_year);
+    *  - literal-frame: ordering value from a source-code literal
+    *    (q12c's stop-list langs);
+    *  - operator-contract: AsofJoin's ts ordering — right-side nulls
+    *    dropped, left-side carries nullified, AT the operator.
+    *
+    * KNOWN SCOPE LIMIT, by design: the census walks Sort/Window
+    * nodes; EXPRESSION-level orderings (array_sort, sort_array) are
+    * invisible to it — q27's NULL-month EMA seed hid there and was
+    * caught by the linkedseq fixture replay instead. Fixture probes
+    * stay the net for that class.
+    */
+  private val kg = "key-grain"
+  private val dn = "derived-non-null"
+  private val cf = "convention-filtered"
+  private val nullOrderTriage: Map[(String, String), String] = {
+    val md5Sql = "md5(CAST(CAST(vec_id AS STRING) AS BINARY))"
+    // the md5-medoid seed device shared by the cell-based ANN family:
+    // _w0 is the analyzer's projection of the md5 hash the global
+    // seed window orders by; vec_id is its key-grain tiebreak
+    val annCells = Seq("q14c_ann_ivf", "q14e_semantic_dedup",
+      "q14f_ann_ivf_multiprobe", "q14g_ann_ivfpq", "q14h_kmeans_step",
+      "q14k_ann_recall").flatMap(q => Seq(
+      (q, "WINDOW ASC _w0") -> dn,
+      (q, "WINDOW ASC vec_id") -> kg,
+      (q, s"SORT ASC $md5Sql") -> dn,
+      (q, "SORT ASC vec_id") -> kg))
+    // per-query rank tiebreak on the candidate id (ANN result grain)
+    val annCand = Seq("q14a_ann_brute_topk", "q14b_ann_lsh",
+      "q14c_ann_ivf", "q14f_ann_ivf_multiprobe", "q14g_ann_ivfpq",
+      "q14k_ann_recall").map(q => (q, "WINDOW ASC cand_id") -> kg)
+    (annCells ++ annCand ++ Seq(
+      ("q12c_langid", "WINDOW ASC slang") -> "literal-frame",
+      ("q12q_weighted_sample", "SORT ASC __ikey") -> dn,
+      ("q12q_weighted_sample", "SORT ASC doc_id") -> kg,
+      ("q12y_bm25_topk", "WINDOW ASC doc_id") -> kg,
+      ("q1a_yoy_growth", "WINDOW ASC o_year") -> "coupled",
+      ("q24c_event_transitions", "WINDOW ASC ts") -> cf,
+      ("q24c_event_transitions", "WINDOW ASC event_id") -> kg,
+      ("q24d_attribution", "WINDOW ASC ts") -> "operator-contract",
+      ("q25c_next_item", "WINDOW ASC o_orderdate") -> cf,
+      ("q25c_next_item", "WINDOW ASC o_orderkey") -> kg,
+      ("q25c_next_item", "WINDOW ASC part_from") -> kg,
+      ("q25c_next_item", "WINDOW ASC part_to") -> kg,
+      ("q25c_next_item", "SORT ASC part_from") -> kg,
+      ("q25c_next_item", "SORT ASC part_to") -> kg,
+      ("q26f_skew_audit", "SORT ASC k") -> cf,
+      ("q3a_rank_ntile", "WINDOW ASC c_custkey") -> kg,
+      ("q3c_window_extras", "WINDOW ASC c_custkey") -> kg,
+      ("q3b_moving_avg_ytd", "WINDOW ASC ship_day") -> cf,
+      ("q5a_top_ltv", "SORT ASC c_custkey") -> kg,
+      ("q5c_ltv_payment_grain", "SORT ASC customer_id") -> kg,
+      ("q9d_segmentation", "WINDOW ASC o_custkey") -> kg,
+      ("q9q_weighted_median", "WINDOW ASC qty") -> cf,
+      ("q9r_survival_km", "WINDOW ASC dur") -> cf,
+      ("q9u_mad_outliers", "WINDOW ASC v") -> cf,
+      ("q9u_mad_outliers", "WINDOW ASC d") -> cf)).toMap
+  }
+
+  test("nullable NULLS-FIRST orderings only on the triaged census allowlist") {
+    val hits = audits.flatMap(a => a.nullOrderHits.map(h => (a.name, h)))
+    val untriaged = hits.filterNot(nullOrderTriage.contains)
+    val stale = nullOrderTriage.keySet -- hits.toSet
+    assert(untriaged.isEmpty && stale.isEmpty,
+      (if (untriaged.nonEmpty)
+        s"UNTRIAGED nullable nulls-first ordering sites (pin " +
+          s"asc_nulls_last, convention-filter, or triage them — see " +
+          s"NULL_CONTRACT.md):\n" +
+          untriaged.sorted.map { case (q, h) => s"  $q: $h" }.mkString("\n")
+      else "") +
+        (if (stale.nonEmpty)
+          s"\nstale triage entries (site no longer in the census): " +
+            stale.toSeq.sorted.mkString(", ")
+        else ""))
+  }
 
   test("grouped SortAggregate only on the exact census allowlist") {
     val flagged = audits.flatMap { a =>

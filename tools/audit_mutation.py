@@ -501,6 +501,19 @@ MUTATIONS = [
               "opens a new session on the Spark side only",
          subs=[('usec($"ts") - usec(lag($"ts", 1).over(w)) > 1800000000L',
                 'usec($"ts") - usec(lag($"ts", 1).over(w)) >= 1800000000L')]),
+    # Gates the r16 census RATCHET itself (PlanAuditSpec's triaged
+    # nulls-first allowlist): a plausible polarity slip blinds the
+    # shared collector to nullable children — every triaged entry
+    # goes stale AND the non-nullable nulls-first sites it now flags
+    # are untriaged, so the ratchet trips in both directions. Proves
+    # a future query with an untriaged ordering site cannot pass.
+    dict(id="m51_census_blinded", query="q9f_revenue_share",
+         gate="spec", spec="graft.PlanAuditSpec",
+         file="src/main/scala/graft/NullOrderCensus.scala",
+         desc="null-order census collector polarity flipped: nullable "
+              "ordering sites become invisible to the ratchet",
+         subs=[('        case so if so.nullOrdering == NullsFirst && so.child.nullable =>',
+                '        case so if so.nullOrdering == NullsFirst && !so.child.nullable =>')]),
 ]
 
 OPENS = " ".join(
