@@ -548,7 +548,7 @@ object AnalyticsQueries {
         // nameless group sorts last on both engines; row membership
         // is unchanged (unlike the q15/q24c measure-exclusion
         // convention, a tiebreak never drops rows). Pinned by
-        // HeavyTieSpec and mutation m42.
+        // HeavyTieSpec and mutation m42; see NULL_CONTRACT.md B.
         rank().over(Window.orderBy($"revenue".desc, $"n_name".asc_nulls_last)))
   }
 
@@ -881,7 +881,8 @@ object AnalyticsQueries {
     // back to its own stats row — Spark silently dropped the whole
     // group while the twin (direct quantile_cont, no rejoin) kept it.
     // <=> (EqualNullSafe) is still a hash-join key, so the broadcast
-    // plan shape is unchanged. Pinned by HeavyTieSpec + mutation m43.
+    // plan shape is unchanged. Pinned by HeavyTieSpec + mutation m43;
+    // see NULL_CONTRACT.md C.
     val checked = cust.join(broadcast(stats.withColumnRenamed("n_name", "__sn")),
         $"n_name" <=> $"__sn")
       .drop("__sn")

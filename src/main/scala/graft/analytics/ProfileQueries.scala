@@ -217,7 +217,8 @@ object ProfileQueries {
     * total keeps it by construction, so the twin's cells⋈tot rejoin
     * must be null-safe (`IS NOT DISTINCT FROM`) or DuckDB alone
     * drops the group. Same class as q9o's engine-side fix, opposite
-    * side. Pinned by LinkedMixedSpec + mutation m45.
+    * side (NULL_CONTRACT.md C). Pinned by LinkedMixedSpec + mutation
+    * m45.
     */
   val q26cEntropy: GraftQuery = GraftQuery(
     "q26c_entropy",
@@ -277,7 +278,8 @@ object ProfileQueries {
     *
     * Null-group contract: same as q26c — the twin's pairs⋈tots
     * rejoin is null-safe so a NULL segment stays a real group on
-    * both engines (r15 linkedmixed; LinkedMixedSpec + mutation m46).
+    * both engines (r15 linkedmixed; LinkedMixedSpec + mutation m46;
+    * NULL_CONTRACT.md C).
     */
   val q26dPsi: GraftQuery = GraftQuery(
     "q26d_psi_drift",

@@ -413,7 +413,8 @@ object OlapExtras {
     * median, an integer rule both engines apply identically; no
     * interpolation, no floats).
     *
-    * Null contract (q15/q24c convention): a NULL-quantity row cannot
+    * Null contract (q15/q24c convention, NULL_CONTRACT.md A): a
+    * NULL-quantity row cannot
     * participate in a quantity median, so it is excluded from the
     * value-grain cells on BOTH engines — otherwise its weight rides
     * the cumulative window FIRST under Spark's nulls-first ascending
@@ -480,7 +481,8 @@ object OlapExtras {
     * (every o_orderkey%97 order re-entered at 10× its total) so the
     * audit can never pass vacuously.
     *
-    * Null contract (the q15/q24c convention, monetary axis — r15
+    * Null contract (the q15/q24c convention, NULL_CONTRACT.md A,
+    * monetary axis — r15
     * `heavyprice` fixture exhibited the divergence live): a
     * price-less order has no place in a price median, so it is
     * excluded from the value cells on BOTH engines (engine
