@@ -15,11 +15,17 @@
 #   replica    — sf0.01 full-registry graft.Verify + DuckDB compare
 #                (the driver-gate replica; expect 171/0)
 #   census     — graft.SpillCensus at sf0.1 (expect zero spill)
+#   bench      — STANDALONE fresh-JVM full bench at sf0.1, the
+#                round's canonical closing sample (r16 verdict task 5:
+#                the r15 drift ledger proved sbt-forked samples read
+#                high and SUBSET standalone runs are JIT-cold-
+#                dominated — only the full standalone run is a valid
+#                tiebreak). Headline/ext mins land in the ledger line.
 #   delta      — dated Delta/Iceberg/Hudi classpath recheck (expect 0
 #                jars; if nonzero, the q17i/k emulations have a real
 #                backend to swap in — see SURVEY)
 #
-# Usage: tools/close_round.sh [gate ...]     (default: all six)
+# Usage: tools/close_round.sh [gate ...]     (default: all seven)
 # Output: per-gate logs under /tmp/close_round/, one JSON summary line
 # on stdout (also saved to /tmp/close_round/ledger.json). Exit 0 iff
 # every requested gate is green.
@@ -35,7 +41,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
 done
 
 gates=("$@")
-[ $# -eq 0 ] && gates=(suite degenerate mutation replica census delta)
+[ $# -eq 0 ] && gates=(suite degenerate mutation replica census bench delta)
 : > "$OUT/status"
 
 run_gate() { # run_gate <name> <cmd...>
@@ -67,6 +73,14 @@ gate_census() {
     graft.SpillCensus
 }
 
+gate_bench() {
+  # shellcheck disable=SC2086
+  SPARK_GRAFT_SF_DIR=/root/testdata/sf0.1 SPARK_GRAFT_CPUS=32 \
+    SPARK_GRAFT_BENCH_DETAIL="$OUT/bench_detail.json" \
+    java $OPENS -Xmx32g -cp "target/scala-2.13/classes:/opt/spark/jars/*" \
+    graft.Bench
+}
+
 gate_delta() {
   date -u +%Y-%m-%dT%H:%MZ
   ls /opt/spark/jars | wc -l
@@ -82,6 +96,7 @@ for g in "${gates[@]}"; do
     mutation)   run_gate mutation tools/audit_mutation.sh ;;
     replica)    run_gate replica gate_replica ;;
     census)     run_gate census gate_census ;;
+    bench)      run_gate bench gate_bench ;;
     delta)      run_gate delta gate_delta ;;
     *) echo "unknown gate: $g"; overall=1; continue ;;
   esac || overall=1
@@ -132,6 +147,16 @@ for name, st in status.items():
             entry["green"] &= (c["mem_spill_bytes"] == 0
                                and c["disk_spill_bytes"] == 0
                                and not c["failed"])
+        else:
+            entry["green"] = False
+    elif name == "bench":
+        m = re.search(r'\{"metric":"total".*\}', text)
+        if m:
+            b = json.loads(m.group(0))
+            entry.update(headline_min=b["value"],
+                         median_total=b["median_total"],
+                         ext_total=b["ext_total"], failed=b["failed"])
+            entry["green"] &= not b["failed"]
         else:
             entry["green"] = False
     elif name == "delta":
