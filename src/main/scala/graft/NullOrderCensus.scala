@@ -1,8 +1,9 @@
 package graft
 
 import org.apache.spark.sql.SparkSession
-import org.apache.spark.sql.catalyst.expressions.{Ascending, NullsFirst, SortOrder}
+import org.apache.spark.sql.catalyst.expressions.{ArraySort, Ascending, NullsFirst, SortArray, SortOrder}
 import org.apache.spark.sql.catalyst.plans.logical.{LogicalPlan, Sort, Window}
+import org.apache.spark.sql.types.{ArrayType, StructType}
 
 /** Registry-wide null-ordering census (r15, repeatable — not part of
   * the driver contract): enumerate every NULLS-FIRST ordering over a
@@ -54,6 +55,35 @@ object NullOrderCensus {
     }.flatten.distinct
   }
 
+  /** EXPRESSION-level orderings (r16, closing the census scope gap
+    * the `linkedseq` fixture exposed: q27's NULL-month EMA seed hid
+    * inside `array_sort`, which plans no Sort/Window node): every
+    * `sort_array` / `array_sort` whose element type can carry a NULL
+    * — a nullable struct field (the struct comparator orders a NULL
+    * field FIRST ascending, like any Spark asc ordering, vs the
+    * DuckDB twins' relational nulls-last) or a nullable element.
+    * `collect_list`/`collect_set` never emit null ELEMENTS
+    * (containsNull=false — and collect_set additionally drops null
+    * INPUTS), so in practice the trigger is struct-FIELD nullability.
+    * Lines: `EXPR SORT_ARRAY|ARRAY_SORT <element catalogString>`.
+    */
+  def exprSortHits(plan: LogicalPlan): Seq[String] = {
+    def nullableElement(dt: org.apache.spark.sql.types.DataType,
+                        containsNull: Boolean): Boolean = dt match {
+      case st: StructType => containsNull || st.exists(_.nullable)
+      case _ => containsNull
+    }
+    plan.collect { case p =>
+      p.expressions.flatMap(_.collect {
+        case s: SortArray => ("SORT_ARRAY", s.base.dataType)
+        case s: ArraySort => ("ARRAY_SORT", s.argument.dataType)
+      })
+    }.flatten.collect {
+      case (tag, ArrayType(et, cn)) if nullableElement(et, cn) =>
+        s"EXPR $tag ${et.catalogString.take(90)}"
+    }.distinct
+  }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse("/root/testdata/sf0.001")
     val spark = SparkSession.builder()
@@ -70,7 +100,8 @@ object NullOrderCensus {
         try {
           val plan: LogicalPlan =
             SparkEntry.queries(name)(spark, sfDir).queryExecution.analyzed
-          asymmetricHits(plan).foreach(h => println(s"$name\t$h"))
+          (asymmetricHits(plan) ++ exprSortHits(plan))
+            .foreach(h => println(s"$name\t$h"))
         } catch {
           case t: Throwable =>
             println(s"$name\tERROR ${t.getMessage.take(80)}")

@@ -95,7 +95,8 @@ class PlanAuditSpec extends SparkTestBase {
           case p => p.expressions.flatMap(_.collect { case u: ScalaUDF => u })
         }.flatten.nonEmpty
         Audit(name, qe.sparkPlan, hasUdf,
-          NullOrderCensus.asymmetricHits(qe.analyzed), None)
+          NullOrderCensus.asymmetricHits(qe.analyzed) ++
+            NullOrderCensus.exprSortHits(qe.analyzed), None)
       } catch { case e: Throwable =>
         Audit(name, null, hasUdf = false, Seq.empty, Some(e.getMessage))
       }
@@ -299,11 +300,14 @@ class PlanAuditSpec extends SparkTestBase {
     *  - operator-contract: AsofJoin's ts ordering — right-side nulls
     *    dropped, left-side carries nullified, AT the operator.
     *
-    * KNOWN SCOPE LIMIT, by design: the census walks Sort/Window
-    * nodes; EXPRESSION-level orderings (array_sort, sort_array) are
-    * invisible to it — q27's NULL-month EMA seed hid there and was
-    * caught by the linkedseq fixture replay instead. Fixture probes
-    * stay the net for that class.
+    * Since the first r16 pass the census ALSO collects
+    * EXPRESSION-level orderings ([[NullOrderCensus.exprSortHits]]:
+    * sort_array / array_sort over a nullable element or struct
+    * field) — the scope gap where q27's NULL-month EMA seed hid;
+    * those carry `EXPR` keys below. Orderings buried in other
+    * expressions (min/max_by over nullable tiebreaks, aggregate()
+    * folds whose ORDER comes from an upstream sort already counted)
+    * remain fixture-probe territory.
     */
   private val kg = "key-grain"
   private val dn = "derived-non-null"
@@ -324,7 +328,35 @@ class PlanAuditSpec extends SparkTestBase {
     val annCand = Seq("q14a_ann_brute_topk", "q14b_ann_lsh",
       "q14c_ann_ivf", "q14f_ann_ivf_multiprobe", "q14g_ann_ivfpq",
       "q14k_ann_recall").map(q => (q, "WINDOW ASC cand_id") -> kg)
-    (annCells ++ annCand ++ Seq(
+    // EXPR sites: cell/d are fold/posexplode results (never null),
+    // term/w1/w2 are exploded split tokens (explode emits no nulls;
+    // a null text yields no rows) — all derived-non-null; the
+    // genuinely nullable leads (mon, dur) are convention-filtered
+    val centFrame = "struct<cell:int,cemb:array<float>,cn2:double>"
+    val exprHits = Seq(
+      ("q12r_unigram_logprob",
+        "EXPR SORT_ARRAY struct<term:string,x:double>") -> dn,
+      ("q12x_bigram_logprob",
+        "EXPR SORT_ARRAY struct<w1:string,w2:string,x:double>") -> dn,
+      ("q14c_ann_ivf", s"EXPR SORT_ARRAY $centFrame") -> dn,
+      ("q14e_semantic_dedup", s"EXPR SORT_ARRAY $centFrame") -> dn,
+      ("q14f_ann_ivf_multiprobe", s"EXPR SORT_ARRAY $centFrame") -> dn,
+      ("q14g_ann_ivfpq", s"EXPR SORT_ARRAY $centFrame") -> dn,
+      ("q14g_ann_ivfpq",
+        "EXPR SORT_ARRAY struct<cell:int,cemb:array<float>>") -> dn,
+      ("q14k_ann_recall", s"EXPR SORT_ARRAY $centFrame") -> dn,
+      ("q14k_ann_recall",
+        "EXPR SORT_ARRAY struct<cell:int,cemb:array<float>>") -> dn,
+      ("q14h_kmeans_step",
+        "EXPR SORT_ARRAY struct<cell:int,ccs:array<bigint>>") -> dn,
+      ("q14h_kmeans_step", "EXPR SORT_ARRAY struct<d:int,m:bigint>") -> dn,
+      ("q27_exp_smoothing",
+        "EXPR ARRAY_SORT struct<mon:string,rev:double>") -> cf,
+      ("q27b_holt_trend",
+        "EXPR ARRAY_SORT struct<mon:string,rev:double>") -> cf,
+      ("q9r_survival_km",
+        "EXPR ARRAY_SORT struct<dur:bigint,n_risk:bigint,d:bigint>") -> cf)
+    (annCells ++ annCand ++ exprHits ++ Seq(
       ("q12c_langid", "WINDOW ASC slang") -> "literal-frame",
       ("q12q_weighted_sample", "SORT ASC __ikey") -> dn,
       ("q12q_weighted_sample", "SORT ASC doc_id") -> kg,
@@ -354,6 +386,7 @@ class PlanAuditSpec extends SparkTestBase {
 
   test("nullable NULLS-FIRST orderings only on the triaged census allowlist") {
     val hits = audits.flatMap(a => a.nullOrderHits.map(h => (a.name, h)))
+      .distinct
     val untriaged = hits.filterNot(nullOrderTriage.contains)
     val stale = nullOrderTriage.keySet -- hits.toSet
     assert(untriaged.isEmpty && stale.isEmpty,
