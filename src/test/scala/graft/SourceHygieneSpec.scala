@@ -48,17 +48,20 @@ class SourceHygieneSpec extends AnyFunSuite {
     assert(countsOf("""\.collect\(\)""") === expected)
   }
 
-  test("zero scalar UDFs; udaf only for the four typed Aggregators") {
+  test("zero scalar UDFs; udaf only for the three typed Aggregators") {
     assert(countsOf("""[^a-zA-Z]udf\(""") === Map.empty[String, Int])
     assert(countsOf("""spark\.udf""") === Map.empty[String, Int])
     // typed Aggregators (partial-aggregable, Tungsten-encoded,
     // BOUNDED state: Misra-Gries k-counter sketch, top-k heaps, the
     // DF-capped posting list) — the documented exceptions; scalar
-    // row-at-a-time UDFs stay banned
+    // row-at-a-time UDFs stay banned. The top-k udaf moved from its
+    // two call sites (BasketQueries/OlapExtras) INTO TopK.topk in r16
+    // so the null-preserving boxed-input encoder is baked in — a
+    // call site can no longer pick the primitive encoder that
+    // coerced NULL scores to 0.0 (NULL_CONTRACT.md).
     assert(countsOf("""udaf\(""") === Map(
       "text/HeavyHitterQueries.scala" -> 1,
-      "analytics/BasketQueries.scala" -> 1,
-      "queries/OlapExtras.scala" -> 1,
+      "functions/TopK.scala" -> 1,
       "text/DedupQueries.scala" -> 1))
   }
 
