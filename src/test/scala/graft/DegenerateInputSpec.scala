@@ -505,10 +505,10 @@ object DegenerateData {
     }
   }
 
-  /** `linkedseq` (r16, COMMITTED — the probe caught SIX live
-    * divergence sites on first replay, five FAIL rows): the SEQUENCE
-    * axis over heavytie's referential wiring — the two blind spots
-    * left after r15's linked shapes:
+  /** `linkedseq` (r16, COMMITTED — the probe caught FIVE live
+    * divergences on first replay: q25c, q27, q27b, q24d, q15d): the
+    * SEQUENCE axis over heavytie's referential wiring — the two
+    * blind spots left after r15's linked shapes:
     *  1. a NULL o_orderdate inside a MULTI-order customer's sequence
     *     (linkedmixed wires one order per customer, so its null date
     *     rides a 1-row partition): caught q25c's next-item rank
