@@ -581,6 +581,24 @@ object DegenerateData {
     }
   }
 
+  // PROBE RESULT (r16, NEGATIVE — shape not committed, see SURVEY
+  // §8.14): hard-Unicode probe `uniprobe` aimed at the CUSTOM codegen
+  // expressions (graft_nfc via java.text.Normalizer, graft_ngrams)
+  // vs DuckDB's independent utf8proc/RE2 stack — documents rewritten
+  // with code-point-constructed singleton decompositions (U+212B,
+  // U+2126), combining marks in NON-canonical order (acute ccc 230
+  // before dot-below ccc 220, forcing reorder-then-compose),
+  // algorithmic Hangul jamo (U+1100 U+1161 U+11A8 -> U+AC01),
+  // composition EXCLUSIONS (U+0915 U+093C stays decomposed; astral
+  // U+1D15E decomposes under NFC), and a ZWJ emoji sequence through
+  // every tokenizer/fingerprint twin. Full-registry replay: 171/0 —
+  // both normalizers implement UAX#15 identically on every case, and
+  // the regex/tokenizer surfaces are code-point-symmetric (the
+  // patterns are shared ASCII-class literals with no Java-vs-RE2
+  // divergent constructs; see the r16 desk audit). Ledgered so a
+  // future round that adds normalization forms (NFKC casefold) or
+  // locale-aware case mapping knows this class needs a fresh probe.
+
   // PROBE RESULT (r14, NEGATIVE — shape not committed, see SURVEY
   // §8.12): the heavy idea on the TIME axis — an UNDATEABLE row
   // carrying a LARGE valid measure inside one entity's sequence
