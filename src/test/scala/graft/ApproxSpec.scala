@@ -17,7 +17,7 @@ class ApproxSpec extends SparkTestBase {
       countDistinct($"l_orderkey").as("exact"),
       approx_count_distinct($"l_orderkey").as("approx"),
       approx_count_distinct($"l_orderkey", 0.01).as("approx_tight"))
-      .head
+      .head()
     val (exact, approx, tight) =
       (row.getLong(0).toDouble, row.getLong(1).toDouble,
         row.getLong(2).toDouble)
@@ -36,7 +36,7 @@ class ApproxSpec extends SparkTestBase {
       percentile($"l_extendedprice", lit(0.5)).as("exact"),
       percentile_approx($"l_extendedprice", lit(0.5), lit(10000))
         .as("approx"))
-      .head
+      .head()
     val (exact, approx) = (row.getDouble(0), row.getDouble(1))
     assert(math.abs(approx - exact) / exact < 0.01,
       s"median approx=$approx exact=$exact")
@@ -56,7 +56,7 @@ class ApproxSpec extends SparkTestBase {
       val r = li.agg(
         percentile_approx(col(m), lit(0.25), lit(10000)).as("p25"),
         percentile_approx(col(m), lit(0.5), lit(10000)).as("p50"),
-        percentile_approx(col(m), lit(0.75), lit(10000)).as("p75")).head
+        percentile_approx(col(m), lit(0.75), lit(10000)).as("p75")).head()
       val (e25, e50, e75) = exact(m)
       Seq((r.getDouble(0), e25), (r.getDouble(1), e50),
         (r.getDouble(2), e75)).foreach { case (a, e) =>
