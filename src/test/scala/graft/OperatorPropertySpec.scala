@@ -208,6 +208,56 @@ class OperatorPropertySpec extends SparkTestBase {
     }
   }
 
+  /** Property form of the r16 NULL-ts contract (AsofJoin object
+    * scaladoc, NULL_CONTRACT.md A): under random null injection on
+    * BOTH sides, a null-ts right row is never carried in either
+    * direction and a null-ts left row keeps its row with null
+    * carries — checked against a driver-side reference that models
+    * DuckDB's native ASOF (its inequality is never true on NULL).
+    */
+  test("asof nearest NULL-ts contract holds under random null injection") {
+    import spark.implicits._
+    val caseGen = for {
+      nl <- Gen.chooseNum(1, 12)
+      nr <- Gen.chooseNum(0, 10)
+      lks <- Gen.listOfN(nl, Gen.chooseNum(0L, 2L))
+      lts <- Gen.listOfN(nl, Gen.frequency(
+        (3, Gen.chooseNum(0L, 40L).map(Option(_))),
+        (1, Gen.const(Option.empty[Long]))))
+      rks <- Gen.listOfN(nr, Gen.chooseNum(0L, 2L))
+      rts <- Gen.pick(nr, 0L to 40L) // distinct among real ts
+      rnull <- Gen.listOfN(nr, Gen.frequency(
+        (1, Gen.const(true)), (2, Gen.const(false))))
+    } yield (
+      lks.zip(lts).zipWithIndex.map { case ((k, t), i) => (k, t, i.toLong) },
+      rks.lazyZip(rts).lazyZip(rnull).toList.map { case (k, t, isNull) =>
+        (k, if (isNull) Option.empty[Long] else Some(t), k * 1000 + t)
+      })
+    sample(caseGen, 10).foreach { case (lefts, rights) =>
+      val got = AsofJoin.asofNearest(
+          lefts.toDF("k", "t", "lid"), rights.toDF("k", "t", "rid"),
+          keys = Seq("k"), tsCol = "t", carryCols = Seq("rid"))
+        .collect().map { r =>
+          def opt(i: Int) = if (r.isNullAt(i)) None else Some(r.getLong(i))
+          r.getLong(2) -> (opt(3), opt(4)) // lid -> (back, fwd)
+        }.toMap
+      assert(got.size == lefts.size,
+        s"LEFT rows must all survive (null ts included): lefts=$lefts")
+      lefts.foreach { case (k, tOpt, lid) =>
+        val expected = tOpt match {
+          case None => (None, None) // null-ts left carries nothing
+          case Some(t) =>
+            val mine = rights.filter(r => r._1 == k && r._2.isDefined)
+            (mine.filter(_._2.get <= t).sortBy(_._2.get).lastOption.map(_._3),
+              mine.filter(_._2.get > t).sortBy(_._2.get).headOption.map(_._3))
+        }
+        assert(got(lid) == expected,
+          s"asof null-contract mismatch at left=($k,$tOpt): " +
+            s"got ${got(lid)}, want $expected on lefts=$lefts rights=$rights")
+      }
+    }
+  }
+
   test("rocPoints agrees with a driver-side ROC sweep on random scores") {
     import spark.implicits._
     // integer scores with deliberate ties + at least one row of each
