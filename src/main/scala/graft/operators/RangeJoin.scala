@@ -49,6 +49,18 @@ object RangeJoin {
     * DISTINCT names; `payload` names columns of `right`, none of
     * which may collide with a left column (the band predicate and the
     * output schema both need unambiguous resolution).
+    *
+    * NULL-ts behavior (r16 audit alongside AsofJoin's contract fix —
+    * this operator needs NO fix because it is null-symmetric BY
+    * CONSTRUCTION, and the distinction is worth recording): a NULL
+    * timestamp bins to a NULL `__bin`, and the bin EQUI-join can
+    * never match NULL to NULL — so a null-ts right row pairs with
+    * nothing (dropped, exactly like the twin's `ABS(l − NULL) <= tol`
+    * three-valued predicate) and a null-ts left row survives as one
+    * null-padded left-outer row. AsofJoin needed an explicit contract
+    * precisely because it uses an ORDERING (nulls sort first) rather
+    * than an equi-join; exercised live by the linkedseq fixture's
+    * null-ts click through q23 (171/0) and pinned in RangeJoinSpec.
     */
   def proximityJoinUs(left: DataFrame, right: DataFrame,
                       leftUs: String, rightUs: String,

@@ -45,6 +45,31 @@ class RangeJoinSpec extends SparkTestBase {
     assert(got.contains((4L, None)), "unmatched left row must be kept")
   }
 
+  /** The NULL-ts pin (r16, recorded alongside AsofJoin's contract
+    * fix): the bin EQUI-join is null-symmetric by construction — a
+    * null-ts right row matches nothing (like the three-valued
+    * `ABS(l − NULL) <= tol`), a null-ts left row survives as exactly
+    * one null-padded row. See the proximityJoinUs scaladoc.
+    */
+  test("null timestamps: right rows match nothing, left rows survive null-padded") {
+    import spark.implicits._
+    val left = Seq(
+      (1L, Option(100L)),
+      (2L, Option.empty[Long]) // null-ts left: one null-padded row
+    ).toDF("lid", "l_us")
+    val right = Seq(Option(105L), Option.empty[Long]) // null-ts right: never a match
+      .toDF("r_us")
+    val got = RangeJoin
+      .proximityJoinUs(left, right, "l_us", "r_us", tolUs = 10L, payload = Nil)
+      .select($"lid", $"r_us")
+      .collect()
+      .map(r => (r.getLong(0), if (r.isNullAt(1)) None else Some(r.getLong(1))))
+      .sorted(Ordering.Tuple2(Ordering.Long, Ordering.Option[Long]))
+      .toList
+    assert(got === List((1L, Some(105L)), (2L, None)),
+      s"got $got — a null-ts row leaked into the band (or a left row vanished)")
+  }
+
   test("q23 plans an equi-join on the bin — never a nested-loop scan") {
     val df = graft.operators.RangeJoin.q23ProximityJoin.fn(spark, sfDir)
     df.collect()
