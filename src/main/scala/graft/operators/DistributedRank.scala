@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
@@ -38,6 +38,27 @@ import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
   */
 object DistributedRank {
 
+  /** NULL-ordering normalization (r16, the census's one structural
+    * blind spot closed at the operator): this operator's internal
+    * sort sits behind an RDD boundary (`parted.rdd` →
+    * `createDataFrame`), so the NullOrderCensus ratchet can NEVER see
+    * a caller's ordering through the resulting LogicalRDD — a future
+    * caller passing a nullable ASC order column would silently rank
+    * nulls FIRST (Spark's default) while every DuckDB twin ranks
+    * them LAST. Instead of auditing callers by hand, the ordering is
+    * normalized HERE to NULLS LAST in both directions (DuckDB's
+    * default, NULL_CONTRACT.md B). Current callers are unaffected:
+    * their DESC sites were already nulls-last, and the one nullable
+    * ASC site (q28 recency) is convention-filtered upstream. A
+    * caller that genuinely needs nulls-first must pre-transform
+    * (e.g. coalesce to a sentinel) — none exists. Pinned by
+    * DistributedRankSpec + mutation m52. The rewrite happens at the
+    * COLUMN-NODE level (see [[GraftColumnBridge.nullsLast]]) — a
+    * Column's sort state is not a catalyst SortOrder.
+    */
+  private[operators] def nullsLast(c: Column): Column =
+    GraftColumnBridge.nullsLast(c)
+
   /** Appends `rankName` (LONG — a global rank on this operator's own
     * scale path can exceed 2³¹, so Int would silently wrap; callers
     * with reference-mandated INT output cast at their boundary) and
@@ -58,7 +79,7 @@ object DistributedRank {
     val parts =
       if (numPartitions > 0) numPartitions
       else spark.sessionState.conf.numShufflePartitions
-    val sortCols = groupCols.map(col) ++ orderCols
+    val sortCols = groupCols.map(col) ++ orderCols.map(nullsLast)
     val parted = df
       .repartitionByRange(parts, sortCols: _*)
       .sortWithinPartitions(sortCols: _*)

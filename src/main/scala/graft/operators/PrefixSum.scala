@@ -29,6 +29,14 @@ import org.apache.spark.sql.types.{LongType, StructType}
   * scan's "first row gets 0" identity, which callers composing an
   * inclusive cum (`out + value`) inherit NULL-propagation from
   * naturally.
+  *
+  * NULL ordering is normalized to NULLS LAST in both directions
+  * ([[DistributedRank.nullsLast]], r16): the internal sort sits
+  * behind an RDD boundary the NullOrderCensus cannot see, and under
+  * Spark's nulls-FIRST default an undateable/unkeyable row's value
+  * would silently enter EVERY row's prefix while the DuckDB twins'
+  * nulls-last ordering adds it to none. Current callers order by
+  * derived non-null keys; the pin protects the next caller.
   */
 object PrefixSum {
 
@@ -53,9 +61,10 @@ object PrefixSum {
     require(!df.columns.contains(outName),
       s"input already contains output column '$outName'")
     val withVal = df.withColumn("__psum_v", valueCol.cast(LongType))
+    val ord = orderCols.map(DistributedRank.nullsLast)
     val parted = withVal
-      .repartitionByRange(parts, orderCols: _*)
-      .sortWithinPartitions(orderCols: _*)
+      .repartitionByRange(parts, ord: _*)
+      .sortWithinPartitions(ord: _*)
     val vIdx = parted.schema.fieldIndex("__psum_v")
 
     val rdd = parted.rdd

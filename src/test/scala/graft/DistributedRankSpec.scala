@@ -34,6 +34,27 @@ class DistributedRankSpec extends SparkTestBase {
       got.exceptAll(expected).count() == 0)
   }
 
+  /** The r16 NULLS LAST normalization (DistributedRank.nullsLast):
+    * the operator's sort hides behind an RDD boundary the
+    * NullOrderCensus cannot see, so the operator itself pins
+    * DuckDB's default — a nullable ASC order value ranks LAST, not
+    * Spark's default FIRST. Mutation m52 flips the pin → red.
+    */
+  test("a NULL ASC order value ranks LAST (DuckDB default), not first") {
+    import spark.implicits._
+    val df = Seq(
+      (10L, Option(3L)), (11L, Option.empty[Long]),
+      (12L, Option(1L)), (13L, Option(2L)))
+      .toDF("id", "v")
+    val got = DistributedRank.rankNtile(
+      df, Seq.empty, Seq($"v".asc, $"id".asc),
+      ntiles = 2, rankName = "rnk", ntileName = "nt", numPartitions = 3)
+      .collect().map(r => r.getLong(0) -> r.getLong(2)).toMap
+    assert(got == Map(12L -> 1L, 13L -> 2L, 10L -> 3L, 11L -> 4L),
+      s"got $got — the NULL row must rank LAST under asc " +
+        "(nulls-first would shift every real row's rank)")
+  }
+
   test("a hot group spans more than one task") {
     import spark.implicits._
     // Re-derive the operator's partitioning and assert the range

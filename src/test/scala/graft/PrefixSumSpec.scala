@@ -57,6 +57,26 @@ class PrefixSumSpec extends SparkTestBase {
     assert(out == Map(1L -> 0L, 2L -> 0L, 3L -> 0L, 4L -> 5L, 5L -> 5L))
   }
 
+  /** The r16 NULLS LAST normalization (shared with DistributedRank):
+    * a NULL ORDER key sorts last, so its value enters no real row's
+    * exclusive prefix — under Spark's nulls-first default it would
+    * silently enter EVERY row's prefix while the DuckDB twins add it
+    * to none.
+    */
+  test("a NULL order key sorts LAST: its value enters no real row's prefix") {
+    import spark.implicits._
+    val df = Seq(
+      (Option(1L), 5L), (Option.empty[Long], 100L), (Option(2L), 7L))
+      .toDF("k", "v")
+    val out = PrefixSum.exclusivePrefixSum(
+      df, Seq($"k".asc), $"v", "pre", numPartitions = 2)
+      .collect().map(r => (if (r.isNullAt(0)) None else Some(r.getLong(0))) -> r.getLong(2))
+      .toMap
+    assert(out == Map(Some(1L) -> 0L, Some(2L) -> 5L, None -> 12L),
+      s"got $out — the null-key row's 100 must trail the order, " +
+        "not lead it into every prefix")
+  }
+
   test("first row in order gets offset zero") {
     import spark.implicits._
     val df = Seq((3L, 10L), (1L, 5L), (2L, 7L)).toDF("k", "v")

@@ -514,6 +514,23 @@ MUTATIONS = [
               "ordering sites become invisible to the ratchet",
          subs=[('        case so if so.nullOrdering == NullsFirst && so.child.nullable =>',
                 '        case so if so.nullOrdering == NullsFirst && !so.child.nullable =>')]),
+    # DistributedRank/PrefixSum's internal sort hides behind an RDD
+    # boundary the census cannot see, so the operators normalize
+    # their null ordering to NULLS LAST (DuckDB's default) at the
+    # ColumnNode level. A plausible "preserve the caller's ordering"
+    # slip restores Spark's nulls-first asc default — a nullable ASC
+    # order value then ranks FIRST on the Spark side only. Clean
+    # sf0.01 never feeds the operators a null ordering value — gated
+    # by DistributedRankSpec's null-rank pin (and PrefixSumSpec's
+    # prefix pin of the same class).
+    dict(id="m52_rank_nulls_first", query="q3a_rank_ntile_dist",
+         gate="spec", spec="graft.DistributedRankSpec",
+         file="src/main/scala/org/apache/spark/sql/GraftColumnBridge.scala",
+         desc="rank/prefix NULLS LAST normalization dropped for sort "
+              "columns: a nullable ASC order ranks nulls first, "
+              "engine-asymmetrically",
+         subs=[('      Column(so.copy(nullOrdering = internal.SortOrder.NullsLast))',
+                '      Column(so)')]),
 ]
 
 OPENS = " ".join(
