@@ -24,8 +24,9 @@ import org.apache.spark.sql.types.{ArrayType, StructType}
   * frames (q12c), and ONE live site — q9f's name tiebreak, exhibited
   * by heavytie and pinned asc_nulls_last.
   *
-  * Since r16 the census is a RATCHET, not a hand tool:
-  * [[graft.NullOrderCensusSpec]] replays [[asymmetricHits]] over the
+  * Since r16 the census is a RATCHET, not a hand tool: the
+  * triaged-allowlist test in [[graft.PlanAuditSpec]] replays
+  * [[asymmetricHits]] over the
   * registry each build and demands an exact match with a
   * triage-annotated allowlist — a new query with an untriaged
   * nullable ordering site FAILS the suite until it is either pinned
@@ -68,11 +69,19 @@ object NullOrderCensus {
     * Lines: `EXPR SORT_ARRAY|ARRAY_SORT <element catalogString>`.
     */
   def exprSortHits(plan: LogicalPlan): Seq[String] = {
+    // Recurses (r17 ADVICE): a nullable field buried one struct level
+    // deeper (struct<a:struct<b:nullable>>) still steers the struct
+    // comparator, so it must not be invisible to the ratchet.
+    def anyNullableInside(d: org.apache.spark.sql.types.DataType): Boolean =
+      d match {
+        case st: StructType =>
+          st.exists(f => f.nullable || anyNullableInside(f.dataType))
+        case ArrayType(et, cn) => cn || anyNullableInside(et)
+        case _ => false
+      }
     def nullableElement(dt: org.apache.spark.sql.types.DataType,
-                        containsNull: Boolean): Boolean = dt match {
-      case st: StructType => containsNull || st.exists(_.nullable)
-      case _ => containsNull
-    }
+                        containsNull: Boolean): Boolean =
+      containsNull || anyNullableInside(dt)
     plan.collect { case p =>
       p.expressions.flatMap(_.collect {
         case s: SortArray => ("SORT_ARRAY", s.base.dataType)

@@ -534,9 +534,18 @@ object DegenerateData {
     import org.apache.spark.sql.Column
     import org.apache.spark.sql.functions._
     import org.apache.spark.sql.expressions.Window
-    buildDir(spark, "linkedseq") { (t, raw) =>
-      val base = raw.limit(if (t == "orders" || t == "lineitem" || t == "events") 4 else 3)
-      val keyCol = base.schema.fieldNames.head
+    buildDir(spark, "linkedseq", version = 2) { (t, raw) =>
+      // Deterministic slice (r17 ADVICE): order by key BEFORE limit —
+      // a bare limit(n) rides parquet scan order, the heavyprice
+      // nondeterminism class. lineitem's head key repeats per line,
+      // so it needs the linenumber tiebreak for a unique prefix.
+      val keyCol = raw.schema.fieldNames.head
+      val ordered =
+        if (t == "lineitem")
+          raw.orderBy(col("l_orderkey"), col("l_linenumber"))
+        else raw.orderBy(col(keyCol))
+      val base = ordered.limit(
+        if (t == "orders" || t == "lineitem" || t == "events") 4 else 3)
       val withRn = base.withColumn("__fk",
         row_number().over(Window.orderBy(col(keyCol))) - 1)
       def byRow(c1: Column, c2: Column, c3: Column, c4: Column): Column =

@@ -349,6 +349,14 @@ class PlanAuditSpec extends SparkTestBase {
         "EXPR SORT_ARRAY struct<cell:int,cemb:array<float>>") -> dn,
       ("q14h_kmeans_step",
         "EXPR SORT_ARRAY struct<cell:int,ccs:array<bigint>>") -> dn,
+      // surfaced by the r17 nested-struct census recursion: the sg
+      // fields are min(md5(non-null)) over >=1-row per-doc groups
+      // (derived-non-null), and the LEADING sort field doc_id is
+      // unique inside each bucket's collect_list, so the nested
+      // fields never act as comparator tiebreaks at all
+      ("q13c_minhash_lsh",
+        "EXPR SORT_ARRAY struct<doc_id:bigint,sg:struct<h0:string," +
+          "h1:string,h2:string,h3:string,h4:string,h5:string") -> dn,
       ("q14h_kmeans_step", "EXPR SORT_ARRAY struct<d:int,m:bigint>") -> dn,
       ("q27_exp_smoothing",
         "EXPR ARRAY_SORT struct<mon:string,rev:double>") -> cf,
@@ -400,6 +408,32 @@ class PlanAuditSpec extends SparkTestBase {
           s"\nstale triage entries (site no longer in the census): " +
             stale.toSeq.sorted.mkString(", ")
         else ""))
+  }
+
+  /** Unit pin for the census collector itself (r17 ADVICE): a
+    * nullable field NESTED one struct level deeper
+    * (struct<a:struct<b:nullable>>) still steers Spark's struct
+    * comparator inside sort_array/array_sort, so [[NullOrderCensus
+    * .exprSortHits]] must see it — the top-level-only check it
+    * shipped with in r16 was blind to exactly this shape. Negative
+    * control: the same nesting with every field non-null must stay
+    * invisible (no false positives widening the ratchet allowlist).
+    */
+  test("exprSortHits recurses into nested struct-field nullability") {
+    import org.apache.spark.sql.functions.{array, col, lit, sort_array, struct, when}
+    import spark.implicits._
+    val df = Seq((1, 2), (3, 4)).toDF("a", "b")
+    val nested = df.select(sort_array(array(struct(
+      struct(when(col("a") > 1, col("b")).as("inner")).as("outer"),
+      col("a").as("k")))).as("arr"))
+    val hits = NullOrderCensus.exprSortHits(nested.queryExecution.analyzed)
+    assert(hits.exists(_.startsWith("EXPR SORT_ARRAY")),
+      s"nested nullable struct field invisible to the census: $hits")
+    val clean = df.select(sort_array(array(struct(
+      struct(col("b").as("inner")).as("outer"), col("a").as("k")))).as("arr"))
+    assert(NullOrderCensus.exprSortHits(
+      clean.queryExecution.analyzed).isEmpty,
+      "non-null nested struct must not trip the census")
   }
 
   test("grouped SortAggregate only on the exact census allowlist") {

@@ -45,7 +45,7 @@ class TopKSpec extends SparkTestBase {
   /** The operator-level NULL contract (r16, hardening the r15 q21
     * root cause): a NULL score is IGNORED — never coerced to 0.0 by
     * the encoder boundary — and an all-null group finishes EMPTY.
-    * Mutation m51 restores the coercion and must turn this red.
+    * Mutation m44 restores the coercion and must turn this red.
     */
   test("NULL scores never enter the heap; an all-null group is empty") {
     import spark.implicits._
