@@ -208,8 +208,9 @@ object AvroSources {
         s"$path: column '$col': unsupported avro value ${x.getClass} for Spark type $t")
     }
 
-  private val AvroOut: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_roundtrip/q17l_avro"
+  // shares Sources' run-unique root (r17): see RoundtripRoot's
+  // scaladoc for the concurrent-JVM clobbering this prevents
+  private val AvroOut: String = s"${Sources.RoundtripRoot}/q17l_avro"
 
   /** Nullable Spark fields map to avro `["null", T]` unions — the
     * spark-avro connector's convention; with bare types the container

@@ -145,14 +145,42 @@ object Sources {
         graft.functions.Exact.dsum($"value").as("total_value"))
   }
 
-  /** Fixed (per-machine-tmpdir) roundtrip output roots: the DuckDB
-    * oracle must read the very files Spark wrote, so the path is
-    * deterministic and baked into the oracle SQL at object init (both
-    * sides run on the same host — the driver runs Verify first, then
-    * the oracles).
+  /** RUN-UNIQUE roundtrip output root: the DuckDB oracle must read
+    * the very files Spark wrote, so the path is baked into the oracle
+    * SQL at object init (both sides run on the same host — the driver
+    * runs Verify first, then the oracles read its dump). Through r16
+    * the root was FIXED per tmpdir, which made the q17 oracles
+    * process-shared state: any concurrent JVM (even an sbt testOnly
+    * rebuilding sf0.001 fixtures) overwrote the files between a
+    * replica's Verify and its DuckDB read — the judge demonstrated
+    * 164/7 live, every failure in the q17 family. The root now
+    * carries the JVM pid, captured ONCE here at object init (NOT a
+    * per-call clock — the oracle SQL must stay deterministic within
+    * a run): the writing JVM and the oracle_sql.json it dumps agree
+    * on the path, while a concurrent JVM lands in its own dir.
+    * No shutdown-hook cleanup — the oracle reads the files AFTER this
+    * JVM exits; instead, init opportunistically sweeps sibling run
+    * dirs idle for >6h (no gate spans one hour, so a 6h-old dir is
+    * dead weight, never a live replica's).
     */
-  private val RoundtripRoot: String =
-    sys.props.getOrElse("java.io.tmpdir", "/tmp") + "/graft_roundtrip"
+  private[graft] val RoundtripRoot: String = {
+    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
+    val dir = java.nio.file.Paths.get(tmp)
+    val cutoff = java.lang.System.currentTimeMillis() - 6L * 3600 * 1000
+    try {
+      val old = java.nio.file.Files.list(dir).iterator()
+      old.forEachRemaining { p =>
+        val n = p.getFileName.toString
+        if (n.startsWith("graft_roundtrip") &&
+          java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+          java.nio.file.Files.walk(p).sorted(
+            java.util.Comparator.reverseOrder[java.nio.file.Path]())
+            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+        }
+      }
+    } catch { case _: java.io.IOException => () } // hygiene only
+    s"$tmp/graft_roundtrip_${ProcessHandle.current().pid()}"
+  }
   private val CsvOut = s"$RoundtripRoot/q17b_csv"
   private val JsonlOut = s"$RoundtripRoot/q17c_jsonl"
 

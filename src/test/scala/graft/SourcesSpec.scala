@@ -207,8 +207,8 @@ class SourcesSpec extends SparkTestBase {
       assert(f(full, "n_rows_scanned") == sliceRows)
       // and the engine actually prunes: the predicted pruning shows up
       // as PartitionFilters in the executed scan
-      val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-      val read = spark.read.parquet(s"$tmp/graft_roundtrip/q17g_part")
+      val read = spark.read.parquet(
+        s"${graft.sources.Sources.RoundtripRoot}/q17g_part")
         .filter($"o_year" === 1992)
       val scanStr =
         read.queryExecution.executedPlan.collectLeaves().head.toString
@@ -253,8 +253,8 @@ class SourcesSpec extends SparkTestBase {
     out.unpersist()
     // predicate pushdown reaches the ORC scan (the format engages the
     // same scan machinery as parquet — not a post-scan Filter only)
-    val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
-    val read = spark.read.orc(s"$tmp/graft_roundtrip/q17d_orc")
+    val read = spark.read.orc(
+      s"${graft.sources.Sources.RoundtripRoot}/q17d_orc")
       .filter($"l_orderkey" === 100L)
     val scanStr =
       read.queryExecution.executedPlan.collectLeaves().head.toString
@@ -344,8 +344,7 @@ class SourcesSpec extends SparkTestBase {
     val out = graft.sources.Sources.q17kTimeTravel.fn(spark, sfDir)
       .collect().map(r => (r.getInt(0), r.getLong(1)) ->
         ((r.getLong(2), r.getLong(3)))).toMap
-    val ttRoot = sys.props.getOrElse("java.io.tmpdir", "/tmp") +
-      "/graft_roundtrip/q17k_tt"
+    val ttRoot = s"${graft.sources.Sources.RoundtripRoot}/q17k_tt"
     def manifest(k: Int): Set[String] =
       scala.io.Source.fromFile(s"$ttRoot/manifests/$k.txt").getLines()
         .filter(_.nonEmpty).toSet
@@ -395,5 +394,28 @@ class SourcesSpec extends SparkTestBase {
     assert(nFrag > rows(1996L)._2,
       s"fragmented write produced $nFrag files, not more than the " +
         s"compacted ${rows(1996L)._2}")
+  }
+
+  /** r17 pin for the run-unique roundtrip root (the judge's 164/7
+    * concurrent-clobber incident): the root must embed THIS JVM's
+    * pid — two processes can then never share a q17 file — and every
+    * registered oracle SQL that references a roundtrip path must
+    * interpolate exactly that root, so the SQL the Verify dump hands
+    * DuckDB reads the files this same JVM wrote. A hand-built path
+    * (the r16 fixed-root pattern) in any future q17 twin fails here.
+    */
+  test("roundtrip root is run-unique and every oracle path agrees") {
+    val root = Sources.RoundtripRoot
+    val pid = ProcessHandle.current().pid()
+    assert(root.endsWith(s"graft_roundtrip_$pid"),
+      s"root '$root' does not embed this JVM's pid $pid")
+    val offenders = SparkEntry.oracleSql.collect {
+      case (name, sql)
+          if sql.contains("graft_roundtrip") && !sql.contains(root) =>
+        name
+    }
+    assert(offenders.isEmpty,
+      s"oracle SQL with a roundtrip path outside the run-unique " +
+        s"root: ${offenders.toSeq.sorted.mkString(", ")}")
   }
 }

@@ -3,6 +3,11 @@
 # cadence the round convention demands, SEQUENTIALLY (the degenerate
 # and mutation audits share Spark temp dirs / mutated sources with sbt
 # test and must never overlap it), and emits ONE JSON ledger line —
+# r17 note: the q17 roundtrip/layout paths are now RUN-UNIQUE
+# (Sources.RoundtripRoot embeds the writing JVM's pid), so a
+# concurrent JVM can no longer clobber the replica's oracle files
+# (the r16 judge's 164/7 incident); gates still run sequentially
+# because they SHARE CPU — concurrent load skews bench/census.
 # so a close can't silently skip a gate and the SURVEY §8 ledger entry
 # is a paste of the line plus commentary.
 #
