@@ -108,8 +108,19 @@ object ProfileQueries {
         col("__rows").as("n_rows"),
         col(s"${f.name}__nn").as("n_nonnull"),
         col(s"${f.name}__nd").as("n_distinct"),
+        // Relative 5% PLUS absolute 2 (r17, the `boundary` fixture
+        // caught the rel-only bound live: 12 distinct doubles → HLL++
+        // estimate 11, |1| > 0.6): approx_count_distinct's error has
+        // an ABSOLUTE floor a relative band cannot cover — the
+        // integer estimate rounds (±1) and register collisions bias
+        // low by ~n²/2m (m = 4096 at rsd 2%) — so the honest verdict
+        // is rel ∨ abs. Negligible loosening at gate scale (2 ≪ 5%
+        // of any real cardinality). The datasketches-backed verdicts
+        // (q26g/q26h) need no absolute term: their coupon mode is
+        // EXACT below ~512 distincts. Pinned by ProfileSpec +
+        // mutation m53.
         (abs(col(s"${f.name}__ad") - col(s"${f.name}__nd")) <=
-          col(s"${f.name}__nd") * 0.05).as("sketch_ok"),
+          col(s"${f.name}__nd") * 0.05 + 2).as("sketch_ok"),
         col(s"${f.name}__mn").as("min_val"),
         col(s"${f.name}__mx").as("max_val"))
     }

@@ -57,6 +57,8 @@ class DegenerateInputSpec extends SparkTestBase {
 
   private val mayFailLinkedSeq: Map[String, String] = Map.empty
 
+  private val mayFailBoundary: Map[String, String] = Map.empty
+
   private def sweep(dir: String, allow: Map[String, String]): Unit = {
     val failures = SparkEntry.queries.toSeq.sortBy(_._1).flatMap {
       case (name, fn) =>
@@ -121,6 +123,10 @@ class DegenerateInputSpec extends SparkTestBase {
 
   test("every registered query survives a linked null-sequence warehouse") {
     sweep(DegenerateData.linkedseqDir(spark), mayFailLinkedSeq)
+  }
+
+  test("every registered query survives the exact-edge boundary warehouse") {
+    sweep(DegenerateData.boundaryDir(spark), mayFailBoundary)
   }
 
   /** The engine's NaN position, pinned: non-finite measures are
@@ -587,6 +593,153 @@ object DegenerateData {
         case _ => withRn
       }
       out.drop("__fk")
+    }
+  }
+
+  /** `boundary` (r17 probe, verdict task 1): the EXACT-EDGE sweep for
+    * the boundary-semantics divergence class q15d named (SURVEY
+    * §8.14) — built-ins whose edge behavior the engine and the twin
+    * must agree on, fed values landing EXACTLY on every edge the
+    * registry uses. Unlike the null-axis shapes, every value here is
+    * clean and well-formed; only its position is adversarial:
+    *  - ntile cut structure: 7 customers-with-orders (global tertile
+    *    n=7,k=3 → 3/2/2 remainder split; quartile 2/2/2/1), nation
+    *    partitions sized 4/2/1 (n<k for ntile(100)), doc sources
+    *    sized 6 (exact multiple) and 7 (remainder) for q12t's
+    *    DistributedRank-vs-NTILE formula pair; an EXACT spend tie
+    *    (c2=c3=2000) straddling the global tertile cut at rank 3/4;
+    *  - top-k rank boundary: that same c2=c3 tie is nation0's
+    *    rank-3/4 boundary, so q21's heap must break the equal-score
+    *    tie on custkey exactly where the ROW_NUMBER twin cuts;
+    *  - window frames: 8+ distinct ship days (the ROWS 6-PRECEDING
+    *    frame fills exactly and slides), ship days 1996-12-31 →
+    *    1997-01-01/02 (YTD partition reset at the year edge);
+    *  - as-of: purchase ts EXACTLY equal to its click's ts
+    *    (backward tie-inclusive on both engines), two clicks at the
+    *    SAME (user, ts) (the dedupRight/MIN precondition exercised
+    *    on real ties), a purchase whose nearest click is EXACTLY 1h
+    *    old (age_us == 3600000000 bucket edge);
+    *  - interval join: error at the click's exact ts (>= edge), at
+    *    exactly +10:00 (<= edge), and at +10:01 (just outside);
+    *  - session gaps: 12:00→12:30→13:00 EXACT 30-min touches (merge
+    *    on touch, the m50 boundary, re-verified) then a 30:01 split;
+    *  - multitouch horizon: click exactly 7 days before purchase
+    *    (age == 604800000000 us, q24h's <= edge);
+    *  - arithmetic edges: l_extendedprice exactly 10000.0/20000.0
+    *    (q9c floor-band edges), shipdate = orderdate + exactly 30
+    *    days (on-time <= 30 edge), o_orderdate exactly at q22's
+    *    1997-01-01 cutoff and at 1996-12-31 23:59:59 (month/year
+    *    index edges), custkey == suppkey on one line (haversine
+    *    dist exactly 0.0 → the nullif(dist,0) edge + lowest band),
+    *    MACHINERY order totals {900..1200} (q9u lower-median pick at
+    *    the exact 2·cn == tn half), event_id 0 and 13 (the %13
+    *    redelivery planting);
+    * Band edges at 100/300/500/1000 km are NOT plantable: the
+    * integer-key coordinate grid's nearest achievable distance to
+    * any edge is 28.2 km (numeric sweep over the full 600-key
+    * period), so trig-rounding noise (~1e-13) can never flip a band
+    * on ANY sf — desk-ledgered in SURVEY §8.
+    */
+  def boundaryDir(spark: SparkSession): String = {
+    import org.apache.spark.sql.functions._
+    buildDir(spark, "boundary") { (t, raw) =>
+      val ss = raw.sparkSession
+      import ss.implicits._
+      def conform(df: org.apache.spark.sql.DataFrame) = df.select(
+        raw.schema.fields.map(f => col(f.name).cast(f.dataType))
+          .toIndexedSeq: _*)
+      t match {
+        case "region" | "part" =>
+          raw.orderBy(col(raw.schema.fieldNames.head)).limit(3)
+        // raw NATION_k already wires n_regionkey = k for k < 3
+        case "nation" => raw.orderBy($"n_nationkey").limit(3)
+        case "documents" =>
+          raw.orderBy($"doc_id").limit(13)
+            .withColumn("source",
+              when($"doc_id" < 6, "src0").otherwise("src1"))
+        case "embeddings" => raw.orderBy($"vec_id").limit(13)
+        case "supplier" => conform(
+          (0L to 5L).map(k =>
+            (k, f"Supplier#$k%09d", (k % 3).toInt, 1000.0 + k))
+            .toDF("s_suppkey", "s_name", "s_nationkey", "s_acctbal"))
+        case "customer" => conform(Seq(
+          (0L, "Customer#000000000", 0, 1000.0, "BUILDING"),
+          (1L, "Customer#000000001", 0, 1100.0, "BUILDING"),
+          (2L, "Customer#000000002", 0, 1200.0, "BUILDING"),
+          (3L, "Customer#000000003", 0, 1300.0, "BUILDING"),
+          (4L, "Customer#000000004", 1, 1400.0, "MACHINERY"),
+          (5L, "Customer#000000005", 1, 1500.0, "MACHINERY"),
+          (6L, "Customer#000000006", 2, 1600.0, "MACHINERY"))
+          .toDF("c_custkey", "c_name", "c_nationkey", "c_acctbal",
+            "c_mktsegment"))
+        case "orders" => conform(Seq(
+          // okey 0 is %97 == 0 → q9u's planted re-entry branch fires
+          (0L, 0L, "F", 100.0, "1996-01-05 00:00:00", "1-URGENT"),
+          (1L, 0L, "F", 200.0, "1996-12-31 23:59:59", "2-HIGH"),
+          (2L, 0L, "F", 300.0, "1997-01-01 00:00:00", "3-MEDIUM"),
+          (3L, 0L, "F", 400.0, "1996-04-03 00:00:00", "1-URGENT"),
+          (4L, 1L, "F", 500.0, "1996-02-12 00:00:00", "2-HIGH"),
+          (5L, 1L, "F", 600.0, "1996-03-12 00:00:00", "3-MEDIUM"),
+          (6L, 2L, "F", 700.0, "1996-02-20 00:00:00", "1-URGENT"),
+          (7L, 3L, "F", 800.0, "1996-05-20 00:00:00", "2-HIGH"),
+          (8L, 4L, "F", 900.0, "1996-06-11 00:00:00", "3-MEDIUM"),
+          (9L, 5L, "O", 1000.0, "1996-07-10 00:00:00", "1-URGENT"),
+          (10L, 6L, "F", 1100.0, "1996-08-15 00:00:00", "2-HIGH"),
+          (11L, 4L, "F", 1200.0, "1996-09-05 00:00:00", "3-MEDIUM"))
+          .toDF("o_orderkey", "o_custkey", "o_orderstatus",
+            "o_totalprice", "o_orderdate", "o_orderpriority"))
+        case "lineitem" => conform(Seq(
+          (0L, 0L, 0L, 1, 1.0, 500.0, "N", "O", "1996-01-06 00:00:00"),
+          (0L, 1L, 1L, 2, 2.0, 500.0, "N", "O", "1996-01-07 00:00:00"),
+          (0L, 2L, 2L, 3, 3.0, 500.0, "R", "F", "1996-01-08 00:00:00"),
+          (0L, 0L, 3L, 4, 4.0, 500.0, "A", "F", "1996-01-09 00:00:00"),
+          (1L, 1L, 4L, 1, 5.0, 10000.0, "N", "O", "1996-12-31 00:00:00"),
+          (1L, 2L, 0L, 2, 6.0, 20000.0, "N", "O", "1997-01-01 00:00:00"),
+          (1L, 0L, 1L, 3, 7.0, 500.0, "N", "O", "1997-01-02 00:00:00"),
+          (2L, 1L, 2L, 1, 8.0, 500.0, "N", "O", "1997-01-02 00:00:00"),
+          (2L, 2L, 3L, 2, 1.0, 500.0, "N", "O", "1997-01-03 00:00:00"),
+          (3L, 0L, 4L, 1, 2.0, 500.0, "N", "O", "1996-04-05 00:00:00"),
+          (4L, 1L, 5L, 1, 3.0, 1500.0, "N", "O", "1996-02-14 00:00:00"),
+          (5L, 2L, 0L, 1, 4.0, 1500.0, "N", "O", "1996-03-14 00:00:00"),
+          (6L, 0L, 1L, 1, 5.0, 1000.0, "N", "O", "1996-02-22 00:00:00"),
+          (6L, 1L, 2L, 2, 6.0, 1000.0, "N", "O", "1996-02-23 00:00:00"),
+          // shipdate = orderdate + exactly 30 days (on-time edge)
+          (7L, 2L, 3L, 1, 7.0, 1000.0, "N", "O", "1996-06-19 00:00:00"),
+          (7L, 0L, 4L, 2, 8.0, 1000.0, "N", "O", "1996-05-25 00:00:00"),
+          (8L, 1L, 5L, 1, 1.0, 750.0, "N", "O", "1996-06-15 00:00:00"),
+          (11L, 2L, 0L, 1, 2.0, 750.0, "N", "O", "1996-09-10 00:00:00"),
+          // l_suppkey == the order's o_custkey (5) → dist exactly 0
+          (9L, 0L, 5L, 1, 3.0, 1000.0, "N", "O", "1996-07-12 00:00:00"),
+          (10L, 1L, 1L, 1, 4.0, 500.0, "N", "O", "1996-08-20 00:00:00"))
+          .toDF("l_orderkey", "l_partkey", "l_suppkey", "l_linenumber",
+            "l_quantity", "l_extendedprice", "l_returnflag",
+            "l_linestatus", "l_shipdate")
+          .withColumn("l_discount", lit(0.0))
+          .withColumn("l_tax", lit(0.05)))
+        case "events" => conform(Seq(
+          (0L, "2024-03-01 00:00:00", 9L, "click", 10.0),
+          (1L, "2024-03-08 00:00:00", 9L, "purchase", 50.0),
+          (2L, "2024-03-02 09:00:00", 8L, "click", 5.0),
+          (3L, "2024-03-02 10:00:00", 8L, "purchase", 40.0),
+          (4L, "2024-03-03 10:00:00", 7L, "click", 1.0),
+          (5L, "2024-03-03 10:00:00", 7L, "error", 2.0),
+          (6L, "2024-03-03 10:10:00", 7L, "error", 3.0),
+          (7L, "2024-03-03 10:10:01", 7L, "error", 4.0),
+          (8L, "2024-03-03 11:55:00", 7L, "click", 5.0),
+          (9L, "2024-03-03 11:55:00", 7L, "click", 6.0),
+          (10L, "2024-03-03 11:55:00", 7L, "purchase", 100.0),
+          (11L, "2024-03-03 12:00:00", 7L, "purchase", 60.0),
+          (12L, "2024-03-03 12:30:00", 7L, "click", 7.0),
+          (13L, "2024-03-03 13:00:00", 7L, "click", 8.0),
+          (14L, "2024-03-03 13:30:01", 7L, "click", 9.0),
+          (15L, "2024-03-02 08:00:00", 8L, "signup", 0.0))
+          .toDF("event_id", "ts", "user_id", "event_type", "value")
+          .withColumn("props",
+            when($"event_id" === 15, "{}")
+              .otherwise(concat(lit("{\"k\": "),
+                (($"event_id" * 7) % 100).cast("string"), lit("}")))))
+        case other => raw.orderBy(col(raw.schema.fieldNames.head)).limit(3)
+      }
     }
   }
 

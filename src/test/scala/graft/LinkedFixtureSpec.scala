@@ -54,6 +54,7 @@ class LinkedFixtureSpec extends SparkTestBase {
     "heavytie" -> DegenerateData.heavytieDir(spark),
     "linkedmixed" -> DegenerateData.linkedmixedDir(spark),
     "linkedseq" -> DegenerateData.linkedseqDir(spark),
+    "boundary" -> DegenerateData.boundaryDir(spark),
     "nan" -> DegenerateData.nanLineitemDir(spark))
 
   /** Filled from the first empirical run (r16), then hand-audited:
@@ -81,6 +82,10 @@ class LinkedFixtureSpec extends SparkTestBase {
     "heavytie" -> edges.map(_._1).toSet,
     "linkedmixed" -> edges.map(_._1).toSet,
     "linkedseq" -> edges.map(_._1).toSet,
+    // fully linked BY CONSTRUCTION (every crafted key wired): the
+    // exact-edge values flow through RESOLVED joins, so the tie/
+    // endpoint expectations in BoundarySpec exercise real join grains
+    "boundary" -> edges.map(_._1).toSet,
     "nan" -> legacyDims)
 
   private def keysOf(dir: String, table: String, column: String): Set[String] =

@@ -34,6 +34,24 @@ class ProfileSpec extends SparkTestBase {
       "HLL sketch within 5% of exact at this cardinality")
   }
 
+  /** r17 `boundary`-fixture catch, pinned at the exact cardinality
+    * that exhibited it: 12 distinct doubles → Spark's HLL++ (rsd 2%)
+    * estimates 11, and the old RELATIVE-only 5% band (0.6) read the
+    * off-by-one as sketch failure while the oracle's TRUE column
+    * said sound. The verdict's absolute term (+2) covers HLL's
+    * small-n integer/collision floor; mutation m53 removes it and
+    * must turn this red.
+    */
+  test("sketch verdict holds at the small-n integer-granularity edge") {
+    val df = (1 to 12).map(i => Tuple1(100.0 * i)).toDF("v")
+    val p = ProfileQueries.profile(df).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(p("v").getLong(3) == 12, "exact distinct must be 12")
+    assert(p("v").getBoolean(4),
+      "rel-5%% + abs-2 sketch verdict must absorb HLL's small-n " +
+        "off-by-one (estimate 11 of 12)")
+  }
+
   test("profile keeps the HLL sketches OUT of the Expand rewrite") {
     // the exact multi-distinct pass plans via Expand (documented cost);
     // the sketch pass must be a separate Expand-free hash agg — fusing

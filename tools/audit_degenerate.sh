@@ -43,6 +43,14 @@
 # first run (r16): q25c's next-item rank, q27/q27b's EMA/Holt seed,
 # q24d's asof carry (fixed at the AsofJoin operator), and q15d's
 # session boundary (Spark merges on touch; the twin's >= was wrong).
+# `boundary` (r17) is the EXACT-EDGE sweep for the boundary-semantics
+# class q15d named: clean, fully-linked values planted exactly ON
+# every edge the registry uses (ntile remainder cuts with a tie
+# straddling the cut, q21's rank-k tie, as-of/interval/multitouch
+# endpoint equality, exact 30-min session touches, floor-band and
+# on-time-delay edges, dist exactly 0, HLL small-n cardinalities);
+# it caught q26a's relative-only sketch tolerance live on first
+# replay (the HLL integer-granularity floor — fixed rel+abs, m53).
 # `const` is CRASH-SWEEP
 # ONLY (DegenerateInputSpec): it replicates primary keys ×8, and the
 # twins' key-joins legitimately assume unique warehouse keys — `flat`
@@ -79,7 +87,7 @@ for p in java.lang java.lang.invoke java.lang.reflect java.io java.net \
   OPENS="$OPENS --add-opens java.base/$p=ALL-UNNAMED"
 done
 shapes=("$@")
-[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy heavyprice heavytie linkedmixed linkedseq)
+[ $# -eq 0 ] && shapes=(empty tiny flat nulls outlier mixed heavy heavyprice heavytie linkedmixed linkedseq boundary)
 rc=0
 for shape in "${shapes[@]}"; do
   dir="target/degenerate/$shape"

@@ -531,6 +531,22 @@ MUTATIONS = [
               "engine-asymmetrically",
          subs=[('      Column(so.copy(nullOrdering = internal.SortOrder.NullsLast))',
                 '      Column(so)')]),
+    # r17 `boundary` fixture catch: approx_count_distinct's error has
+    # an ABSOLUTE floor (integer estimate + register-collision bias)
+    # that the old relative-only 5% verdict band cannot cover — 12
+    # distinct doubles estimate as 11 and the engine's sketch_ok read
+    # False while the oracle said TRUE. Removing the +2 absolute term
+    # restores the rel-only band; clean sf0.01 cardinalities never sit
+    # in the violating range, so the gate is ProfileSpec's pinned
+    # 12-double case (and the committed boundary shape's replay).
+    dict(id="m53_sketch_rel_only", query="q26a_profile",
+         gate="spec", spec="graft.ProfileSpec",
+         file="src/main/scala/graft/analytics/ProfileQueries.scala",
+         desc="sketch verdict absolute term dropped: HLL small-n "
+              "off-by-one reads as sketch failure, boundary-shape "
+              "twin diverges",
+         subs=[("          col(s\"${f.name}__nd\") * 0.05 + 2).as(\"sketch_ok\"),",
+                "          col(s\"${f.name}__nd\") * 0.05).as(\"sketch_ok\"),")]),
 ]
 
 OPENS = " ".join(
