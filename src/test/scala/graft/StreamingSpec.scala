@@ -194,6 +194,48 @@ class StreamingSpec extends SparkTestBase {
     } finally q.stop()
   }
 
+  /** Stateful sibling of the m50 batch boundary pin (r17 `boundary`
+    * class): an event landing EXACTLY GapMicros after the stored
+    * session's end must MERGE (the walk splits on strict `>` only),
+    * matching `session_window`'s merge-on-touch and the corrected
+    * q15c/q15d islands twins — and it must merge ACROSS a micro-batch
+    * boundary, where the stored state (not a same-batch neighbor)
+    * carries the touching end. One second past the gap splits.
+    */
+  test("exact-gap event merges with the stored session; gap+1s splits") {
+    import spark.implicits._
+    implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val mem = org.apache.spark.sql.execution.streaming.runtime
+      .MemoryStream[(Long, java.sql.Timestamp)]
+    val events = Sessionize.prepare(mem.toDF().toDF("user_id", "ts"))
+    val q = Sessionize.sessionize(events)
+      .writeStream.format("memory").queryName("touch_sessions")
+      .outputMode("append").start()
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 12:00:00")
+    def at(sec: Long) = new java.sql.Timestamp(t0.getTime + sec * 1000)
+    val us = (sec: Long) => java.util.concurrent.TimeUnit.MILLISECONDS
+      .toMicros(at(sec).getTime)
+    try {
+      mem.addData((1L, at(0)))    // state: [12:00, 12:00]
+      q.processAllAvailable()
+      mem.addData((1L, at(1800))) // EXACTLY last + gap → must merge
+      q.processAllAvailable()
+      mem.addData((1L, at(3601))) // 30:01 after 12:30 → splits
+      q.processAllAvailable()
+      mem.addData((1L, at(20000))) // watermark push → close both
+      q.processAllAvailable()
+      val emitted = spark.table("touch_sessions").as[Sessionize.Session]
+        .collect().sortBy(_.start_us)
+      assert(emitted.exists(s =>
+        s.start_us == us(0) && s.end_us == us(1800) && s.n_events == 2),
+        s"exact-gap event must merge on touch, got ${emitted.toSeq}")
+      assert(!emitted.exists(s => s.start_us == us(1800)),
+        s"touching event wrongly opened its own session: ${emitted.toSeq}")
+      assert(emitted.exists(s => s.start_us == us(3601)),
+        s"gap+1s event must open a new session, got ${emitted.toSeq}")
+    } finally q.stop()
+  }
+
   test("late event chains to the live session through a bridge event") {
     import spark.implicits._
     implicit val sqlCtx: org.apache.spark.sql.SQLContext = spark.sqlContext

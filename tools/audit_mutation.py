@@ -547,6 +547,21 @@ MUTATIONS = [
               "twin diverges",
          subs=[("          col(s\"${f.name}__nd\") * 0.05 + 2).as(\"sketch_ok\"),",
                 "          col(s\"${f.name}__nd\") * 0.05).as(\"sketch_ok\"),")]),
+    # Stateful sibling of m50 (session-boundary class, r17): the
+    # flatMapGroupsWithState walk splits on STRICT `>` so an event
+    # landing exactly GapMicros after the stored session's end MERGES
+    # — the same merge-on-touch contract session_window and the
+    # corrected islands twins implement. The plausible `>=` slip
+    # splits on touch; clean event data never lands on the exact
+    # micro boundary, so the gate is StreamingSpec's exact-gap pin.
+    dict(id="m54_session_touch_splits", query="q15c_sessionization",
+         gate="spec", spec="graft.StreamingSpec",
+         file="src/main/scala/graft/streaming/Sessionize.scala",
+         desc="stateful sessionizer splits on touch (>= for >): an "
+              "exact-gap event opens a new session, diverging from "
+              "session_window and the islands twins",
+         subs=[('                case Some(c) if s.start_us - c.last_us > GapMicros =>',
+                '                case Some(c) if s.start_us - c.last_us >= GapMicros =>')]),
 ]
 
 OPENS = " ".join(
