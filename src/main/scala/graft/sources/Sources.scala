@@ -167,18 +167,25 @@ object Sources {
     val tmp = sys.props.getOrElse("java.io.tmpdir", "/tmp")
     val dir = java.nio.file.Paths.get(tmp)
     val cutoff = java.lang.System.currentTimeMillis() - 6L * 3600 * 1000
+    // NonFatal, not IOException: a CONCURRENT init racing the same
+    // stale dir surfaces as UncheckedIOException/NoSuchFileException
+    // from the walk — hygiene must never crash object init
     try {
-      val old = java.nio.file.Files.list(dir).iterator()
-      old.forEachRemaining { p =>
-        val n = p.getFileName.toString
-        if (n.startsWith("graft_roundtrip") &&
-          java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
-          java.nio.file.Files.walk(p).sorted(
-            java.util.Comparator.reverseOrder[java.nio.file.Path]())
-            .forEach(f => java.nio.file.Files.deleteIfExists(f))
+      val listing = java.nio.file.Files.list(dir)
+      try {
+        listing.iterator().forEachRemaining { p =>
+          val n = p.getFileName.toString
+          if (n.startsWith("graft_roundtrip") &&
+            java.nio.file.Files.getLastModifiedTime(p).toMillis < cutoff) {
+            val walk = java.nio.file.Files.walk(p)
+            try walk.sorted(
+              java.util.Comparator.reverseOrder[java.nio.file.Path]())
+              .forEach(f => java.nio.file.Files.deleteIfExists(f))
+            finally walk.close()
+          }
         }
-      }
-    } catch { case _: java.io.IOException => () } // hygiene only
+      } finally listing.close()
+    } catch { case scala.util.control.NonFatal(_) => () } // hygiene only
     s"$tmp/graft_roundtrip_${ProcessHandle.current().pid()}"
   }
   private val CsvOut = s"$RoundtripRoot/q17b_csv"
