@@ -29,5 +29,14 @@ object GraftConf {
     // 3.2, but a session that disabled it would silently shuffle
     // every dim join; force it here (r6 ADVICE item 3).
     spark.conf.set("spark.sql.adaptive.enabled", "true")
+    // NOT set (r17 optimization round, measured):
+    // spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold (guide
+    // §3.1's runtime SMJ→SHJ rewrite) was A/B'd at 64m over the six
+    // SMJ-carrying benched queries under equal load — every delta
+    // within ±5% noise, because the registry's remaining sort-merge
+    // joins are either AQE-broadcast at runtime anyway or sort inputs
+    // too small for the sort to matter; and at 100 TB the per-
+    // partition size guard would keep them sort-merge regardless.
+    // Details in OPTIMIZATION_r17.md.
   }
 }

@@ -51,7 +51,11 @@ object AnalyticsQueries {
       "q9a_descriptive_stats",
       measures.map(duckMeasure).mkString("\nUNION ALL\n")) { (spark, dir) =>
       import spark.implicits._
-      val li = Tables(spark, dir).lineitem
+      // fanOut (r17): the per-measure aggregations carry heavy per-row
+      // state (exact percentile buffers / GK sketch updates + decimal
+      // moments) and ran entirely inside the single-row-group scan
+      // task — the q9b single-task pathology. No-op at 100 TB.
+      val li = graft.Tables.fanOut(Tables(spark, dir).lineitem)
       def one(m: String): DataFrame = {
         val c = col(m)
         li.agg(
@@ -105,52 +109,71 @@ object AnalyticsQueries {
       "q9a_descriptive_stats_approx",
       measures.map(duckMeasure).mkString("\nUNION ALL\n")) { (spark, dir) =>
       import spark.implicits._
-      val li = Tables(spark, dir).lineitem
-      def one(m: String): DataFrame = {
+      // fanOut (r17): the per-measure aggregations carry heavy per-row
+      // state (exact percentile buffers / GK sketch updates + decimal
+      // moments) and ran entirely inside the single-row-group scan
+      // task — the q9b single-task pathology. No-op at 100 TB.
+      val li = graft.Tables.fanOut(Tables(spark, dir).lineitem)
+      // ONE sketch pass for ALL FOUR measures (r17; previously one
+      // eagerly-checkpointed pass per measure, i.e. 4 sequential scan
+      // + sketch jobs, then 4 more rank passes — 8 passes total). The
+      // 1-row all-measures sketch is consumed TWICE (ranks' broadcast
+      // and ranked's left side) — eager localCheckpoint so the
+      // percentile_approx scan runs ONCE, not per consumer (Spark
+      // does not reuse the exchange between a broadcast and a
+      // non-broadcast occurrence of the same subtree; the q9b
+      // one-row-moment device, chosen over .cache() for CacheSpec's
+      // no-session-lifetime-entries invariant).
+      val sketchAggs = measures.flatMap { m =>
         val c = col(m)
-        // the 1-row sketch is consumed TWICE (ranks' broadcast and
-        // ranked's left side) — eager localCheckpoint so the full
-        // percentile_approx scan runs ONCE per measure, not per
-        // consumer (Spark does not reuse the exchange between a
-        // broadcast and a non-broadcast occurrence of the same
-        // subtree; the q9b one-row-moment device, chosen over .cache()
-        // for CacheSpec's no-session-lifetime-entries invariant)
-        val sketch = li.agg(
-          count(c).as("n"),
-          Exact.davg(c).as("mean"),
-          Exact.dstddev(c).as("std"),
-          min(c).as("min_v"),
-          max(c).as("max_v"),
-          percentile_approx(c, lit(0.25), lit(10000)).as("p25a"),
-          percentile_approx(c, lit(0.5), lit(10000)).as("p50a"),
-          percentile_approx(c, lit(0.75), lit(10000)).as("p75a"))
-          .localCheckpoint(true)
-        // second linear pass: exact rank interval of each sketch value
-        // (strictly-below and at-most counts — the interval a value
-        // with ties occupies), verified against q·n ± err. The rank
-        // sums ride their own 1-row aggregate joined back to the
-        // sketch row (not a first()-re-aggregation of the crossJoin):
-        // an EMPTY feed empties the crossJoin, which would NULL the
-        // re-aggregated stats (n must read 0, not NULL) — the rank
-        // sums instead coalesce to 0 and the verdicts hold vacuously,
-        // matching the twin's n=0/true row (degenerate-dir twin
-        // audit, SURVEY §8.9).
-        def rsum(cond: Column, name: String) =
-          coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(name)
-        val ranks = li.crossJoin(broadcast(sketch)).agg(
-          rsum(c < $"p25a", "b25"), rsum(c <= $"p25a", "a25"),
-          rsum(c < $"p50a", "b50"), rsum(c <= $"p50a", "a50"),
-          rsum(c < $"p75a", "b75"), rsum(c <= $"p75a", "a75"))
-        val ranked = sketch.crossJoin(broadcast(ranks))
-        val err = greatest(lit(1.0), $"n" / 1000.0)
+        Seq(
+          count(c).as(s"n_$m"),
+          Exact.davg(c).as(s"mean_$m"),
+          Exact.dstddev(c).as(s"std_$m"),
+          min(c).as(s"min_$m"),
+          max(c).as(s"max_$m"),
+          percentile_approx(c, lit(0.25), lit(10000)).as(s"p25a_$m"),
+          percentile_approx(c, lit(0.5), lit(10000)).as(s"p50a_$m"),
+          percentile_approx(c, lit(0.75), lit(10000)).as(s"p75a_$m"))
+      }
+      val sketch = li.agg(sketchAggs.head, sketchAggs.tail: _*)
+        .localCheckpoint(true)
+      // second linear pass — also fused across measures: exact rank
+      // interval of each sketch value (strictly-below and at-most
+      // counts — the interval a value with ties occupies), verified
+      // against q·n ± err. The rank sums ride their own 1-row
+      // aggregate joined back to the sketch row (not a first()-
+      // re-aggregation of the crossJoin): an EMPTY feed empties the
+      // crossJoin, which would NULL the re-aggregated stats (n must
+      // read 0, not NULL) — the rank sums instead coalesce to 0 and
+      // the verdicts hold vacuously, matching the twin's n=0/true row
+      // (degenerate-dir twin audit, SURVEY §8.9).
+      def rsum(cond: Column, name: String) =
+        coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(name)
+      val rankAggs = measures.flatMap { m =>
+        val c = col(m)
+        Seq(
+          rsum(c < col(s"p25a_$m"), s"b25_$m"),
+          rsum(c <= col(s"p25a_$m"), s"a25_$m"),
+          rsum(c < col(s"p50a_$m"), s"b50_$m"),
+          rsum(c <= col(s"p50a_$m"), s"a50_$m"),
+          rsum(c < col(s"p75a_$m"), s"b75_$m"),
+          rsum(c <= col(s"p75a_$m"), s"a75_$m"))
+      }
+      val ranks = li.crossJoin(broadcast(sketch))
+        .agg(rankAggs.head, rankAggs.tail: _*)
+      val ranked = sketch.crossJoin(broadcast(ranks))
+      def one(m: String): DataFrame = {
+        val err = greatest(lit(1.0), col(s"n_$m") / 1000.0)
         def ok(q: Double, below: String, atMost: String) =
-          (col(below) <= lit(q) * $"n" + err) &&
-            (col(atMost) >= lit(q) * $"n" - err)
-        ranked.select(lit(m).as("measure"), $"n", $"mean", $"std",
-          $"min_v", $"max_v",
-          ok(0.25, "b25", "a25").as("p25_ok"),
-          ok(0.50, "b50", "a50").as("median_ok"),
-          ok(0.75, "b75", "a75").as("p75_ok"))
+          (col(below) <= lit(q) * col(s"n_$m") + err) &&
+            (col(atMost) >= lit(q) * col(s"n_$m") - err)
+        ranked.select(lit(m).as("measure"), col(s"n_$m").as("n"),
+          col(s"mean_$m").as("mean"), col(s"std_$m").as("std"),
+          col(s"min_$m").as("min_v"), col(s"max_$m").as("max_v"),
+          ok(0.25, s"b25_$m", s"a25_$m").as("p25_ok"),
+          ok(0.50, s"b50_$m", s"a50_$m").as("median_ok"),
+          ok(0.75, s"b75_$m", s"a75_$m").as("p75_ok"))
       }
       measures.map(one).reduce(_ unionByName _)
     }
@@ -227,7 +250,16 @@ object AnalyticsQueries {
         // hint (at 100 TB they exceed the 8 GB broadcast cap; a hint
         // would be a hard driver failure). AQE picks broadcast when a
         // side is genuinely small, shuffle/sort-merge otherwise.
-        val base = t.lineitem
+        // Fan the fact scan out (r17): unlike the headline queries'
+        // filter→partial-agg shapes (where the Tables doc's measured
+        // +0.5 s/query anti-fan-out rule holds), this query runs FOUR
+        // broadcast probes plus ~45 decimal-sum updates per row — at
+        // a single-row-group local scan that whole pipeline sat in
+        // ONE task (11.9 s single-threaded, r17 full-registry pass).
+        // Fanning spreads the per-row CPU across the session's cores;
+        // at 100 TB the scan is already ≥cores partitions and fanOut
+        // is a no-op by construction.
+        val base = graft.Tables.fanOut(t.lineitem)
           .join(t.orders, $"l_orderkey" === $"o_orderkey")
           .join(t.part, $"l_partkey" === $"p_partkey")
           .join(t.customer, $"o_custkey" === $"c_custkey")

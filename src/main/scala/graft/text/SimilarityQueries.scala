@@ -652,11 +652,20 @@ object SimilarityQueries {
         VectorOps.norm2($"embedding").as("n2"))
         .filter($"n2" > 0) // zero-norm: no direction → no cosine (q14a)
       val k = ivfK(emb.select($"vec_id").count())
-      val assigned = assignCells(v, k)
+      // Stage the cell assignment ONCE (eager localCheckpoint): five
+      // consumers need (vec_id, embedding, n2[, cell]) — the PQ encode
+      // side, the query side, the codebook pick, and both exact_cos
+      // audit join-backs — and unstaged each re-ran the full
+      // k-way centroid fold + parquet scan (7 scans in the r17
+      // baseline plan, plans/r17/q14g_ann_ivfpq_before.txt). The
+      // staged grain is the corpus row count (vec + cell), the same
+      // size class as the q13j/q14i staging precedents.
+      val assigned = assignCells(v, k).localCheckpoint(true)
+      val vs = assigned.select($"vec_id", $"embedding", $"n2")
       // PQ codebook: the first 16 md5-medoids, code = rank — collapsed
       // to ONE code-ascending array row (array index = code) shared by
       // the encode fold and the reconstruction
-      val cbs = centroids(v, PqCodes).agg(expr(
+      val cbs = centroids(vs, PqCodes).agg(expr(
         "transform(sort_array(collect_list(struct(cell, cemb))), s -> s.cemb)")
         .as("cbs"))
       def subv(c: org.apache.spark.sql.Column, m: Int) =
@@ -705,9 +714,11 @@ object SimilarityQueries {
       val top = scored.withColumn("rank", row_number().over(
         Window.partitionBy($"query_id").orderBy($"pq_cos".desc, $"cand_id")))
         .filter($"rank" <= 3)
-      val va = v.select($"vec_id".as("query_id"), $"embedding".as("ea"),
+      // audit join-backs read the staged frame (same rows as v: the
+      // n2 > 0 filter is applied before the checkpoint)
+      val va = vs.select($"vec_id".as("query_id"), $"embedding".as("ea"),
         $"n2".as("na"))
-      val vb = v.select($"vec_id".as("cand_id"), $"embedding".as("eb"),
+      val vb = vs.select($"vec_id".as("cand_id"), $"embedding".as("eb"),
         $"n2".as("nb"))
       top.join(va, "query_id").join(vb, "cand_id")
         .select($"query_id", $"cand_id", $"cell", $"rank", $"pq_cos",

@@ -210,10 +210,20 @@ object TfIdfQueries {
       spark: org.apache.spark.sql.SparkSession,
       docs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     import spark.implicits._
+    // (doc, term) grain staged ONCE (eager localCheckpoint, the q13j
+    // device): five consumers hang off tf (dl, df, stats via dl,
+    // qterms, the posting probe) and none of their pruned subtrees
+    // align for ReuseExchange — unstaged, the optimizer re-tokenized
+    // the whole corpus SIX times (6 Generate+scan branches in the r17
+    // baseline plan, plans/r17/q12y_bm25_topk_before.txt). Staging the
+    // tf grain (≪ corpus: distinct terms per doc) computes the
+    // scan+explode+count exactly once; at 100 TB this is the standard
+    // inverted-index materialization every retrieval system pays.
     val tf = docs
       .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
     val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum($"len").as("tl"))

@@ -59,10 +59,16 @@ object UnigramQueries {
   private[graft] def xentPerDoc(docs: org.apache.spark.sql.DataFrame)
       : org.apache.spark.sql.DataFrame = {
     import docs.sparkSession.implicits._
+    // tf fans out to the model branch (cf→tot) and the scoring join;
+    // unstaged, the optimizer tokenized the corpus once per consumer
+    // (3 Generate+scan branches in the r17 baseline plan,
+    // plans/r17/q12r_unigram_logprob_before.txt) — the q12s staging
+    // pattern applies: (doc, term) grain ≪ corpus, materialize once.
     val tf = docs
       .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
+      .localCheckpoint(true)
     val cf = tf.groupBy($"term").agg(sum($"tf").as("cf"))
     val tot = cf.agg(sum($"cf").as("t"))
     tf.join(cf, Seq("term"))

@@ -91,12 +91,13 @@ class MixtureTfIdfSpec extends SparkTestBase {
     df.collect()
     val plan = df.queryExecution.executedPlan.toString
       .split("== Initial Plan ==").head
-    assert("Generate explode".r.findAllIn(plan).length === 1,
-      s"cf branch must reuse tf's exchange, not re-tokenize:\n$plan")
-    assert(plan.contains("ReusedExchange"),
-      s"no exchange reuse in xent plan — the tokenize-once contract " +
-        s"is broken (move to the q12s eager-checkpoint staging if AQE " +
-        s"reuse regresses):\n$plan")
+    // tokenize happens once inside the eager tf checkpoint (r17: tf
+    // moved to the q12s staging pattern — previously the cf branch
+    // relied on AQE exchange reuse, and the THIRD consumer in the
+    // q12t composition still re-tokenized); the query plan proper
+    // must not re-tokenize for any consumer
+    assert("Generate explode".r.findAllIn(plan).length === 0,
+      s"a consumer re-tokenized instead of reading staged tf:\n$plan")
     // split("", '\s+') yields one empty token on BOTH engines, so even
     // an empty text produces a scored row — one row per document
     val rows = df.collect()
