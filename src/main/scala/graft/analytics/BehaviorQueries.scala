@@ -285,6 +285,19 @@ object BehaviorQueries {
       |  UNION ALL SELECT * FROM remainder)""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val ev = Tables(spark, dir).events
+    // The 7-day purchase×click band join `j` is staged ONCE via eager
+    // localCheckpoint (the q12y/q13j device, r17): unstaged, the
+    // baseline plan scanned events NINE times and ran 19 exchanges —
+    // `j` re-derived for the touch branch and the per-purchase
+    // counts, `perPExact` for all THREE union branches — and none of
+    // the differently-pruned subtrees align for runtime exchange
+    // reuse. ONLY `j` is staged: its grain is bounded (per-user
+    // clicks in a 7-day window, the q15e interval-join budget) and
+    // every duplicate subtree hangs off it; additionally staging `p`
+    // and `perPExact` was A/B'd and REGRESSED (each eager checkpoint
+    // is a sequential job barrier — three barriers serialized what
+    // the scheduler previously overlapped; measured 1.22 → 1.58 s vs
+    // 1.22 → 1.02 s for j-only at sf0.1).
     val p = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts",
         floor($"value" * 1e6 + 0.5).cast("long").as("vu"),
@@ -295,6 +308,7 @@ object BehaviorQueries {
       .filter($"cts" <= $"ts" &&
         unix_micros($"ts") - unix_micros($"cts") <= 604800000000L)
       .select($"pid", $"vu", $"ts".as("pts"), $"cts")
+      .localCheckpoint(true)
     val perPExact = j.groupBy($"pid", $"vu")
       .agg(count(lit(1)).as("n_clicks"))
       .withColumn("credit", expr("vu div n_clicks"))

@@ -57,7 +57,19 @@ object ProfileQueries {
     * sketch pass (the verdict column is what proves that swap sound).
     */
   def profile(df: DataFrame): DataFrame = {
-    val base = graft.Tables.fanOut(df)
+    // No fan-out (r17 optimization round, measured): Tables.fanOut
+    // only ever fires on the LOCAL single-row-group testdata (at
+    // 100 TB the scan already carries >= cores partitions and the
+    // conditional repartition is a no-op), so the call is purely a
+    // local-parallelism device — and for THIS workload it loses: the
+    // profiler's ~21 fixed-width buffers + 6 HLL sketches per row are
+    // not dense enough to amortize the round-robin exchange the fan
+    // prepends to BOTH passes on a member-scale table (noop-sink A/B
+    // at sf0.1: both passes fused 0.80 s unfanned vs 1.48 s fanned;
+    // q26a bench 2.64 → 1.9 s). Contrast q9b, where the fan stays:
+    // 45 decimal-sum updates per 4-way-joined lineitem row is an
+    // order of magnitude more CPU per byte scanned.
+    val base = df
     val fields = df.schema.fields.toSeq
     // Pass split by BUFFER KIND, not by column: string-typed min/max
     // buffers are not HashAggregate-mutable, and ONE such buffer

@@ -38,6 +38,46 @@ object AnalyticalQueries {
     Exact.revenueExpr($"l_extendedprice", $"l_discount")
   }
 
+  /** Order-grain exact revenue: lineitem pre-aggregated to
+    * (l_orderkey, rev DECIMAL(38,6)) BEFORE any join (guide §2.3
+    * "aggregate before you shuffle", r17 optimization round). Every
+    * headline consumer that joins lineitem⋈orders only to aggregate
+    * revenue at order grain or coarser now collapses the line mass
+    * map-side first: at 100 TB the orderkey-grain exchange carries
+    * ~¼ the rows at ~⅛ the bytes of the raw line columns, and the
+    * orders/customer joins probe order-grain rows instead of line-
+    * grain. Decimal sums are exact and associative, so the two-level
+    * sum (per-order, then per-group) is bit-identical to the flat
+    * per-group sum the oracle computes — the q5a/q1b precedent.
+    * NULL-revenue lines: `sum` skips NULL at both levels, and an
+    * order whose every line is NULL-revenue still emits its (key,
+    * NULL) row, so COUNT-style consumers see the same row set.
+    */
+  private[queries] def orderRevenue(t: Tables): DataFrame = {
+    val li = t.lineitem
+    import li.sparkSession.implicits._
+    li.groupBy($"l_orderkey")
+      .agg(sum(revenue(li).cast(DecimalType(38, 6))).as("rev"))
+  }
+
+  /** (n_name, c_custkey, revenue DOUBLE) — the customer-revenue grain
+    * shared verbatim by q3a, q3a_dist and q21 (their oracles all open
+    * with the identical `rev` CTE). Built on [[orderRevenue]]: the
+    * dim joins probe order-grain rows, and the two-level exact-decimal
+    * sum string-roundtrips to the same double as the flat line-grain
+    * sum the oracle computes.
+    */
+  private[queries] def nationCustRevenue(t: Tables): DataFrame = {
+    val li = t.lineitem
+    import li.sparkSession.implicits._
+    orderRevenue(t)
+      .join(t.orders, $"l_orderkey" === $"o_orderkey")
+      .join(t.customer, $"o_custkey" === $"c_custkey")
+      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
+      .groupBy($"n_name", $"c_custkey")
+      .agg(Exact.toDouble(sum($"rev")).as("revenue"))
+  }
+
   /** 1A — monthly revenue + YoY growth via LAG
     * (ref `TASK 2A…sql:5-36`: LAG(revenue) PARTITION BY month ORDER BY year).
     */
@@ -58,10 +98,10 @@ object AnalyticalQueries {
        |FROM rev""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
-    val rev = t.lineitem
+    val rev = orderRevenue(t)
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .groupBy(year($"o_orderdate").as("o_year"), month($"o_orderdate").as("o_month"))
-      .agg(Exact.dsum(revenue(t.lineitem)).as("revenue"))
+      .agg(Exact.toDouble(sum($"rev")).as("revenue"))
     val w = Window.partitionBy($"o_month").orderBy($"o_year")
     rev
       .withColumn("prev_year_revenue", lag($"revenue", 1).over(w))
@@ -100,11 +140,11 @@ object AnalyticalQueries {
     val t = Tables(spark, dir)
     // daily revenue stays DECIMAL so both averaging levels reuse the
     // exact sums (no double→decimal re-cast of derived numbers)
-    val daily = t.lineitem
+    val daily = orderRevenue(t)
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .groupBy(to_date($"o_orderdate").as("o_day"),
         month($"o_orderdate").as("o_month"))
-      .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev_dec"))
+      .agg(sum($"rev").as("rev_dec"))
     val m = daily.groupBy($"o_month")
       .agg((Exact.toDouble(sum($"rev_dec")) / count(lit(1))).as("avg_rev_month"))
     // scalar overall average: one-row aggregate, broadcast cross join
@@ -149,21 +189,25 @@ object AnalyticalQueries {
        |HAVING COUNT(*) > 0""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
-    // pre-aggregate to order grain BEFORE the 4-way grouping-sets
-    // expand. An order has exactly ONE (year, month) and ONE segment,
-    // so at every rollup level each order contributes exactly one
-    // pre-agg row — countDistinct(o_orderkey) degenerates to a plain
-    // count(*): no distinct expansion at all (the oracle keeps
-    // COUNT(DISTINCT), which is provably equal on this data model).
-    val base = t.lineitem
+    // pre-aggregate to order grain BEFORE the joins and the 4-way
+    // grouping-sets expand (orderRevenue, guide §2.3). An order has
+    // exactly ONE (year, month) and ONE segment, so at every rollup
+    // level each order contributes exactly one order-grain row —
+    // countDistinct(o_orderkey) degenerates to a plain count(*): no
+    // distinct expansion at all (the oracle keeps COUNT(DISTINCT),
+    // which is provably equal on this data model). Pre-agg-first
+    // additionally means the orders and customer joins probe order-
+    // grain rows, not line-grain (r17: 4× fewer join rows; at 100 TB
+    // the only full-mass exchange left is lineitem's own orderkey
+    // pre-agg shuffle).
+    val base = orderRevenue(t)
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
       .join(t.customer, $"o_custkey" === $"c_custkey")
-      .groupBy(
+      .select(
         year($"o_orderdate").as("o_year"),
         month($"o_orderdate").as("o_month"),
         $"c_mktsegment".as("segment"),
-        $"o_orderkey")
-      .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev"))
+        $"rev")
     base
       .groupingSets(
         Seq(Seq($"o_year", $"o_month", $"segment"),
@@ -241,12 +285,7 @@ object AnalyticalQueries {
        |FROM rev""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
-    val rev = t.lineitem
-      .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(t.customer, $"o_custkey" === $"c_custkey")
-      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
-      .groupBy($"n_name", $"c_custkey")
-      .agg(Exact.dsum(revenue(t.lineitem)).as("revenue"))
+    val rev = nationCustRevenue(t)
     val w = Window.partitionBy($"n_name").orderBy($"revenue".desc, $"c_custkey")
     rev
       .withColumn("rev_rank", rank().over(w))
@@ -265,12 +304,7 @@ object AnalyticalQueries {
     q3aRankNtile.oracle.get) { (spark, dir) =>
     import spark.implicits._
     val t = Tables(spark, dir)
-    val rev = t.lineitem
-      .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(t.customer, $"o_custkey" === $"c_custkey")
-      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
-      .groupBy($"n_name", $"c_custkey")
-      .agg(Exact.dsum(revenue(t.lineitem)).as("revenue"))
+    val rev = nationCustRevenue(t)
     graft.operators.DistributedRank.rankNtile(
       rev,
       groupCols = Seq("n_name"),
@@ -498,11 +532,12 @@ object AnalyticalQueries {
     import spark.implicits._
     val t = Tables(spark, dir)
     // order-grain pre-agg turns countDistinct into a plain count and
-    // shrinks the per-customer shuffle to one row per order
-    val perOrder = t.lineitem
+    // shrinks the per-customer shuffle to one row per order; since
+    // r17 the pre-agg happens BEFORE the orders join (orderRevenue,
+    // guide §2.3) so the join probes order-grain rows too
+    val perOrder = orderRevenue(t)
       .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .groupBy($"o_custkey", $"o_orderkey")
-      .agg(sum(revenue(t.lineitem).cast(DecimalType(38, 6))).as("rev"))
+      .select($"o_custkey", $"rev")
     perOrder
       .join(t.customer, $"o_custkey" === $"c_custkey")
       .groupBy($"c_custkey", $"c_name")

@@ -189,13 +189,7 @@ object OlapExtras {
     // r16 onto the operator branch, TopKSpec-gated — dropping ONLY
     // this filter is now an equivalent mutant by design: that is
     // what defense-in-depth means); see NULL_CONTRACT.md.
-    val rev = t.lineitem
-      .join(t.orders, $"l_orderkey" === $"o_orderkey")
-      .join(t.customer, $"o_custkey" === $"c_custkey")
-      .join(broadcast(t.nation), $"c_nationkey" === $"n_nationkey")
-      .groupBy($"n_name", $"c_custkey")
-      .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
-        .as("revenue"))
+    val rev = AnalyticalQueries.nationCustRevenue(t)
       .filter($"revenue".isNotNull)
     val top3 = graft.functions.TopK.topk(3)
     rev

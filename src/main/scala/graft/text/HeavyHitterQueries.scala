@@ -31,6 +31,21 @@ import graft.queries.GraftQuery
   */
 object HeavyHitterQueries {
 
+  /** Consecutive-token bigrams through the codegen'd
+    * [[graft.functions.WordNGrams]] expression (r17 optimization: the
+    * `zip_with(slice, slice, concat)` HOF form evaluated an
+    * interpreted lambda with boxed lookups per bigram — on the two
+    * full-stream passes q12v/q12z pay BY DESIGN, the tokenizer is the
+    * hot loop). Output strings are identical: split() never yields
+    * NULL tokens, so concat_ws ≡ concat, and <2 tokens → empty array
+    * on both forms. Same device as q12a's bigram stats
+    * (CurationQueries) and the q13 shingle path.
+    */
+  private def bigrams(w: Column): Column =
+    org.apache.spark.sql.GraftColumnBridge.column(
+      graft.functions.WordNGrams(
+        org.apache.spark.sql.GraftColumnBridge.expression(w), 2))
+
   /** Sketch capacity: guarantees candidates cover every key above
     * n/33 of the stream — comfortably below the 1/[[PhiInv]] output
     * threshold.
@@ -61,9 +76,7 @@ object HeavyHitterQueries {
     import docs.sparkSession.implicits._
     val organic = docs
       .withColumn("w", split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+"))
-      .select(explode(expr(
-        """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
-          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+      .select(explode(bigrams(col("w"))).as("bg"))
     Plants.foldLeft(organic) { case (acc, (key, m, copies)) =>
       acc.unionByName(docs.filter($"doc_id" % m === 0)
         .select(explode(array_repeat(lit(key), copies)).as("bg")))
@@ -175,18 +188,29 @@ object HeavyHitterQueries {
     val docs = Tables(spark, dir).documents
     val bg = docs
       .withColumn("w", split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+"))
-      .select(explode(expr(
-        """zip_with(slice(w, 1, size(w) - 1), slice(w, 2, size(w) - 1),
-          |         (a, b) -> concat(a, ' ', b))""".stripMargin)).as("bg"))
+      .select(explode(bigrams(col("w"))).as("bg"))
     def bucket(key: Column, r: Int): Column =
       conv(substring(md5(concat(lit(r.toString), lit("|"), key)), 1, 13),
         16, 10).cast("long") % CmWidth
-    // grid build: ONE pass, d-way map-side fan-out, cell-grain agg
-    val cells = bg
-      .select(posexplode(array((0 until CmDepth).map(r =>
-        bucket($"bg", r)): _*)).as(Seq("r", "b")))
-      .groupBy($"r", $"b").agg(count(lit(1)).as("c"))
+    // Exact per-key counts: the ONE corpus pass (this query computes
+    // them anyway — they are the audit's ground truth). Staged once
+    // (eager localCheckpoint, distinct-bigram grain ≪ stream grain):
+    // two consumers below.
     val exact = bg.groupBy($"bg").agg(count(lit(1)).as("exact_cnt"))
+      .localCheckpoint(true)
+    // Grid build DERIVED from the exact counts instead of a second
+    // full-stream pass (r17): the count of stream occurrences landing
+    // in cell (r, b) is exactly the sum of exact_cnt over the keys
+    // hashing there — a partition-of-multiset identity, so `c` is
+    // bit-identical to the twin's stream-grain COUNT(*). This removes
+    // the second tokenize+explode of the corpus AND moves the d-way
+    // bucket fan-out from stream grain to vocabulary grain. (q12v's
+    // MG pass cannot do this — its whole point is never materializing
+    // the key space; HERE the key space is materialized by design.)
+    val cells = exact
+      .select($"exact_cnt", posexplode(array((0 until CmDepth).map(r =>
+        bucket($"bg", r)): _*)).as(Seq("r", "b")))
+      .groupBy($"r", $"b").agg(sum($"exact_cnt").as("c"))
     val probes = exact
       .select($"bg", $"exact_cnt", posexplode(array((0 until CmDepth).map(r =>
         bucket($"bg", r)): _*)).as(Seq("r", "b")))
