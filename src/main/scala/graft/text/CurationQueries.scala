@@ -425,29 +425,83 @@ object CurationQueries {
             $"text", $"lang", $"n_chars"))
       val keepMin = plant
         .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
-      // d1 fans out to FOUR independent consumers (quality,
-      // repetition, contamination ×2 sides, final kept join) — left
-      // as pure lineage the dedup join and everything above it would
-      // re-execute per consumer. Materialize once via an EAGER local
-      // checkpoint: unlike cache(), it registers nothing in the
-      // CacheManager (a library call must not pin session-lifetime
-      // state — r6 ADVICE item 3), and its blocks are reclaimed by
-      // the ContextCleaner when the returned plan goes unreachable.
-      // A production pipeline at corpus scale stages this boundary to
-      // parquet (disk-backed, partitioned); MEMORY_AND_DISK-backed
+      // d1 fans out to FIVE independent consumers (quality tokens,
+      // repetition tokens + bigrams, contamination ×2 sides, final
+      // kept join) — left as pure lineage the dedup join and
+      // everything above it would re-execute per consumer.
+      // Materialize once via an EAGER local checkpoint — and stage
+      // the TOKEN ARRAY, not the raw text (r18): before, every gate
+      // re-ran the whitespace-regex split on the full corpus (5
+      // tokenizations per run); now the split happens exactly once at
+      // this boundary and each gate derives its grain (tokens,
+      // 2-grams, 3-gram shingles — both n-gram walks are the codegen
+      // WordNGrams expression) from the staged array. Unlike cache(),
+      // localCheckpoint registers nothing in the CacheManager (a
+      // library call must not pin session-lifetime state — r6 ADVICE
+      // item 3), and its blocks are reclaimed by the ContextCleaner
+      // when the returned plan goes unreachable. A production
+      // pipeline at corpus scale stages this boundary to parquet
+      // (disk-backed, partitioned); MEMORY_AND_DISK-backed
       // localCheckpoint stands in for that here.
-      val d1 = plant.withColumn("h", md5($"text"))
+      val d1ws = plant.withColumn("h", md5($"text"))
         .join(keepMin, Seq("h", "doc_id")).drop("h")
+        .select($"doc_id", $"lang", $"n_chars",
+          split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+").as("ws"))
         .localCheckpoint(true)
-      val q = TextQueries.qualityScores(d1).select($"doc_id", $"quality")
-      val rep = repetitionStats(d1)
-        .select($"doc_id".as("rdoc"), $"repetitive")
-      val cont = contaminationFlags(spark, d1)
-        .select($"doc_id".as("cdoc"), $"contaminated")
-      val kept = d1.filter($"doc_id" % 97 =!= 0)
-        .join(q, "doc_id")
-        .join(rep, $"doc_id" === $"rdoc")
+      import org.apache.spark.sql.GraftColumnBridge
+      // ONE token-grain pass serves BOTH gate statistics: quality's
+      // conditional counts re-aggregate the (doc, tok) counts
+      // (sum(when(cond, c)) ≡ token-grain sum(when(cond, 1)) — exact
+      // integers), so the quality and repetition token passes fuse.
+      val tokStats = d1ws
+        .select($"doc_id", explode($"ws").as("tok"))
+        .groupBy($"doc_id", $"tok").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_tokens"),
+          sum(when($"tok".isin(TextQueries.stopEn: _*), $"c")
+            .otherwise(0L)).as("n_stop"),
+          sum(when(length($"tok") <= 2, $"c").otherwise(0L)).as("n_short"),
+          sum(when($"tok".rlike("^[0-9]+$"), $"c").otherwise(0L))
+            .as("n_digit"))
+      val bgStats = d1ws
+        .select($"doc_id", explode(GraftColumnBridge.column(
+          graft.functions.WordNGrams(
+            GraftColumnBridge.expression($"ws"), 2))).as("bg"))
+        .groupBy($"doc_id", $"bg").agg(count(lit(1)).as("c"))
+        .groupBy($"doc_id")
+        .agg(sum($"c").as("n_2grams"), max($"c").as("max_bg"),
+          sum(when($"c" > 1, $"c").otherwise(0L)).as("dup_mass"))
+        .withColumnRenamed("doc_id", "bdoc")
+      val top2 = coalesce($"max_bg".cast("double") / $"n_2grams", lit(0.0))
+      val dup2 = coalesce($"dup_mass".cast("double") / $"n_2grams", lit(0.0))
+      // gate rows = tokStats rows (docs with ≥1 token) — the same
+      // row universe the original q ⋈ rep inner-join pair produced.
+      val gate = tokStats.join(bgStats, $"doc_id" === $"bdoc", "left")
+        .select($"doc_id", $"n_tokens", $"n_stop", $"n_short",
+          $"n_digit", (top2 > 0.18 || dup2 > 0.6).as("repetitive"))
+      def shingled(d: DataFrame) = d.select($"doc_id",
+        explode(GraftColumnBridge.column(
+          graft.functions.WordNGrams(
+            GraftColumnBridge.expression($"ws"), 3))).as("sh"))
+      val hold = shingled(d1ws.filter($"doc_id" % 97 === 0))
+        .select($"sh").distinct().withColumn("hit", lit(1))
+      val corp = shingled(d1ws.filter($"doc_id" % 97 =!= 0)).distinct()
+      val cfrac = $"n_overlap".cast("double") / $"n_shingles"
+      val cont = corp.join(broadcast(hold), Seq("sh"), "left")
+        .groupBy($"doc_id")
+        .agg(count(lit(1)).as("n_shingles"),
+          sum(when($"hit".isNotNull, 1L).otherwise(0L)).as("n_overlap"))
+        .select($"doc_id".as("cdoc"), (cfrac >= 0.3).as("contaminated"))
+      val lenScore = least($"n_chars".cast("double") / 200.0, lit(1.0))
+      val shortRatio = $"n_short".cast("double") / $"n_tokens"
+      val digitRatio = $"n_digit".cast("double") / $"n_tokens"
+      val kept = d1ws.filter($"doc_id" % 97 =!= 0)
+        .select($"doc_id", $"lang", $"n_chars")
+        .join(gate, "doc_id")
         .join(cont, $"doc_id" === $"cdoc", "left")
+        .withColumn("quality",
+          lenScore * 0.5 + (lit(1.0) - shortRatio) * 0.3
+            + (lit(1.0) - digitRatio) * 0.2)
         .filter($"quality" >= 0.45 && !$"repetitive" &&
           coalesce($"contaminated", lit(false)) === lit(false))
       val balanced = TextQueries.rebalanceKeep(kept)

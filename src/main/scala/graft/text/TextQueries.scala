@@ -152,7 +152,7 @@ object TextQueries {
   }
 
   /** English-ish stopwords present in the corpus vocabulary. */
-  private val stopEn = Seq("the", "a", "and", "of", "to", "is")
+  private[text] val stopEn = Seq("the", "a", "and", "of", "to", "is")
 
   /** Quality transform over any (doc_id, text, n_chars) frame —
     * reused by q12b and the q12k curation pipeline. One token

@@ -145,6 +145,49 @@ class CurationSpec extends SparkTestBase {
     } finally out.unpersist()
   }
 
+  test("q12k fused gates reproduce the unfused stage composition exactly") {
+    import spark.implicits._
+    import graft.text.TextQueries
+    import graft.text.CurationQueries.{repetitionStats, contaminationFlags}
+    // r18 fused the three gate tokenizations into one staged token
+    // array + one token-grain aggregation; this witness recomputes
+    // the r17 shape (independent qualityScores / repetitionStats /
+    // contaminationFlags over the deduped corpus) and asserts the
+    // full pipeline outputs are identical row-for-row.
+    val docs = Tables(spark, sfDir).documents
+    val plant = docs.select($"doc_id", $"text", $"lang", $"n_chars")
+      .unionByName(docs.filter($"doc_id" % 7 === 0)
+        .select(($"doc_id" + 1000000).as("doc_id"),
+          $"text", $"lang", $"n_chars"))
+    val keepMin = plant
+      .groupBy(md5($"text").as("h")).agg(min($"doc_id").as("doc_id"))
+    val d1 = plant.withColumn("h", md5($"text"))
+      .join(keepMin, Seq("h", "doc_id")).drop("h")
+    val q = TextQueries.qualityScores(d1).select($"doc_id", $"quality")
+    val rep = repetitionStats(d1).select($"doc_id".as("rdoc"), $"repetitive")
+    val cont = contaminationFlags(spark, d1)
+      .select($"doc_id".as("cdoc"), $"contaminated")
+    val kept = d1.filter($"doc_id" % 97 =!= 0)
+      .join(q, "doc_id")
+      .join(rep, $"doc_id" === $"rdoc")
+      .join(cont, $"doc_id" === $"cdoc", "left")
+      .filter($"quality" >= 0.45 && !$"repetitive" &&
+        coalesce($"contaminated", lit(false)) === lit(false))
+    val balanced = TextQueries.rebalanceKeep(kept)
+      .select($"doc_id", $"lang", $"quality",
+        md5(concat($"doc_id".cast("string"), lit("|shuffle")))
+          .as("shuffle_key"))
+    val expected = graft.operators.DistributedRank.rankNtile(
+      balanced, groupCols = Seq.empty,
+      orderCols = Seq($"shuffle_key", $"doc_id"), ntiles = 16,
+      rankName = "shuffle_pos", ntileName = "shard")
+      .select($"doc_id", $"lang", $"quality", $"shuffle_pos", $"shard")
+    val actual = CurationQueries.q12kCurationPipeline.fn(spark, sfDir)
+    assert(actual.exceptAll(expected).count() == 0 &&
+      expected.exceptAll(actual).count() == 0,
+      "fused q12k diverged from the unfused stage composition")
+  }
+
   test("q12k is cache-neutral: repeated calls pin no CacheManager entries") {
     // the fan-out boundary inside q12k materializes via an eager
     // localCheckpoint, NOT cache() — a library call must not leave
