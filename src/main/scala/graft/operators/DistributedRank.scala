@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge, Row}
+import org.apache.spark.sql.{Column, DataFrame, GraftColumnBridge}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types.{IntegerType, LongType, StructType}
 
@@ -85,28 +85,58 @@ object DistributedRank {
       .sortWithinPartitions(sortCols: _*)
     val schema = parted.schema
     val gIdx = groupCols.map(schema.fieldIndex).toArray
+    val gTypes = gIdx.map(schema.fields(_).dataType)
 
     // Single lineage for both passes: the range shuffle materializes
-    // once; the second job's stages up to it are skipped.
-    val rdd = parted.rdd
+    // once; the second job's stages up to it are skipped. Both passes
+    // run at the catalyst InternalRow level (r18): `.rdd` would
+    // deserialize every row to an external Row in EACH pass (and
+    // build a second QueryExecution, forfeiting the shared shuffle),
+    // and `createDataFrame(RDD[Row])` would re-serialize the output
+    // through a RowEncoder — three full per-row conversion passes
+    // that at corpus scale cost more than the counting itself. Group
+    // keys read from InternalRows are internal values (UTF8String,
+    // Decimal); [[InternalRow.copyValue]] detaches them from reused
+    // row buffers before they are held across iterator steps.
+    val rdd = parted.queryExecution.toRdd
+    def groupKey(row: org.apache.spark.sql.catalyst.InternalRow): List[Any] = {
+      var i = gIdx.length - 1
+      var k: List[Any] = Nil
+      while (i >= 0) {
+        k = org.apache.spark.sql.catalyst.InternalRow.copyValue(
+          row.get(gIdx(i), gTypes(i))) :: k
+        i -= 1
+      }
+      k
+    }
 
     val counts: Array[(Int, List[Any], Long)] =
-      rdd.mapPartitionsWithIndex { (pid, it) =>
-        val out = scala.collection.mutable.ArrayBuffer.empty[(Int, List[Any], Long)]
-        var cur: List[Any] = null
-        var n = 0L
-        it.foreach { row =>
-          val k = gIdx.map(row.get(_)).toList
-          if (k != cur) {
-            if (cur != null) out += ((pid, cur, n))
-            cur = k
-            n = 0L
+      if (gIdx.isEmpty) {
+        // ungrouped: the count pass needs only partition sizes — no
+        // field is read, no value copied
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          var n = 0L
+          while (it.hasNext) { it.next(); n += 1 }
+          Iterator.single((pid, (Nil: List[Any]), n))
+        }.collect()
+      } else {
+        rdd.mapPartitionsWithIndex { (pid, it) =>
+          val out = scala.collection.mutable.ArrayBuffer.empty[(Int, List[Any], Long)]
+          var cur: List[Any] = null
+          var n = 0L
+          it.foreach { row =>
+            val k = groupKey(row)
+            if (k != cur) {
+              if (cur != null) out += ((pid, cur, n))
+              cur = k
+              n = 0L
+            }
+            n += 1
           }
-          n += 1
-        }
-        if (cur != null) out += ((pid, cur, n))
-        out.iterator
-      }.collect()
+          if (cur != null) out += ((pid, cur, n))
+          out.iterator
+        }.collect()
+      }
 
     val totals: Map[List[Any], Long] =
       counts.groupBy(_._2).map { case (k, cs) => k -> cs.map(_._3).sum }
@@ -123,14 +153,21 @@ object DistributedRank {
     val bcOffsets = spark.sparkContext.broadcast(offsets)
     val nt = ntiles.toLong
 
+    // Emitted rows are JoinedRow(input, [rank, tile]) wrappers: the
+    // downstream RDDScanExec applies an UnsafeProjection element-wise
+    // (copying values out) before the next row is pulled, so no
+    // per-row copy is needed here; only `cur` (held across steps)
+    // uses copied key values, via groupKey.
     val ranked = rdd.mapPartitionsWithIndex { (pid, it) =>
       var cur: List[Any] = null
+      var started = false
       var base = 0L
       var total = 0L
       var local = 0L
       it.map { row =>
-        val k = gIdx.map(row.get(_)).toList
-        if (k != cur) {
+        val k = if (gIdx.isEmpty) (Nil: List[Any]) else groupKey(row)
+        if (!started || k != cur) {
+          started = true
           cur = k
           local = 0L
           base = bcOffsets.value((pid, k))
@@ -143,12 +180,16 @@ object DistributedRank {
         val tile =
           if (i < r * (q + 1)) i / (q + 1) + 1
           else r + (i - r * (q + 1)) / q + 1
-        Row.fromSeq(row.toSeq :+ (i + 1) :+ tile.toInt)
+        new org.apache.spark.sql.catalyst.expressions.JoinedRow(
+          row,
+          new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
+            Array[Any](i + 1, tile.toInt)))
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
     val outSchema = StructType(schema.fields)
       .add(rankName, LongType, nullable = false)
       .add(ntileName, IntegerType, nullable = false)
-    spark.createDataFrame(ranked, outSchema)
+    GraftColumnBridge.internalCreateDataFrame(spark, ranked, outSchema)
   }
 }

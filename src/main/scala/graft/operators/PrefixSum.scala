@@ -1,6 +1,6 @@
 package graft.operators
 
-import org.apache.spark.sql.{Column, DataFrame, Row}
+import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.types.{LongType, StructType}
 
 /** Distributed EXCLUSIVE prefix sum — the scale path for global
@@ -67,7 +67,14 @@ object PrefixSum {
       .sortWithinPartitions(ord: _*)
     val vIdx = parted.schema.fieldIndex("__psum_v")
 
-    val rdd = parted.rdd
+    // Both passes at the catalyst InternalRow level (r18, the same
+    // rewrite as DistributedRank): `.rdd` would deserialize every row
+    // per pass (and forfeit the shared shuffle via its separate
+    // QueryExecution), `createDataFrame(RDD[Row])` re-serialize the
+    // output. The sum pass reads ONE long per InternalRow; the output
+    // pass emits a projection wrapper the downstream RDDScanExec
+    // unsafe-projects element-wise (no copies held across steps).
+    val rdd = parted.queryExecution.toRdd
 
     val perPartition: Array[(Int, Long)] =
       rdd.mapPartitionsWithIndex { (pid, it) =>
@@ -86,18 +93,25 @@ object PrefixSum {
     }
     val bcOffsets = spark.sparkContext.broadcast(offsets)
 
+    val inTypes = parted.schema.fields.map(_.dataType)
+    val n = inTypes.length
     val summed = rdd.mapPartitionsWithIndex { (pid, it) =>
       var run = bcOffsets.value(pid)
       it.map { row =>
-        val out = Row.fromSeq(
-          row.toSeq.dropRight(1) :+ run) // drop __psum_v, append prefix
+        // drop __psum_v (last field), append the running prefix
+        val vals = new Array[Any](n)
+        var i = 0
+        while (i < n - 1) { vals(i) = row.get(i, inTypes(i)); i += 1 }
+        vals(n - 1) = run
         if (!row.isNullAt(vIdx)) run += row.getLong(vIdx)
-        out
+        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(vals)
+          : org.apache.spark.sql.catalyst.InternalRow
       }
     }
     val outSchema = StructType(
       parted.schema.fields.dropRight(1))
       .add(outName, LongType, nullable = false)
-    spark.createDataFrame(summed, outSchema)
+    org.apache.spark.sql.GraftColumnBridge.internalCreateDataFrame(
+      spark, summed, outSchema)
   }
 }

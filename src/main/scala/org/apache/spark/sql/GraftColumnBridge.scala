@@ -27,6 +27,21 @@ object GraftColumnBridge {
     * inner node then throws `Cannot evaluate expression: ... ASC
     * NULLS FIRST`). A non-sort column becomes ASC NULLS LAST.
     */
+  /** Build a DataFrame from an RDD of catalyst [[InternalRow]]s
+    * without the external-Row round trip (r18, the DistributedRank/
+    * PrefixSum scale-path rewrite): `createDataFrame(RDD[Row])` pays
+    * a full RowEncoder serialization per row, while the physical scan
+    * of this form (`RDDScanExec`) applies one codegen'd
+    * UnsafeProjection — rows may be [[JoinedRow]]/GenericInternalRow
+    * wrappers consumed element-wise, no copies needed.
+    */
+  def internalCreateDataFrame(
+      spark: SparkSession,
+      catalystRows: org.apache.spark.rdd.RDD[catalyst.InternalRow],
+      schema: types.StructType): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(catalystRows, schema)
+
   def nullsLast(c: Column): Column = c.node match {
     case so: internal.SortOrder =>
       Column(so.copy(nullOrdering = internal.SortOrder.NullsLast))
