@@ -285,46 +285,57 @@ object BehaviorQueries {
       |  UNION ALL SELECT * FROM remainder)""".stripMargin) { (spark, dir) =>
     import spark.implicits._
     val ev = Tables(spark, dir).events
-    // The 7-day purchase×click band join `j` is staged ONCE via eager
-    // localCheckpoint (the q12y/q13j device, r17): unstaged, the
-    // baseline plan scanned events NINE times and ran 19 exchanges —
-    // `j` re-derived for the touch branch and the per-purchase
-    // counts, `perPExact` for all THREE union branches — and none of
-    // the differently-pruned subtrees align for runtime exchange
-    // reuse. ONLY `j` is staged: its grain is bounded (per-user
-    // clicks in a 7-day window, the q15e interval-join budget) and
-    // every duplicate subtree hangs off it; additionally staging `p`
-    // and `perPExact` was A/B'd and REGRESSED (each eager checkpoint
-    // is a sequential job barrier — three barriers serialized what
-    // the scheduler previously overlapped; measured 1.22 → 1.58 s vs
-    // 1.22 → 1.02 s for j-only at sf0.1).
+    // Staging grain (r18, replacing r17's pair-grain `j` checkpoint):
+    // the per-channel touch totals need only PER-PURCHASE counts —
+    // n_touches(click_24h) = Σ_p n_24h(p) and its credit sum =
+    // Σ_p n_24h(p)·credit(p) (identical integers to the old pair-
+    // grain COUNT(*)/SUM(credit) by distributivity) — so the band
+    // join's pair mass collapses to purchase grain via map-side
+    // partial aggregation INSIDE the join stage and is never
+    // materialized: the r17 verdict's skew concern (the one staged
+    // frame whose size was quadratic in per-user event rate) is gone
+    // by construction — the staged frame is now bounded by the
+    // purchase count regardless of click distribution, and the join
+    // itself is an ordinary user-keyed equi-join AQE's skew-split
+    // can handle. perP is staged ONCE via eager localCheckpoint (the
+    // q12y/q13j device): three union branches consume it and their
+    // differently-pruned subtrees would otherwise re-run the band
+    // join per branch (9 events scans / 19 exchanges in the r17
+    // baseline plan).
     val p = ev.filter($"event_type" === "purchase")
       .select($"user_id", $"ts",
         floor($"value" * 1e6 + 0.5).cast("long").as("vu"),
         $"event_id".as("pid"))
     val c = ev.filter($"event_type" === "click")
       .select($"user_id", $"ts".as("cts"))
-    val j = p.join(c, "user_id")
+    val perP = p.join(c, "user_id")
       .filter($"cts" <= $"ts" &&
         unix_micros($"ts") - unix_micros($"cts") <= 604800000000L)
-      .select($"pid", $"vu", $"ts".as("pts"), $"cts")
-      .localCheckpoint(true)
-    val perPExact = j.groupBy($"pid", $"vu")
-      .agg(count(lit(1)).as("n_clicks"))
+      .groupBy($"pid", $"vu")
+      .agg(count(lit(1)).as("n_clicks"),
+        sum(when(unix_micros($"ts") - unix_micros($"cts")
+          <= 86400000000L, 1L).otherwise(0L)).as("n_24h"))
       .withColumn("credit", expr("vu div n_clicks"))
-    val touch = j.join(perPExact.select($"pid", $"credit"), "pid")
-      .withColumn("channel",
-        when(unix_micros($"pts") - unix_micros($"cts") <= 86400000000L,
-          "click_24h").otherwise("click_7d"))
-      .groupBy($"channel")
-      .agg(count(lit(1)).as("n_touches"),
-        sum($"credit").as("credited_micros"))
-    val organic = p.join(perPExact.select($"pid"), Seq("pid"), "left_anti")
+      .localCheckpoint(true)
+    // one pass over the staged grain emits both channel rows; a
+    // channel with zero touches must NOT emit (the old pair-grain
+    // groupBy(channel) produced no group for it)
+    val touch = perP.select(explode(array(
+        struct(lit("click_24h").as("channel"), $"n_24h".as("n"),
+          ($"n_24h" * $"credit").as("cr")),
+        struct(lit("click_7d").as("channel"),
+          ($"n_clicks" - $"n_24h").as("n"),
+          (($"n_clicks" - $"n_24h") * $"credit").as("cr")))).as("t"))
+      .groupBy($"t.channel".as("channel"))
+      .agg(sum($"t.n").as("n_touches"),
+        sum($"t.cr").as("credited_micros"))
+      .filter($"n_touches" > 0)
+    val organic = p.join(perP.select($"pid"), Seq("pid"), "left_anti")
       .agg(count(lit(1)).as("n_touches"),
         sum($"vu").as("credited_micros"))
       .select(lit("organic").as("channel"), $"n_touches",
         $"credited_micros")
-    val residual = perPExact
+    val residual = perP
       .agg(count(lit(1)).as("n_touches"),
         sum($"vu" - $"n_clicks" * $"credit").as("credited_micros"))
       .select(lit("rounding_residual").as("channel"), $"n_touches",

@@ -139,6 +139,84 @@ class BehaviorSpec extends SparkTestBase {
       "credited micros across all channels must equal total purchase value")
   }
 
+  test("multitouch is exact on a skewed power-user fixture") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.{lit, timestamp_micros}
+    // r18: the staged frame moved from pair grain to purchase grain —
+    // this fixture makes the pair mass quadratic for ONE user (the
+    // distribution the r17 verdict flagged) and checks the channel
+    // totals against a driver-side recount, including the 24h/7d
+    // split and a null-value purchase.
+    val base = 1700000000000000L // µs epoch
+    val hr = 3600000000L
+    val rows = scala.collection.mutable.ArrayBuffer.empty[
+      (Long, Long, Long, String, java.lang.Double)]
+    var id = 0L
+    // power user 1: 300 clicks over ~12 days, 40 purchases
+    (0 until 300).foreach { i =>
+      id += 1; rows += ((id, base + i * hr, 1L, "click", null))
+    }
+    (0 until 40).foreach { i =>
+      id += 1
+      rows += ((id, base + (i * 8 + 3) * hr, 1L, "purchase",
+        Double.box(10.0 + i * 0.937)))
+    }
+    // normal user 2: 2 clicks then a purchase; one click outside 7d
+    id += 1; rows += ((id, base - 200 * hr, 2L, "click", null))
+    id += 1; rows += ((id, base + 1 * hr, 2L, "click", null))
+    id += 1; rows += ((id, base + 2 * hr, 2L, "purchase", Double.box(5.5)))
+    // user 2 again: a NULL-value purchase WITH prior clicks (null
+    // credit flows through the touch/residual branches)
+    id += 1; rows += ((id, base + 3 * hr, 2L, "purchase", null))
+    // user 3: organic purchase (no clicks)
+    id += 1; rows += ((id, base, 3L, "purchase", Double.box(7.25)))
+    val dir = java.nio.file.Files
+      .createTempDirectory("q24h_skew_fixture").toString
+    rows.toSeq
+      .toDF("event_id", "ts_us", "user_id", "event_type", "value")
+      .withColumn("ts", timestamp_micros($"ts_us")).drop("ts_us")
+      .withColumn("props", lit(null).cast("string"))
+      .select($"event_id", $"ts", $"user_id", $"event_type", $"value",
+        $"props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val got = BehaviorQueries.q24hMultitouch.fn(spark, dir)
+      .collect().map(r => r.getString(0) ->
+        (r.getLong(1), if (r.isNullAt(2)) null else Long.box(r.getLong(2))))
+      .toMap
+    // driver-side recount at channel grain
+    val clicks = rows.filter(_._4 == "click")
+      .groupBy(_._3).view.mapValues(_.map(_._2)).toMap
+    var (n24, c24, n7, c7, nOrg, cOrg, nRes, cRes) =
+      (0L, 0L, 0L, 0L, 0L, 0L, 0L, 0L)
+    var sawNullCredit = false
+    rows.filter(_._4 == "purchase").foreach { case (_, ts, u, _, v) =>
+      val prior = clicks.getOrElse(u, Seq.empty)
+        .filter(c => c <= ts && ts - c <= 604800000000L)
+      val k24 = prior.count(c => ts - c <= 86400000000L).toLong
+      val k = prior.size.toLong
+      if (k == 0) {
+        nOrg += 1
+        if (v != null) cOrg += math.floor(v * 1e6 + 0.5).toLong
+      } else {
+        nRes += 1
+        n24 += k24; n7 += k - k24
+        if (v == null) sawNullCredit = true
+        else {
+          val vu = math.floor(v * 1e6 + 0.5).toLong
+          val credit = vu / k
+          c24 += credit * k24; c7 += credit * (k - k24)
+          cRes += vu - credit * k
+        }
+      }
+    }
+    assert(sawNullCredit, "fixture must exercise a NULL-value purchase")
+    assert(got("click_24h") == ((n24, Long.box(c24))))
+    assert(got("click_7d") == ((n7, Long.box(c7))))
+    assert(got("organic") == ((nOrg, Long.box(cOrg))))
+    assert(got("rounding_residual") == ((nRes, Long.box(cRes))))
+  }
+
   test("plan: funnel stage scans push the event_type literal to parquet") {
     val plan = BehaviorQueries.q24bEventFunnel.fn(spark, sfDir)
       .queryExecution.executedPlan.toString
