@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.Exact
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** The reference's Python analytics layer (`Python Analytics/
   * PythonAnalysis.py`, SURVEY §2.4 A9–A15, §2.8 F7–F8, §2.9 M5/M7)
@@ -137,7 +138,7 @@ object AnalyticsQueries {
           percentile_approx(c, lit(0.75), lit(10000)).as(s"p75a_$m"))
       }
       val sketch = li.agg(sketchAggs.head, sketchAggs.tail: _*)
-        .localCheckpoint(true)
+        .staged
       // second linear pass — also fused across measures: exact rank
       // interval of each sketch value (strictly-below and at-most
       // counts — the interval a value with ties occupies), verified
@@ -285,7 +286,7 @@ object AnalyticsQueries {
               Exact.dsum(col(c) * col(c), 4).as(s"sxx_$c"))) ++
             pairs.map { case (x, y) =>
               Exact.dsum(col(x) * col(y), 4).as(s"sxy_${x}_$y") }
-        val m = base.agg(aggs.head, aggs.tail: _*).localCheckpoint(true)
+        val m = base.agg(aggs.head, aggs.tail: _*).staged
         pairs.map { case (x, y) =>
           val n = $"n".cast(DoubleType)
           // zero-variance guard, twin of duckPair's CASE (see the
@@ -463,7 +464,7 @@ object AnalyticsQueries {
     // a full lineitem scan + shuffle — eager localCheckpoint pins ONE
     // scan (customer grain ≪ lineitem, the node-grain-checkpoint rule;
     // the q9a_approx single-scan device applied a level lower).
-    val cust = custSpendOrders(spark, dir).localCheckpoint(true)
+    val cust = custSpendOrders(spark, dir).staged
     // descending tertiles: tile 1 = top third → thresholds at the
     // ascending 2/3 and 1/3 quantiles. The cuts frame likewise feeds
     // TWO plan consumers — checkpointed so the sketch runs once.
@@ -472,7 +473,7 @@ object AnalyticsQueries {
       percentile_approx($"spend", lit(1.0 / 3), lit(10000)).as("spend_lo"),
       percentile_approx($"n_orders", lit(2.0 / 3), lit(10000)).as("ord_hi"),
       percentile_approx($"n_orders", lit(1.0 / 3), lit(10000)).as("ord_lo"))
-      .localCheckpoint(true)
+      .staged
     approxSegmentationFrom(cust, cuts)
   }
 
@@ -899,7 +900,7 @@ object AnalyticsQueries {
       .groupBy($"n_name", $"o_custkey")
       .agg(Exact.dsum(Exact.revenueExpr($"l_extendedprice", $"l_discount"))
         .as("spend"))
-      .localCheckpoint(true)
+      .staged
     val stats = cust.groupBy($"n_name").agg(
       count(lit(1)).as("n"),
       percentile($"spend", lit(0.25)).as("p25"),

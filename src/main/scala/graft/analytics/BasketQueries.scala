@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Market-basket analysis (q25): association rules over order baskets
   * — support / confidence / lift for brand pairs bought together, the
@@ -65,7 +66,7 @@ object BasketQueries {
           $"l_partkey" === $"p_partkey")
         .select($"l_orderkey", $"p_brand")
         .distinct()
-        .localCheckpoint()
+        .staged
       // one sorted item array per basket; pairs emitted map-side
       val pairs = items
         .groupBy($"l_orderkey")
@@ -138,7 +139,7 @@ object BasketQueries {
     import spark.implicits._
     val t = Tables(spark, dir)
     val items = t.lineitem.select($"l_orderkey", $"l_partkey").distinct()
-      .localCheckpoint() // consumers: pair build + freq
+      .staged // consumers: pair build + freq
     val up = items
       .groupBy($"l_orderkey")
       .agg(sort_array(collect_set($"l_partkey")).as("bs"))
@@ -156,7 +157,7 @@ object BasketQueries {
       .select($"s", $"t", $"n_ab",
         ($"n_ab".cast("double") /
           sqrt(($"n_a" * $"n_b").cast("double"))).as("cosv"))
-      .localCheckpoint() // consumers: TopK skeleton + audit join-back
+      .staged // consumers: TopK skeleton + audit join-back
     val top3 = graft.functions.TopK.topk(3)
     val skeleton = cosd
       // quantized keys are < 2^31 ≪ 2^53, so the Double score the

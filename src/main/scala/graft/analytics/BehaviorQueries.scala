@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Behavioral analytics extension (q24 family): cohort retention,
   * ordered funnels, and event-transition counts — the three classic
@@ -316,7 +317,7 @@ object BehaviorQueries {
         sum(when(unix_micros($"ts") - unix_micros($"cts")
           <= 86400000000L, 1L).otherwise(0L)).as("n_24h"))
       .withColumn("credit", expr("vu div n_clicks"))
-      .localCheckpoint(true)
+      .staged
     // one pass over the staged grain emits both channel rows; a
     // channel with zero touches must NOT emit (the old pair-grain
     // groupBy(channel) produced no group for it)

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Exact
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** The reference's Power BI DAX measures (Final Report §7.1, SURVEY
   * §2.5 W7): rolling-window distinct actives, month-over-month churned
@@ -84,7 +85,7 @@ object DaxMeasures {
     // blocks are reclaimed when the plan goes unreachable.
     val activity = t.orders
       .select($"o_custkey", monthIdx.as("m")).distinct()
-      .localCheckpoint(true)
+      .staged
     val months = activity.select($"m").distinct()
     val next = activity.select($"o_custkey", ($"m" + 1).as("nm"))
       .join(broadcast(months), $"nm" === months("m"), "left_semi")

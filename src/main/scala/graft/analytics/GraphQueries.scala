@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Graph analytics over relational edge lists: weighted PageRank as an
   * iterative Pregel-style dataflow — each iteration is ONE join (rank
@@ -99,7 +100,7 @@ object GraphQueries {
         .select($"p.s", $"p.t")
         .groupBy($"s", $"t")
         .agg(count(lit(1)).as("w"))
-        .localCheckpoint(true)
+        .staged
     })
   }
 
@@ -131,7 +132,7 @@ object GraphQueries {
     // checkpointed node-grain frame serves as: broadcast probe, ratio
     // divisor, and round-0 rank — no separate distinct pass.
     val outd = edges.groupBy(col(src)).agg(sum(col(w)).as("__out"))
-      .localCheckpoint(true)
+      .staged
     val n = outd.count()
     // Empty graph (a contract-legal filtered-to-nothing input): the
     // twin's outd-anchored CTEs all yield zero rows, so the rank frame
@@ -144,10 +145,10 @@ object GraphQueries {
     val e = edges.join(hinted(outd), src)
       .select(col(src).as("__src"), col(dst).as("__dst"),
         (col(w).cast("double") / col("__out").cast("double")).as("__ratio"))
-      .localCheckpoint(true)
+      .staged
     var pr = outd
       .select(col(src).as("node"), (lit(1.0) / lit(nD)).as("pr"))
-      .localCheckpoint(true)
+      .staged
     // One damping step. `hint` broadcasts the rank frame explicitly —
     // needed when pr is a checkpointed LogicalRDD (no shuffle stage
     // for AQE to re-plan from); a step stacked directly on another
@@ -174,8 +175,8 @@ object GraphQueries {
     // Two rounds per materialization: lineage stays bounded, but half
     // the checkpoint/broadcast/job overhead of one-round-per-commit.
     for (_ <- 1 to iters / 2)
-      pr = step(step(pr, hint = true), hint = false).localCheckpoint(true)
-    if (iters % 2 == 1) pr = step(pr, hint = true).localCheckpoint(true)
+      pr = step(step(pr, hint = true), hint = false).staged
+    if (iters % 2 == 1) pr = step(pr, hint = true).staged
     pr
   }
 
@@ -293,7 +294,7 @@ object GraphQueries {
     val spark = edges.sparkSession
     import spark.implicits._
     val up = edges.select(col(s).as("s"), col(t).as("t"))
-      .localCheckpoint(true) // 3 consumers (deg ×2 sides + orientation)
+      .staged // 3 consumers (deg ×2 sides + orientation)
     // degree joins are deliberately left to AQE: deg is a shuffle
     // stage over the checkpointed edge list, so AQE sees its true
     // (node-grain) size at runtime and converts both lookups to
@@ -312,7 +313,7 @@ object GraphQueries {
         when(fwd, $"s").otherwise($"t").as("lo"),
         when(fwd, $"t").otherwise($"s").as("hi"),
         when(fwd, $"d_t").otherwise($"d_s").as("dhi"))
-      .localCheckpoint(true) // consumers below
+      .staged // consumers below
     // COMPACT-FORWARD while the oriented edge list fits a broadcast
     // (≤ BroadcastNodeLimit edges): per edge (u,v), the triangles
     // through it are N⁺(u) ∩ N⁺(v), and each triangle a→b, a→c, b→c
@@ -338,7 +339,7 @@ object GraphQueries {
         // two consumers (center + apex credits): without this the
         // broadcast probes AND the hot array_intersect run twice —
         // the file's multi-consumer checkpoint discipline (orE above)
-        .localCheckpoint(true)
+        .staged
       val centerCredits = per.filter($"k" > 0)
         .select(explode(array($"lo", $"hi")).as("v"), $"k")
       val apexCredits = per
@@ -375,7 +376,7 @@ object GraphQueries {
     val spark = edges.sparkSession
     import spark.implicits._
     val e = edges.select(col(s).as("__s"), col(t).as("__t"))
-      .localCheckpoint(true) // consumed every round
+      .staged // consumed every round
     // Vertex-broadcast rounds were an r10 wash — but only because the
     // per-query graph BUILD dominated then. With the build now shared
     // (coPurchasePairs memoization) the per-round cost is visible, and
@@ -397,7 +398,7 @@ object GraphQueries {
     // edges passed the limit, and a sparse one could broadcast up to
     // 2x the node budget.)
     var dist = seeds.select(col(node).as("node"), lit(0L).as("hops"))
-      .localCheckpoint(true)
+      .staged
     for (_ <- 1 to iters) {
       val frontier =
         if (dist.count() <= broadcastLimit) broadcast(dist) else dist
@@ -405,7 +406,7 @@ object GraphQueries {
         .select($"__t".as("node"), ($"hops" + 1L).as("hops"))
         .unionAll(dist)
         .groupBy($"node").agg(min($"hops").as("hops"))
-        .localCheckpoint(true)
+        .staged
     }
     dist
   }

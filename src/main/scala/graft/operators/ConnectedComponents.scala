@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Staging.Stageable
 
 /** Connected components over an undirected edge list — the step a
   * dedup pipeline needs between near-dup PAIRS (q13b/q13c emit them)
@@ -86,7 +87,7 @@ object ConnectedComponents {
       // an N-round join lineage that an uncached consumer would replay.
       // Checkpoint blocks are released by the ContextCleaner once the
       // caller drops the DataFrame.
-      (labels.localCheckpoint(eager = true), iter)
+      (labels.staged, iter)
     } finally {
       labels.unpersist()
       sym.unpersist()

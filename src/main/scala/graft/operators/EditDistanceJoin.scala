@@ -2,6 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.DataFrame
 import org.apache.spark.sql.functions._
+import graft.Staging.Stageable
 
 /** Edit-distance-1 similarity self-join via deletion-neighborhood
   * blocking (the FastSS device): two strings are within Levenshtein
@@ -34,7 +35,7 @@ object EditDistanceJoin {
     // tiny (vocab-grain) staging barrier: without it the self-join
     // below re-derives the vocab subtree — including its corpus scan —
     // once per side (the q12s device; 600 rows here, not a cache pin)
-    val v = vocab.select(col(tok), col(payload)).localCheckpoint(true)
+    val v = vocab.select(col(tok), col(payload)).staged
     val variants = v.select(col(tok), col(payload),
       explode(array_distinct(concat(
         array(col(tok)),

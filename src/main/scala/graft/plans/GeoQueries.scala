@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.functions.Geo
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Query surface of the [[GeoRules]] optimizer extension. */
 object GeoQueries {
@@ -204,7 +205,7 @@ object GeoQueries {
     val dense = cells.crossJoin(broadcast(tot))
       .filter(col("mass") * col("nc") > col("t"))
       .select(col("cell"), col("clat"), col("clon"), col("mass"))
-      .localCheckpoint(true) // 3 consumers: 2 edge sides + mass join
+      .staged // 3 consumers: 2 edge sides + mass join
     val comp = graft.operators.ConnectedComponents
       .components(denseCellEdges(dense))
       .toDF("cell", "hotspot_id")

@@ -6,6 +6,7 @@ import org.apache.spark.sql.types._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Source/sink surface (SURVEY §2.1): schema-declared CSV ingestion
   * with error capture (S1 + S6), semi-structured JSON column parsing,
@@ -244,7 +245,7 @@ object Sources {
     csv(spark, CsvOut, schema)
       .filter($"_corrupt_record".isNull)
       .drop("_corrupt_record")
-      .localCheckpoint(true)
+      .staged
   }
 
   /** q17c — JSONL round trip, ORACLE-GATED: the de-facto
@@ -286,7 +287,7 @@ object Sources {
       .json(JsonlOut)
       .filter($"_corrupt_record".isNull)
       .drop("_corrupt_record")
-      .localCheckpoint(true)
+      .staged
   }
 
   private val OrcOut = s"$RoundtripRoot/q17d_orc"
@@ -325,7 +326,7 @@ object Sources {
       .select($"l_orderkey", $"l_linenumber", $"l_quantity",
         $"l_returnflag", $"l_shipdate", $"l_linestatus")
     slice.write.mode("overwrite").orc(OrcOut)
-    val back = spark.read.orc(OrcOut).localCheckpoint(true)
+    val back = spark.read.orc(OrcOut).staged
     // full-row multiset equivalence, both directions
     val extra = back.exceptAll(slice).agg(count(lit(1)).as("n_extra"))
     val missing = slice.exceptAll(back).agg(count(lit(1)).as("n_missing"))
@@ -913,7 +914,7 @@ object Sources {
       .select($"o_orderkey",
         floor($"o_totalprice" * 100 + 0.5).cast(LongType).as("cents"),
         year($"o_orderdate").as("o_year"))
-      .localCheckpoint(true) // consumed once per year below
+      .staged // consumed once per year below
     val years = base.select($"o_year").distinct().as[Int].collect().sorted
 
     def leafFiles(dirPath: String): Seq[String] =

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** BPE merge-rule TRAINING as iterative dataflow — the step q12e's
   * BPE-ish tokenizer presupposes: learn the merge table itself from
@@ -116,7 +117,7 @@ object BpeQueries {
       array_join(expr(
         "transform(sequence(1, length(w)), i -> substring(w, i, 1))"), US)
         .as("seq"))
-      .localCheckpoint(true)
+      .staged
     var bests = Seq.empty[DataFrame]
     for (k <- 1 to Merges) {
       val pairs = vocab
@@ -131,13 +132,13 @@ object BpeQueries {
       // argmax with total tie-break → a deterministic 1-row frame,
       // broadcast onto the vocab for the map-side rewrite
       val best = pairs.orderBy($"c".desc, $"l".asc, $"r".asc).limit(1)
-        .localCheckpoint(true)
+        .staged
       bests = bests :+ best.select(lit(k).as("step"),
         concat($"l", $"r").as("merged"), $"c".as("pair_count"))
       vocab = vocab.crossJoin(broadcast(best))
         .select($"word", $"freq",
           mergeSeqCol($"seq", $"l", $"r").as("seq"))
-        .localCheckpoint(true)
+        .staged
     }
     bests.reduce(_ unionByName _).orderBy($"step")
   }

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Corpus-curation operators for training-data pipelines (builder
   * contract "Text analysis" / "Deduplication" adjuncts): PII
@@ -447,7 +448,7 @@ object CurationQueries {
         .join(keepMin, Seq("h", "doc_id")).drop("h")
         .select($"doc_id", $"lang", $"n_chars",
           split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+").as("ws"))
-        .localCheckpoint(true)
+        .staged
       import org.apache.spark.sql.GraftColumnBridge
       // ONE token-grain pass serves BOTH gate statistics: quality's
       // conditional counts re-aggregate the (doc, tok) counts

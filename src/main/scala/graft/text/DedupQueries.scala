@@ -7,6 +7,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.Exact
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Deduplication family for training-data pipelines (builder contract
   * "Deduplication"): exact hash-dedup, n-gram Jaccard, MinHash+LSH
@@ -148,7 +149,7 @@ object DedupQueries {
       // reclaimed by the ContextCleaner once the returned plan goes
       // unreachable (the q12k staging pattern; CacheSpec asserts the
       // no-new-entries invariant).
-      val postings = cappedPostings(spark, docs).localCheckpoint(true)
+      val postings = cappedPostings(spark, docs).staged
       val sz = postings.select(explode($"ds").as("doc_id"))
         .groupBy($"doc_id").agg(count(lit(1)).as("n"))
       val inter = postings
@@ -500,7 +501,7 @@ object DedupQueries {
     // .cache() — see scaladoc.
     val g1 = chunks.groupBy($"chunk", $"doc_id")
       .agg(count(lit(1)).as("occ"))
-      .localCheckpoint(true)
+      .staged
     val df = g1.groupBy($"chunk").agg(count(lit(1)).as("df"))
     val dropped = when($"df" >= BoilerplateDf, $"occ").otherwise(0L)
     val kept    = when($"df" < BoilerplateDf, $"occ").otherwise(0L)

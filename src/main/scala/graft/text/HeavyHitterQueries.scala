@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Exact heavy hitters over a token-pair stream via the two-pass
   * sketch-then-recount pattern (no reference analogue — LLM-pipeline
@@ -197,7 +198,7 @@ object HeavyHitterQueries {
     // (eager localCheckpoint, distinct-bigram grain ≪ stream grain):
     // two consumers below.
     val exact = bg.groupBy($"bg").agg(count(lit(1)).as("exact_cnt"))
-      .localCheckpoint(true)
+      .staged
     // Grid build DERIVED from the exact counts instead of a second
     // full-stream pass (r17): the count of stream occurrences landing
     // in cell (r, b) is exactly the sum of exact_cnt over the keys

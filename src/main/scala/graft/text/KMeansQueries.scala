@@ -6,6 +6,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** q14h — one Lloyd k-means refinement step over int8-quantized
   * embeddings: the clustering verb of SemDeDup-style curation made
@@ -202,7 +203,7 @@ object KMeansQueries {
     val codes = emb.crossJoin(broadcast(sc))
       .select($"vec_id",
         transform($"embedding", x => codeOf(x, $"s")).as("cs"))
-      .localCheckpoint(true)
+      .staged
     val hashOrd = md5($"vec_id".cast("string").cast("binary"))
     val cent0 = codes.orderBy(hashOrd.asc, $"vec_id".asc).limit(k)
       .withColumn("cell",

@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Embedding decorrelation: exact covariance + top principal component
   * by power iteration — the whitening/variance-analysis step of an
@@ -94,7 +95,7 @@ object PcaQueries {
          |      + 0.5d) AS BIGINT) AS p))))""".stripMargin))
       .groupBy($"i", $"j")
       .agg(sum($"p").as("s"), count(lit(1)).as("n"))
-      .localCheckpoint(true)
+      .staged
     val p2 = agg.filter($"j" =!= 0)
       .select($"i", $"j", $"s".as("s_xy"), $"n")
     val m1 = agg.filter($"j" === 0).select($"i", $"s")

@@ -8,6 +8,7 @@ import org.apache.spark.sql.types._
 import graft.Tables
 import graft.functions.VectorOps
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Similarity search over the `embeddings` table (builder contract
   * "Similarity search"): brute-force cosine top-k as the correctness
@@ -660,7 +661,7 @@ object SimilarityQueries {
       // baseline plan, plans/r17/q14g_ann_ivfpq_before.txt). The
       // staged grain is the corpus row count (vec + cell), the same
       // size class as the q13j/q14i staging precedents.
-      val assigned = assignCells(v, k).localCheckpoint(true)
+      val assigned = assignCells(v, k).staged
       val vs = assigned.select($"vec_id", $"embedding", $"n2")
       // PQ codebook: the first 16 md5-medoids, code = rank — collapsed
       // to ONE code-ascending array row (array index = code) shared by

@@ -4,6 +4,7 @@ import org.apache.spark.sql.functions._
 
 import graft.Tables
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** TF-IDF keyword extraction — the classic text-analysis operator the
   * LLM-pipeline family was still missing: per-document salient terms,
@@ -223,7 +224,7 @@ object TfIdfQueries {
       .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .staged
     val dl = tf.groupBy($"doc_id").agg(sum($"tf").as("len"))
     val dfq = tf.groupBy($"term").agg(count(lit(1)).as("df"))
     val stats = dl.agg(count(lit(1)).as("n"), sum($"len").as("tl"))

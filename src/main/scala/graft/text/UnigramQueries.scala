@@ -5,6 +5,7 @@ import org.apache.spark.sql.functions._
 import graft.Tables
 import graft.operators.DistributedRank
 import graft.queries.GraftQuery
+import graft.Staging.Stageable
 
 /** Unigram language-model quality scoring — the perplexity-proxy
   * filter of CCNet-style curation: score each document by its
@@ -68,7 +69,7 @@ object UnigramQueries {
       .select($"doc_id", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"doc_id", $"term")
       .agg(count(lit(1)).as("tf"))
-      .localCheckpoint(true)
+      .staged
     val cf = tf.groupBy($"term").agg(sum($"tf").as("cf"))
     val tot = cf.agg(sum($"cf").as("t"))
     tf.join(cf, Seq("term"))
@@ -195,7 +196,7 @@ object UnigramQueries {
       .select($"source", explode(split(trim($"text"), "[ \\t\\n\\x0B\\f\\r]+")).as("term"))
       .groupBy($"source", $"term")
       .agg(count(lit(1)).as("cfs"))
-      .localCheckpoint(true)
+      .staged
     val cf = tfs.groupBy($"term").agg(sum($"cfs").as("cf"))
     val ts = tfs.groupBy($"source").agg(sum($"cfs").as("t_s"))
     val tot = cf.agg(sum($"cf").as("t"))
@@ -269,7 +270,7 @@ object UnigramQueries {
       .agg(count(lit(1)).as("tf"))
       // three model consumers (cb→cu→V and the scoring join) over a
       // vocab²-bounded frame — the q12s staging pattern
-      .localCheckpoint(true)
+      .staged
     val cb = tf.groupBy($"w1", $"w2").agg(sum($"tf").as("cb"))
     val cu = cb.groupBy($"w1").agg(sum($"cb").as("cu"))
     val v = cb.agg(countDistinct($"w2").as("v"))
