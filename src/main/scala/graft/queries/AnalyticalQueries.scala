@@ -445,7 +445,15 @@ object AnalyticalQueries {
       val li = t.lineitem
       // popular ∧ returned fused into ONE two-phase aggregation: the
       // (part, order) pre-agg replaces countDistinct's expand — phase 2
-      // counts pre-deduped orders and sums the carried line counters
+      // counts pre-deduped orders and sums the carried line counters.
+      // r18 A/B'd and REVERTED: sharing this pre-agg with the building
+      // branch (ReuseExchange via the q12o always-true-guard device)
+      // does NOT fire — the building branch's orders join infers
+      // IsNotNull(l_orderkey) and pushes it into the scan, so the two
+      // partial-agg subtrees can never canonicalize equal (before/
+      // after dumps in plans/r18/: the shared shape kept 5 scans and
+      // ADDED an exchange; measured +4% locally, worse at scale too
+      // since the pair grain ≈ line grain here).
       val popularReturned = li
         .groupBy($"l_partkey", $"l_orderkey")
         .agg(count(when($"l_returnflag" === "R", 1)).as("n_ret"),
@@ -494,12 +502,26 @@ object AnalyticalQueries {
       import spark.implicits._
       val t = Tables(spark, dir)
       // carry (decimal sum, count) so the brand (line-grain) average
-      // reuses exact sums — no double→decimal re-cast of derived values
-      val pp = t.lineitem
+      // reuses exact sums — no double→decimal re-cast of derived values.
+      // r18 (guide §2.3, the orderRevenue device on the part dim):
+      // lineitem collapses to partkey grain map-side BEFORE the part
+      // join, so the join probes one row per part instead of the full
+      // line mass — at 100 TB the only line-grain exchange is the
+      // partkey pre-agg, which AQE sizes. The post-join re-group
+      // keeps the original line-grain join semantics bit-exact even
+      // under degenerate inputs (a duplicated p_partkey row of the
+      // same brand doubles the sums in BOTH shapes — decimal sums of
+      // sums are associative); it costs no exchange because the join
+      // output is already partkey-partitioned.
+      val liPart = t.lineitem
+        .groupBy($"l_partkey")
+        .agg(sum($"l_extendedprice".cast(DecimalType(38, 6))).as("price_dec0"),
+          count(lit(1)).as("n_lines0"))
+      val pp = liPart
         .join(t.part, $"l_partkey" === $"p_partkey")
         .groupBy($"p_partkey", $"p_brand")
-        .agg(sum($"l_extendedprice".cast(DecimalType(38, 6))).as("price_dec"),
-          count(lit(1)).as("n_lines"))
+        .agg(sum($"price_dec0").as("price_dec"),
+          sum($"n_lines0").as("n_lines"))
       val pb = pp.groupBy($"p_brand")
         .agg((Exact.toDouble(sum($"price_dec")) / sum($"n_lines"))
           .as("avg_price_brand"))
