@@ -31,18 +31,22 @@ class SourceHygieneSpec extends AnyFunSuite {
     }.toMap
   }
 
-  test("driver-side collect() only at the six documented bounded sites") {
+  test("driver-side collect() only at the seven documented bounded sites") {
     // every entry's bound, as verified in the r10 judge audit:
     //   PcaQueries       d x d covariance matrix (d = embedding dim)
     //   SimilarityQueries limit(1) dimensionality probe
     //   DistributedRank / PrefixSum  per-partition count pass (one row
-    //                    per partition, bounded by parallelism)
+    //                    per partition, bounded by parallelism;
+    //                    DistributedRank has 2 sites since r18 — the
+    //                    InternalRow rewrite specialized the ungrouped
+    //                    count pass into its own branch, both the same
+    //                    O(partitions + groups) pass-1 collect)
     //   Sources          file-listing / distinct-year audits, bounded
     //                    by file and calendar cardinality (2 sites)
     val expected = Map(
       "text/PcaQueries.scala" -> 1,
       "text/SimilarityQueries.scala" -> 1,
-      "operators/DistributedRank.scala" -> 1,
+      "operators/DistributedRank.scala" -> 2,
       "operators/PrefixSum.scala" -> 1,
       "sources/Sources.scala" -> 2)
     assert(countsOf("""\.collect\(\)""") === expected)
