@@ -610,7 +610,15 @@ object Multimodal {
     import hashed.sparkSession.implicits._
     val bandDefs = Seq((0, 1, 13), (1, 14, 13), (2, 27, 13),
       (3, 40, 13), (4, 53, 12))
-    val banded = hashed.select($"media_id", $"phash",
+    // Stage the fingerprints ONCE (r18): both self-join sides consume
+    // `hashed`, and unstaged each re-ran the caller's full
+    // encode→decode→hash codec chain (the q16j noop bisect measured
+    // the chain at 0.26 s vs 0.10 s for the ids alone — doubling it
+    // was ~30% of the query). The staged grain is media_id + a
+    // 64-char hash — the payload bytes never materialize (guide §8:
+    // decide on the lightweight proxy, touch the heavy bytes once).
+    val fp = graft.Staging.stage(hashed)
+    val banded = fp.select($"media_id", $"phash",
       posexplode(array(bandDefs.map { case (_, st, len) =>
         substring($"phash", st, len) }: _*)).as(Seq("band_id", "band_val")))
     val x = banded.toDF("a", "ha", "band_id", "band_val")
